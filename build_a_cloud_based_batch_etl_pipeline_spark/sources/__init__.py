@@ -1,0 +1,60 @@
+"""Data sources: parquet/json/csv/text file readers and the HTTP-JSON source.
+
+Everything reads with an explicit schema (schemas.py) -- no inference in the
+engine path. ``load_table`` is the single entry point the query layer uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table as a DataFrame.
+
+    Parquet scans get predicate pushdown, column pruning and the vectorized
+    reader from Catalyst for free; the query layer must still SELECT only the
+    columns it needs so pruning has something to do.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def read_json(spark: SparkSession, path: str, schema, multiline: bool = False) -> DataFrame:
+    """JSON file/directory scan with an explicit schema (no inference).
+
+    ``multiline=True`` reads whole-file JSON arrays -- the reference's
+    extract-run format (one JSON array per object-store file, reference
+    src/extract/main.py:46-47). Default (JSON-lines) is what the engine's
+    own landing zone writes, since line-delimited JSON is splittable and
+    therefore scan-parallel at scale; a 10 GB array-file is one task.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", "true" if multiline else "false")
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.text(path)

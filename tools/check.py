@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 via Spark and, where an oracle
+exists, the same-named ``oracle_sql()`` via DuckDB over the same parquet
+files; compares row count, column-name set, and an order-insensitive value
+comparison (columns sorted by name, rows sorted by all columns, exact
+equality after the queries' own rounding).
+
+Usage: python tools/check.py [query ...]   (default: all)
+       python tools/check.py --sf /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            # bytes (binary cols) -> hex for stable compare
+            df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+    scols, dcols = sorted(spark_df.columns), sorted(duck_df.columns)
+    if scols != dcols:
+        problems.append(f"columns: spark={scols} duck={dcols}")
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_df), normalize(duck_df)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        try:
+            if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+                eq = (
+                    sv.astype(float).fillna(1.2345e300)
+                    - dv.astype(float).fillna(1.2345e300)
+                ).abs() < 1e-9
+            else:
+                eq = sv.fillna("\x00NULL") .eq(dv.fillna("\x00NULL")) if sv.dtype == object else sv.eq(dv) | (sv.isna() & dv.isna())
+            if not bool(eq.all()):
+                bad = int((~eq).sum())
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"col {c}: {bad} mismatched values; first at row {idx}: "
+                    f"spark={sv.iloc[idx]!r} duck={dv.iloc[idx]!r}"
+                )
+        except Exception as e:  # dtype clash etc.
+            problems.append(f"col {c}: compare error {e}; dtypes {sv.dtype}/{dv.dtype}")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from build_a_cloud_based_batch_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("check")
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = args.names or list(qs)
+    con = duck_con(args.sf)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "ROWS " if len(sdf) >= 0 else "FAIL"
+            print(f"{status} {name}: rows-only, {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name} ({len(sdf)} rows)  ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"      - {p}")
+        else:
+            n_pass += 1
+            print(f"ok    {name} ({len(sdf)} rows)  ({time.time()-t0:.1f}s)")
+
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL / {len(names)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
