@@ -1,1 +1,258 @@
-"""aggregates operators (filled in incrementally)."""
+"""Aggregation operators: grouped aggs, distinct, rollup/cube/grouping sets,
+stats, percentiles, conditional and arg-extreme aggregation
+(SURVEY.md §2.2 "Aggregation" — absent from the reference, delegated to
+BigQuery).
+
+All grouped aggregations compile to partial (map-side) + final hash
+aggregates; at 100 TB the shuffle carries only one row per (partition,
+group), so low-cardinality group-bys like these scale with group count,
+not input size. Exact distinct-count adds a second shuffle on the distinct
+key; approx_count_distinct (HLL++) removes it — both surfaced here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .util import r2, r4, t, ts
+
+
+@query(
+    "agg_basic_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)               AS n,
+           round(sum(c_acctbal), 2) AS sum_bal,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/avg/min/max per group."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        r2(F.sum("c_acctbal")).alias("sum_bal"),
+        r4(F.avg("c_acctbal")).alias("avg_bal"),
+        r2(F.min("c_acctbal")).alias("min_bal"),
+        r2(F.max("c_acctbal")).alias("max_bal"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                   AS n_orders,
+           count(DISTINCT o_custkey)  AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (expands to a two-phase aggregate)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (rows-only: estimator values are
+    engine-specific by construction, so no cross-engine oracle). The
+    deterministic rsd makes the Spark result itself reproducible."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)                  AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals incl. grand total."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), r2(F.sum("l_quantity")).alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)                        AS n,
+           round(sum(l_extendedprice), 2)  AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping combinations."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), r2(F.sum("l_extendedprice")).alias("sum_price")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan as the
+    DataFrame rollup/cube expansions)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, count(*) AS n
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_discount), 6)         AS var_disc,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        r2(F.covar_samp("l_extendedprice", "l_quantity")).alias("cov_pq"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(median(o_totalprice), 4)              AS med
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The approximate scale path is percentile_approx —
+    see agg_percentile_approx."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        r4(F.percentile("o_totalprice", 0.5)).alias("p50"),
+        r4(F.percentile("o_totalprice", 0.9)).alias("p90"),
+        r4(F.median("o_totalprice")).alias("med"),
+    )
+
+
+@query("agg_percentile_approx")
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (t-digest-style sketch; mergeable, single
+    pass — the 100 TB path). Rows-only: sketch values are engine-specific."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice ELSE 0 END), 2)       AS urgent_total,
+           count(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                      THEN 1 END)                                  AS n_recent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (filtered sums/counts via CASE)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_totalprice") > 250000, 1).otherwise(0)).alias("n_big"),
+        r2(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+                ).otherwise(0.0)
+            )
+        ).alias("urgent_total"),
+        F.count(
+            F.when(F.col("o_orderdate") >= ts("1999-01-01 00:00:00"), 1)
+        ).alias("n_recent"),
+    )
+
+
+@query(
+    "agg_arg_extreme",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_custkey, c_acctbal) AS richest_cust,
+           arg_min(c_custkey, c_acctbal) AS poorest_cust
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_arg_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregation."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*)                        AS n,
+           count(DISTINCT l_partkey)       AS n_parts,
+           round(sum(l_extendedprice), 2)  AS total,
+           round(avg(l_quantity), 4)       AS avg_qty
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (ungrouped) aggregation — single-row result."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        r2(F.sum("l_extendedprice")).alias("total"),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+    )

@@ -1,1 +1,313 @@
-"""dedup operators (filled in incrementally)."""
+"""Deduplication operators for LLM-data pipelines (north-star extensions):
+
+- exact dedup          hash-groupBy on content digest          (oracled)
+- n-gram Jaccard       exact near-dup via shingle self-join    (oracled)
+- MinHash + LSH        banded signature join                   (rows-only)
+- SimHash              64-bit fingerprint + hamming bands      (rows-only)
+
+Scale strategy: the oracled exact-Jaccard pair join is correct but its
+shingle self-join fans out quadratically on common shingles — at 100 TB it
+is the *verifier*, run only on candidate pairs. Candidate generation is
+MinHash-LSH (dedup_minhash_pairs): cost is linear in corpus size with a
+banding fan-out of B rows/doc, and the band-hash equi-join shuffles keys
+only. SimHash gives the same shape for hamming-distance dedup. Everything
+is seeded & deterministic — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .util import t
+
+# MinHash parameters: 32 hashes = 16 bands x 2 rows. Banding theory: the
+# probability a pair with Jaccard s shares >=1 band is 1-(1-s^rows)^bands;
+# at s=0.5 this is 1-(1-0.25)^16 ~ 0.99, so the 0.5-threshold near-dup
+# sweep keeps high recall while candidates stay sparse for unrelated docs
+# (s=0.1 -> ~0.15 candidate rate before exact verification prunes them).
+# 32-bit hash domain with multipliers < 2^30 keeps a*h + b < 2^63 — ANSI
+# int64 arithmetic cannot overflow (Spark 4 errors on overflow by default).
+_MH_K = 32
+_MH_BANDS = 16
+_MH_ROWS = 2
+_MH_PRIME = 4294967311  # smallest prime > 2^32
+_MH_MASK = 0xFFFFFFFF
+# Deterministic odd multipliers in [1, 2^30) and offsets in [0, P).
+_MH_A = [(i * 0x9E3779B9 % (1 << 30)) | 1 for i in range(1, _MH_K + 1)]
+_MH_B = [(i * 0xC2B2AE3D + 0x165667B1) % _MH_PRIME for i in range(_MH_K)]
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, s): distinct word n-gram shingles per document.
+
+    Built-in expressions only: split -> index-sequence -> transform ->
+    explode. One codegen'd projection, no shuffle.
+    """
+    w = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("s"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text)    AS content_hash,
+           min(doc_id)  AS canonical_doc,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the lowest doc_id as
+    canonical. One shuffle on the digest; duplicate clusters collapse
+    map-side first (partial agg)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash,
+           min(doc_id)  AS canonical_doc,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (lowercase + whitespace collapse) —
+    catches trivially-reformatted duplicates."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                                 || ' ' || w[CAST(i AS INT) + 2] AS s
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
+    FROM pairs
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE common * 1.0 / (x.n + y.n - common) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs by word-3-gram Jaccard >= 0.5.
+
+    shingle -> self-join on shingle -> per-pair intersection count ->
+    Jaccard from |A|+|B|-common. Exact and oracle-checkable; at corpus
+    scale this runs only on LSH candidates (see dedup_minhash_pairs),
+    because the self-join fans out quadratically on common shingles.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs).cache()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") * 1.0 / (F.col("x.n") + F.col("y.n") - F.col("common"))
+    return (
+        pairs.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m31): MinHash signature from shingle xxhash64 values.
+
+    All K minimums in one aggregation pass (K min-columns, not K passes).
+    """
+    h = F.xxhash64("s").bitwiseAND(F.lit(_MH_MASK)).alias("h")
+    hashed = sh.select("doc_id", h)
+    mins = [
+        F.min((F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % _MH_PRIME).alias(f"m{i}")
+        for i in range(_MH_K)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+@query("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard (rows-only:
+    signature arithmetic is not expressible in the SQL oracle; correctness
+    is covered by tests/test_dedup.py recall-vs-exact property checks).
+
+    Pipeline: shingle -> 32-way MinHash signature (one agg pass) -> 8
+    banded hashes -> explode -> equi-join on (band, band_hash) -> exact
+    Jaccard verify on the candidate set only. The scale path: linear scan,
+    8 rows/doc shuffled, candidates ~ true-pair density.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs).cache()
+    sig = minhash_signatures(sh)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[f"m{bi * _MH_ROWS + r}" for r in range(_MH_ROWS)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(_MH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Exact verification restricted to candidates.
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") * 1.0 / (F.col("x.n") + F.col("y.n") - F.col("common"))
+    return (
+        common.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash from word hashes.
+
+    Bit j of the fingerprint is the sign of sum(+-1 over words, + where
+    word-hash bit j is set). One explode + one 64-column aggregation pass.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).withColumn("h", F.xxhash64("word"))
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    return bit_sums.select(
+        "doc_id",
+        # bit 63 as its negative two's-complement value: 1<<63 is not a
+        # valid long literal, and summing bits 0..62 first keeps every
+        # intermediate sum <= 2^63-1 (no ANSI overflow).
+        sum(
+            [
+                F.when(
+                    F.col(f"b{j}") > 0,
+                    F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(64)
+            ],
+            start=F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; tests/test_dedup.py).
+
+    Pairs are banded by 4x16-bit chunks of the fingerprint (pigeonhole:
+    hamming<=3 implies at least one equal chunk), then exact hamming
+    distance via bit_count(xor) on the candidates only.
+    """
+    docs = t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ch"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "simhash", "x.chunk", "x.ch")
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "ch"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,1 +1,177 @@
-"""events operators (filled in incrementally)."""
+"""Time-windowed event analytics (batch shape of the streaming surface):
+tumbling / sliding windows, sessionization, keyed dedup, pivot
+(SURVEY.md §2.2 "Streaming"; the streaming executions of the same shapes
+live in streaming/ and are pytest-verified — these batch twins are the
+oracle-checkable versions).
+
+Scale notes: F.window() is a plain projection (bucket arithmetic) followed
+by an ordinary hash aggregate — it scales like any group-by. Sessionization
+is one shuffle on user_id + a per-user sort; session keys grow with users,
+not events, so partitions stay balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .util import r2, t
+
+
+@query(
+    "events_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*)            AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregation (epoch-aligned, same as
+    date_trunc('hour'))."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "events_sliding",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    x AS (
+        SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                               - off) * 1000000) AS window_start,
+               value
+        FROM e, UNNEST([0, 1800]) AS u(off)
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM x
+    GROUP BY window_start
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): every event lands in two
+    overlapping windows. The oracle reproduces Spark's bucket assignment
+    arithmetic explicitly (30-min-aligned start and its predecessor)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "events_session",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - coalesce(lag(ts) OVER w, ts - INTERVAL 99 HOUR)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id,
+           min(ts)              AS session_start,
+           max(ts)              AS session_end,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag -> gap flag ->
+    running-sum session id -> per-session aggregate. (Streaming twin:
+    F.session_window, see streaming/.)"""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    with_sess = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+@query(
+    "events_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest row per (user, type).
+
+    Deliberately a window rank, not dropDuplicates: dropDuplicates keeps an
+    arbitrary (partition-order-dependent) row, which is fine for idempotent
+    ingest but not for a deterministic 'first event' semantic. (Streaming
+    twin: dropDuplicatesWithinWatermark, see streaming/.)
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@query(
+    "events_pivot",
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user into one column per event type (explicit
+    value list => static schema, single aggregation pass)."""
+    ev = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = ev.groupBy("user_id").pivot("event_type", types).count()
+    # pivot yields NULL for absent combinations; align with COUNT's 0.
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in types],
+    )

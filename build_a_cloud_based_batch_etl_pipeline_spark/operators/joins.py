@@ -1,1 +1,314 @@
-"""joins operators (filled in incrementally)."""
+"""Join operators: inner/left/right/full equi-joins, semi/anti, theta/range,
+as-of, broadcast, cross (SURVEY.md §2.2 "Joins" — all absent from the
+reference, whose join capability was delegated to BigQuery).
+
+Scale notes: equi-joins shuffle both sides on the key unless one side is
+broadcast; Catalyst+AQE pick broadcast automatically under the threshold.
+The range join here demonstrates the 100 TB-safe pattern (bucketize the
+range key -> equi-join on bucket -> exact filter) instead of the naive
+broadcast-nested-loop that a raw theta predicate produces. The as-of join
+is the union+window composition, which is a single shuffle on the
+partition key — no per-row lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .util import r2, r4, t, ts
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + grouped agg."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                       AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+                    AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count over the
+    null-extended side counts only matches)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < ts("1995-03-01 00:00:00")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            r2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           count(l_orderkey) AS n_lines
+    FROM (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00') li
+    RIGHT JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_brand
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every part survives, unmatched get zero counts."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= ts("2001-06-01 00:00:00")
+    )
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "right")
+        .groupBy("p_partkey", "p_brand")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH rich AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_acctbal > 9000
+    ),
+    active AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, bal, o_custkey, n_orders
+    FROM rich FULL OUTER JOIN active ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls on both sides."""
+    rich = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", r2("c_acctbal").alias("bal"))
+    )
+    active = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < ts("1995-02-01 00:00:00"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return rich.join(active, rich.c_custkey == active.o_custkey, "full_outer").select(
+        "c_custkey", "bal", "o_custkey", "n_orders"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT'
+          AND o_totalprice > 400000
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): no duplication, left columns only."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS)."""
+    cust = t(spark, sf_dir, "customer")
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= ts("1999-01-01 00:00:00")
+    )
+    return cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_range_band",
+    oracle="""
+    SELECT c_custkey, s_suppkey,
+           round(c_acctbal, 2) AS c_bal,
+           round(s_acctbal, 2) AS s_bal
+    FROM customer JOIN supplier
+      ON s_acctbal > c_acctbal - 1.0 AND s_acctbal < c_acctbal + 1.0
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range/theta) join: |s_acctbal - c_acctbal| < 1.
+
+    100 TB-safe pattern: instead of the broadcast-nested-loop a raw theta
+    predicate plans, bucketize the range key to integer buckets, explode
+    one side to its 3 adjacent buckets, equi-join on bucket, then apply the
+    exact predicate. Turns O(n*m) comparisons into a hash join with ~3x
+    fan-out on one side.
+    """
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.floor("c_acctbal").alias("bucket")
+    )
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            F.explode(
+                F.array(
+                    F.floor("s_acctbal") - 1,
+                    F.floor("s_acctbal"),
+                    F.floor("s_acctbal") + 1,
+                )
+            ).alias("bucket"),
+        )
+    )
+    return (
+        cust.join(sup, "bucket")
+        .filter(
+            (F.col("s_acctbal") > F.col("c_acctbal") - 1.0)
+            & (F.col("s_acctbal") < F.col("c_acctbal") + 1.0)
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            r2("c_acctbal").alias("c_bal"),
+            r2("s_acctbal").alias("s_bal"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(c.ts) FROM ev c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts < e.ts
+           ) AS last_click_ts
+    FROM ev e
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent prior click.
+
+    Spark has no native ASOF JOIN; the scalable composition is
+    union-the-streams + one window sorted by time with
+    last(value, ignorenulls=True): a single shuffle on the partition key,
+    linear scan per partition — no correlated per-row lookup, no range
+    explosion. (SURVEY.md §2.2 / §7 "what's hard".)
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"), F.lit(0).alias("is_target"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_target"), "event_id",
+    )
+    # Strict `click.ts < purchase.ts` semantics: at equal ts the purchase
+    # must sort BEFORE the click so the (unboundedPreceding, -1) frame
+    # cannot see an equal-ts click. Hence is_target descending tie-break.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_target").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_target") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name,
+           count(*)               AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers per region through explicitly broadcast constant-size dims
+    (nation 25 rows / region 5 rows at every SF -> no shuffle for the fact
+    side beyond the final 5-group aggregation)."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")  # broadcast-hinted by t()
+    reg = t(spark, sf_dir, "region")
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), r4(F.avg("c_acctbal")).alias("avg_bal"))
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, s.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two (deliberately tiny) inputs."""
+    reg = t(spark, sf_dir, "region").select("r_name")
+    statuses = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return reg.crossJoin(statuses)

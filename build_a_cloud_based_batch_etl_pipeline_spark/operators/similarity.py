@@ -1,1 +1,256 @@
-"""similarity operators (filled in incrementally)."""
+"""Embedding similarity search (north-star extension; `embeddings` fixture,
+array<float> x 64 dims).
+
+- embed_norms        per-vector L2 norm                       (oracled)
+- embed_cosine_topk  exact brute-force top-k neighbors        (oracled)
+- embed_centroids    per-label centroid, long format          (oracled)
+- embed_ann_lsh      random-hyperplane LSH approximate top-k  (rows-only)
+
+Scale strategy: brute-force cosine is O(N^2 d) — it is the *baseline and
+verifier*. The scale path is LSH bucketing (embed_ann_lsh): hyperplane
+sign-bits give each vector a small bucket key; candidate pairs share a
+bucket, so the join is an equi-join whose fan-out tracks bucket occupancy
+(tunable via bits/tables), not N^2. An IVF variant would swap the bucket
+key for nearest-centroid; the Spark plumbing is identical. All vector math
+is built-in zip_with/aggregate folds in whole-stage codegen — Python never
+touches a vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .util import t
+
+_DIM = 64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays (left-to-right
+    fold, matching the oracle's per-index sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+@query(
+    "embed_norms",
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+           round(list_sum(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 4)                 AS l1
+    FROM embeddings
+    """,
+)
+def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norms (L1/L2) as codegen'd array folds."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 4).alias("l2"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+            ),
+            4,
+        ).alias("l1"),
+    )
+
+
+@query(
+    "embed_cosine_topk",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dp
+        FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT qid, nid,
+               round(dp / (x.nrm * y.nrm), 4) AS cosine
+        FROM dots
+        JOIN norms x ON qid = x.vec_id
+        JOIN norms y ON nid = y.vec_id
+    )
+    SELECT qid, nid, cosine FROM (
+        SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 neighbors per vector.
+
+    Rank orders by the *rounded* cosine with vec_id tie-break so the
+    ordering is bit-deterministic across engines. This is the ANN ground
+    truth; embed_ann_lsh is the sub-quadratic path.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid", "cosine")
+    )
+
+
+@query(
+    "embed_centroids",
+    oracle="""
+    WITH u AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim_pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    SELECT label, dim_pos, round(avg(v), 6) AS centroid_val
+    FROM u GROUP BY label, dim_pos
+    """,
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long format (label, dim, value): posexplode ->
+    group avg. Long format keeps the oracle comparable and the shuffle
+    payload scalar."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim_pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+# Deterministic pseudo-random hyperplanes for LSH (seeded, engine-side
+# literals — no RNG at runtime, resumable and cross-run stable).
+_LSH_BITS = 12
+_LSH_TABLES = 2
+
+
+def _plane(table: int, bit: int) -> list[float]:
+    # Splitmix-style integer scramble -> [-1, 1) floats, fixed seed.
+    vals = []
+    x = (table * 1013904223 + bit * 1664525 + 12345) & 0xFFFFFFFFFFFFFFFF
+    for _ in range(_DIM):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        vals.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return vals
+
+
+@query("embed_ann_lsh")
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH (rows-only;
+    recall vs the exact baseline is asserted in tests/test_similarity.py).
+
+    Each vector gets a 12-bit sign signature per table (2 tables);
+    candidates share a (table, bucket); exact cosine re-scores candidates
+    only. Bucket fan-out replaces the N^2 cross join of
+    embed_cosine_topk.
+    """
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def bucket(table: int) -> Column:
+        bits = [
+            F.when(
+                dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in _plane(table, j)]),
+                )
+                > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(_LSH_BITS)
+        ]
+        return sum(bits[1:], start=bits[0])
+
+    keyed = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(tbl).alias("tbl"), bucket(tbl).alias("bkt"))
+                    for tbl in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("k"),
+    ).select("vec_id", "embedding", "k.tbl", "k.bkt")
+
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["tbl", "bkt"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("b.vec_id").alias("nid"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "qid",
+        "nid",
+        F.round(
+            dot(F.col("ea"), F.col("eb"))
+            / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid", "cosine")
+    )

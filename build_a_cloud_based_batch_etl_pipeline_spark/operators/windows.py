@@ -1,1 +1,202 @@
-"""windows operators (filled in incrementally)."""
+"""Window functions: ranking, analytic (lag/lead/first/last), aggregate
+frames, top-k per group (SURVEY.md §2.2 "Window functions").
+
+Scale notes: a window = one shuffle on partitionBy + per-partition sort.
+All windows here partition on a natural key (custkey/suppkey/user) whose
+cardinality grows with data — no global (unpartitioned) windows, which
+would serialize 100 TB through one task. Top-k per group pushes the
+rank filter immediately after the window so nothing but k rows per key
+survives the stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .util import r2, r4, t
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS price,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rk,
+               dense_rank() OVER w AS drk,
+               ntile(4)     OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile. The ranking window orders by
+    (price desc, orderkey) so ranks are total-ordered and deterministic;
+    ntile uses the unique orderkey ordering for the same reason."""
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wq = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            r2("o_totalprice").alias("price"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(wq).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2)                                  AS price,
+           round(lag(o_totalprice)  OVER w, 2)                     AS prev_price,
+           round(lead(o_totalprice) OVER w, 2)                     AS next_price,
+           round(first_value(o_totalprice) OVER w, 2)              AS first_price,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w,
+                                         o_totalprice), 2)         AS delta
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value and a lag-derived delta per customer order
+    history (ordered by date with unique-key tie-break)."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        r2("o_totalprice").alias("price"),
+        r2(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        r2(F.lead("o_totalprice").over(w)).alias("next_price"),
+        r2(F.first("o_totalprice").over(w)).alias("first_price"),
+        r2(
+            F.col("o_totalprice")
+            - F.coalesce(F.lag("o_totalprice").over(w), F.col("o_totalprice"))
+        ).alias("delta"),
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW), 2) AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING
+                                              AND CURRENT ROW), 4) AS moving_avg3,
+           count(*) OVER (PARTITION BY o_custkey)                   AS n_orders
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over row frames: running total, 3-row moving average,
+    whole-partition count."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.sum("o_totalprice").over(wo.rowsBetween(W.unboundedPreceding, 0))).alias(
+            "running_total"
+        ),
+        r4(F.avg("o_totalprice").over(wo.rowsBetween(-2, 0))).alias("moving_avg3"),
+        F.count("*").over(W.partitionBy("o_custkey")).alias("n_orders"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT s_suppkey,
+           round(s_acctbal, 2) AS bal,
+           count(*) OVER (ORDER BY s_acctbal
+                          RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS n_within_500
+    FROM supplier
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering: suppliers with balance within
+    ±500. (Global window is acceptable here only because supplier is a
+    bounded dimension; fact-table ranges go through the banded-join
+    pattern instead — see join_range_band.)"""
+    sup = t(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal").rangeBetween(-500, 500)
+    return sup.select(
+        "s_suppkey",
+        r2("s_acctbal").alias("bal"),
+        F.count("*").over(w).alias("n_within_500"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT p_brand, p_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                                           p_partkey) AS rn
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each brand: agg -> window -> rank
+    filter. The canonical top-k-per-group at scale (no global sort)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    per_part = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+    )
+    w = W.partitionBy("p_brand").orderBy(F.col("_rev").desc(), "p_partkey")
+    return (
+        per_part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", r2("_rev").alias("revenue"), "rn")
+    )
+
+
+@query(
+    "window_cume",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WHERE c_custkey < 300
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist distribution functions."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -28,7 +28,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects outright. Read the raw int64 nanos via the
+    legacy conf, then truncate to microseconds with *integer* division
+    (`div 1000`) — bit-exact with DuckDB's CAST(ts_ns AS TIMESTAMP)
+    truncation, whereas float division would round and drift by 1 µs on
+    sub-µs values.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -1,0 +1,58 @@
+"""Dedup operator properties: exact-duplicate detection is total, MinHash
+candidate recall vs the exact-Jaccard ground truth, SimHash invariants
+(SURVEY.md §5 item 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from build_a_cloud_based_batch_etl_pipeline_spark.operators import dedup
+from build_a_cloud_based_batch_etl_pipeline_spark.schemas import DOCUMENTS
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema=DOCUMENTS)
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = base.unionByName(dup)
+
+    grouped = (
+        both.groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("canon"))
+    )
+    rows = grouped.collect()
+    assert all(r.n == 2 for r in rows)
+    assert all(r.canon < 100000 for r in rows)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    exact = dedup.dedup_ngram_jaccard(spark, sf_dir)
+    truth = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    approx = dedup.dedup_minhash_pairs(spark, sf_dir)
+    found = {(r.doc_a, r.doc_b) for r in approx.collect()}
+    # candidates are verified with the same exact jaccard threshold, so
+    # false positives are impossible by construction...
+    assert found <= truth
+    # ...and 16x2 banding keeps recall high at the 0.5 threshold
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.8, f"recall {recall:.2f}, missed {truth - found}"
+
+
+def test_simhash_invariants(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (3, "alpha beta gamma delta epsilon zeta eta iota", "en", "s", 0),
+        (4, "x1 y2 z3 w4 v5 u6 t7 s8 r9 q10 p11 o12", "en", "s", 0),
+    ]
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(_docs(spark, rows)).collect()}
+    # identical text -> identical fingerprint
+    assert fp[1] == fp[2]
+    # one-word change -> small hamming distance; unrelated -> large
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(fp[1], fp[3]) <= 16
+    assert ham(fp[1], fp[4]) > 16

@@ -1,0 +1,88 @@
+"""Unit tests on tiny inline DataFrames: nulls, empty inputs, duplicate
+keys, as-of tie semantics (SURVEY.md §5 item 2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_asof_strict_tie_semantics(spark):
+    """A click at exactly the purchase timestamp must NOT match (strict <),
+    mirroring join_asof's window composition."""
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    earlier = dt.datetime(2024, 1, 1, 11, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, earlier, "click", 10),
+        (1, ts, "click", 11),      # same instant as the purchase
+        (1, ts, "purchase", 12),
+    ]
+    ev = spark.createDataFrame(rows, schema)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"), F.lit(0).alias("is_target"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_target"), "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_target").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_target") == 1)
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0].last_click_ts == earlier  # not the equal-ts click
+
+
+def test_empty_input_aggregation(spark):
+    schema = "k string, v double"
+    empty = spark.createDataFrame([], schema)
+    out = empty.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    assert out == []
+    glob = empty.agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    assert glob[0].n == 0 and glob[0].s is None
+
+
+def test_null_handling_in_joins(spark):
+    left = spark.createDataFrame([(1, "a"), (None, "b")], "k long, lv string")
+    right = spark.createDataFrame([(1, "x"), (None, "y")], "k long, rv string")
+    inner = left.join(right, "k").collect()
+    # SQL semantics: NULL keys never match
+    assert len(inner) == 1 and inner[0].k == 1
+    louter = left.join(right, "k", "left").collect()
+    assert len(louter) == 2
+
+
+def test_duplicate_key_join_fanout(spark):
+    left = spark.createDataFrame([(1, "a"), (1, "b")], "k long, lv string")
+    right = spark.createDataFrame([(1, "x"), (1, "y")], "k long, rv string")
+    assert left.join(right, "k").count() == 4
+
+
+def test_window_on_single_row_partition(spark):
+    df = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    w = W.partitionBy("k").orderBy("v")
+    row = df.select(
+        F.row_number().over(w).alias("rn"),
+        F.lag("v").over(w).alias("prev"),
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("run"),
+    ).collect()[0]
+    assert row.rn == 1 and row.prev is None and row.run == 5.0

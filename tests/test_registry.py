@@ -1,0 +1,42 @@
+"""Every registered query must run on the smallest fixture and produce a
+stable, non-degenerate result (the driver's t1-style smoke, run over the
+whole registry instead of just the flagship)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(df.columns)
+
+
+def test_oracle_keys_subset():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # the vast majority of the surface must be strongly (hash) checked
+    assert len(oracles) >= 0.8 * len(qs)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    # schema is resolvable without execution; then execute
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_unique_output_columns(spark, sf_dir):
+    for name, spec in REGISTRY.items():
+        cols = spec.fn(spark, sf_dir).columns
+        assert len(cols) == len(set(cols)), f"{name} has duplicate output columns"
