@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is materialized fully via the noop sink (forces every column
+and row through the physical plan — a bare count() would let Catalyst
+prune computed columns and under-measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+from build_a_cloud_based_batch_etl_pipeline_spark.session import get_spark
+
+# Headline set: the TPC-H-shaped relational core plus one representative of
+# each heavy operator family (window, as-of, sessionization, near-dup,
+# vector search).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "topk_per_group",
+    "window_ranking",
+    "join_asof",
+    "events_session",
+    "dedup_minhash_pairs",
+    "embed_cosine_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = get_spark("bench")
+
+    # JVM/codegen warmup on the smallest query so q1's timing isn't
+    # dominated by first-action startup.
+    materialize(registry["q6_forecast_revenue"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,8 +43,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, s): distinct word n-gram shingles per document.
 
     Built-in expressions only: split -> index-sequence -> transform ->
-    explode. One codegen'd projection, no shuffle.
+    explode. The input is repartitioned first: a single small parquet file
+    is one input split, which would serialize the explode (the dominant
+    cost) onto one task; at real scale file splits provide this
+    parallelism natively and the repartition is a cheap no-op safeguard.
     """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     w = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
     grams = F.transform(
@@ -175,13 +179,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature arithmetic is not expressible in the SQL oracle; correctness
     is covered by tests/test_dedup.py recall-vs-exact property checks).
 
-    Pipeline: shingle -> 32-way MinHash signature (one agg pass) -> 8
+    Pipeline: shingle -> 32-way MinHash signature (one agg pass) -> 16
     banded hashes -> explode -> equi-join on (band, band_hash) -> exact
     Jaccard verify on the candidate set only. The scale path: linear scan,
-    8 rows/doc shuffled, candidates ~ true-pair density.
+    16 rows/doc shuffled, candidates ~ true-pair density.
     """
     docs = t(spark, sf_dir, "documents")
-    sh = shingles(docs).cache()
+    # hashed shingle sets: one int64 per shingle; the verify step below
+    # intersects per-pair arrays instead of re-joining the exploded
+    # shingle table (which fans out one row per SHARED shingle — quadratic
+    # on near-identical docs).
+    sh = shingles(docs).withColumn("hs", F.xxhash64("s")).cache()
     sig = minhash_signatures(sh)
     bands = sig.select(
         "doc_id",
@@ -208,22 +216,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Exact verification restricted to candidates.
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.s") == F.col("sb.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    jac = F.col("common") * 1.0 / (F.col("x.n") + F.col("y.n") - F.col("common"))
+    # Exact verification restricted to candidates: per-doc shingle-hash
+    # sets as sorted arrays, one array_intersect per candidate pair.
+    # (xxhash64 collisions across ~1e6 shingles: P ~ 1e-7 — negligible.)
+    sets = sh.groupBy("doc_id").agg(F.collect_set("hs").alias("hset"))
+    common = F.size(F.array_intersect(F.col("x.hset"), F.col("y.hset")))
+    na, nb = F.size(F.col("x.hset")), F.size(F.col("y.hset"))
+    jac = common * 1.0 / (na + nb - common)
     return (
-        common.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        cand.join(sets.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sets.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -235,6 +237,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     Bit j of the fingerprint is the sign of sum(+-1 over words, + where
     word-hash bit j is set). One explode + one 64-column aggregation pass.
     """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).withColumn("h", F.xxhash64("word"))

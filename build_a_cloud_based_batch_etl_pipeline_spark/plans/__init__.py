@@ -1,0 +1,64 @@
+"""Plan inspection helpers: the engine's guardrails that the *physical*
+plan is the one we designed for 100 TB, not merely one that returns
+correct rows (tests/test_plans.py asserts these per headline query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Formatted physical plan (post-Catalyst, pre-AQE-finalization)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if at least one parquet scan carries pushed-down predicates."""
+    plan = physical_plan(df)
+    return "PushedFilters: [" in plan and not _pushed_filters_all_empty(plan)
+
+
+def _pushed_filters_all_empty(plan: str) -> bool:
+    return all(
+        seg.startswith("]")
+        for seg in (p.split("PushedFilters: [", 1)[1] for p in plan.split("\n") if "PushedFilters: [" in p)
+    )
+
+
+def scans_read_columns(df: DataFrame) -> list[str]:
+    """ReadSchema column lists per parquet scan (column-pruning check)."""
+    out = []
+    for line in physical_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:"):
+            out.append(line.split("ReadSchema:", 1)[1].strip())
+    return out
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def has_cartesian_or_bnlj(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Number of distinct whole-stage-codegen regions (formatted plans tag
+    member operators with '[codegen id : N]')."""
+    import re
+
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", physical_plan(df)))
+    return len(ids)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    # formatted plans list each operator twice (tree + "(N) Op" details);
+    # count only the numbered detail headers.
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", physical_plan(df), re.MULTILINE))

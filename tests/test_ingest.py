@@ -1,0 +1,114 @@
+"""Golden ingest tests replicating the reference's E/L semantics
+(SURVEY.md §5 item 3): extract -> land -> load -> table contents; the
+idempotency property the reference lacks; corrupt-record handling."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from build_a_cloud_based_batch_etl_pipeline_spark.config import IngestConfig
+from build_a_cloud_based_batch_etl_pipeline_spark import ingest
+
+POSTS_FIXTURE = [
+    {"userId": 1, "id": 1, "title": "t1", "body": "b1"},
+    {"userId": 1, "id": 2, "title": "t2", "body": "b2\nwith newline"},
+    {"userId": 2, "id": 3, "title": "t3", "body": "b3"},
+]
+
+
+def _cfg(tmp_path) -> IngestConfig:
+    return IngestConfig(
+        source_url="fake://posts",
+        landing_uri=str(tmp_path / "landing"),
+        warehouse_uri=str(tmp_path / "warehouse"),
+        checkpoint_uri=str(tmp_path / "ckpt"),
+    )
+
+
+def _fake_fetcher(payload):
+    return lambda url: json.dumps(payload).encode()
+
+
+def test_extract_load_end_to_end(spark, tmp_path):
+    cfg = _cfg(tmp_path)
+    ingest.extract_to_landing(spark, cfg, fetcher=_fake_fetcher(POSTS_FIXTURE), run_ts=1700000000)
+    n = ingest.load_landing_to_table(spark, cfg)
+    assert n == 3
+    table = ingest.read_table(spark, cfg)
+    rows = {r.id: r for r in table.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].body == "b2\nwith newline"
+    # processedAt populated (the reference's vestigial Transform column)
+    assert all(r.processedAt is not None for r in rows.values())
+
+
+def test_load_is_idempotent(spark, tmp_path):
+    """Reloading the same landing data must append nothing — the
+    at-least-once duplicate exposure the reference ships
+    (src/load/main.py:40 + Pub/Sub redelivery)."""
+    cfg = _cfg(tmp_path)
+    ingest.extract_to_landing(spark, cfg, fetcher=_fake_fetcher(POSTS_FIXTURE), run_ts=1700000000)
+    assert ingest.load_landing_to_table(spark, cfg) == 3
+    assert ingest.load_landing_to_table(spark, cfg) == 0
+    assert ingest.read_table(spark, cfg).count() == 3
+
+
+def test_single_object_payload_normalized(spark, tmp_path):
+    """The reference's single-object branch (src/load/main.py:45-51)."""
+    cfg = _cfg(tmp_path)
+    one = {"userId": 9, "id": 99, "title": "solo", "body": "x"}
+    ingest.extract_to_landing(spark, cfg, fetcher=_fake_fetcher(one), run_ts=1700000000)
+    assert ingest.load_landing_to_table(spark, cfg) == 1
+    assert ingest.read_table(spark, cfg).first().id == 99
+
+
+def test_incremental_runs_append_only_new(spark, tmp_path):
+    cfg = _cfg(tmp_path)
+    ingest.extract_to_landing(spark, cfg, fetcher=_fake_fetcher(POSTS_FIXTURE), run_ts=1700000000)
+    ingest.load_landing_to_table(spark, cfg)
+    # second run: one overlapping id, one new
+    newer = [
+        {"userId": 2, "id": 3, "title": "t3-dup", "body": "redelivered"},
+        {"userId": 3, "id": 4, "title": "t4", "body": "b4"},
+    ]
+    ingest.extract_to_landing(spark, cfg, fetcher=_fake_fetcher(newer), run_ts=1700086400)
+    assert ingest.load_landing_to_table(spark, cfg) == 1
+    table = ingest.read_table(spark, cfg)
+    assert table.count() == 4
+    # first write wins for the duplicated key (no overwrite on redelivery)
+    assert table.filter(F.col("id") == 3).first().title == "t3"
+
+
+def test_extract_many_parallel(spark, tmp_path):
+    cfg = _cfg(tmp_path)
+    payloads = {
+        "fake://a": [{"userId": 1, "id": 10, "title": "a", "body": ""}],
+        "fake://b": [{"userId": 1, "id": 11, "title": "b", "body": ""}],
+        "fake://c": {"userId": 1, "id": 12, "title": "c", "body": ""},
+    }
+    fetcher = lambda url: json.dumps(payloads[url]).encode()
+    ingest.extract_many_to_landing(
+        spark, cfg, urls=sorted(payloads), fetcher=fetcher, run_ts=1700000000
+    )
+    assert ingest.load_landing_to_table(spark, cfg) == 3
+
+
+def test_malformed_rows_do_not_poison_load(spark, tmp_path):
+    """PERMISSIVE read: a malformed row yields nulls, the batch still
+    loads (vs the reference raising on any per-row insert error,
+    src/load/main.py:41-43). Null-key rows are filtered."""
+    cfg = _cfg(tmp_path)
+    landing = tmp_path / "landing" / "ingest_date=2023-11-14" / "run=x"
+    landing.mkdir(parents=True)
+    with open(landing / "part-0.json", "w") as f:
+        f.write('{"userId": 1, "id": 21, "title": "ok", "body": "y"}\n')
+        f.write("THIS IS NOT JSON\n")
+        f.write('{"userId": "not-an-int", "id": 22, "title": "coerce-fail", "body": "z"}\n')
+    n = ingest.load_landing_to_table(spark, cfg)
+    table = ingest.read_table(spark, cfg)
+    ids = {r.id for r in table.collect()}
+    assert 21 in ids
+    assert n >= 1

@@ -1,0 +1,78 @@
+"""Physical-plan guardrails (SURVEY.md §7 step 7): correctness tests prove
+the rows are right; these prove the PLAN is the one designed for 100 TB —
+filters pushed into scans, columns pruned, constant dims broadcast, no
+accidental cartesian products, top-N without a global sort."""
+
+from __future__ import annotations
+
+from build_a_cloud_based_batch_etl_pipeline_spark import plans
+from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def _df(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = _df(spark, sf_dir, "q1_pricing_summary")
+    assert plans.has_pushed_filters(df)
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = _df(spark, sf_dir, "q1_pricing_summary")
+    schemas = plans.scans_read_columns(df)
+    assert schemas, "no parquet scan found"
+    # q1 needs 7 of lineitem's 11 columns; the scan must not read the rest
+    assert all("l_partkey" not in s and "l_suppkey" not in s for s in schemas)
+
+
+def test_q6_no_shuffle_single_agg(spark, sf_dir):
+    # global agg: one partial/final exchange only
+    df = _df(spark, sf_dir, "q6_forecast_revenue")
+    assert plans.count_shuffles(df) <= 1
+
+
+def test_broadcast_dims_use_broadcast_join(spark, sf_dir):
+    df = _df(spark, sf_dir, "join_broadcast_dims")
+    assert plans.uses_broadcast_join(df)
+    assert not plans.has_cartesian_or_bnlj(df)
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_dir):
+    df = _df(spark, sf_dir, "q5_region_revenue")
+    assert plans.uses_broadcast_join(df)
+
+
+def test_range_band_join_is_not_nested_loop(spark, sf_dir):
+    """The bucketized band join must plan as an equi (hash/merge) join —
+    the naive theta formulation would be BroadcastNestedLoopJoin."""
+    df = _df(spark, sf_dir, "join_range_band")
+    assert not plans.has_cartesian_or_bnlj(df)
+
+
+def test_orderby_limit_uses_topk_not_global_sort(spark, sf_dir):
+    df = _df(spark, sf_dir, "orderby_limit")
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wholestage_codegen_active(spark, sf_dir):
+    df = _df(spark, sf_dir, "q1_pricing_summary")
+    # AQE tags codegen regions only in the finalized plan -> execute first
+    df.collect()
+    assert plans.wholestage_codegen_spans(df) >= 1
+
+
+def test_no_query_plans_cartesian(spark, sf_dir):
+    """No registered query may contain an unintended cartesian product /
+    BNLJ — except join_cross, which is one on purpose."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name == "join_cross":
+            continue
+        df = spec.fn(spark, sf_dir)
+        if plans.has_cartesian_or_bnlj(df):
+            offenders.append(name)
+    assert not offenders, f"cartesian/BNLJ in: {offenders}"

@@ -1,0 +1,135 @@
+"""Structured Streaming tests (SURVEY.md §5 item 5): exactly-once
+incremental ingest over staged file drops, watermark windowed aggs,
+session windows, stateful dedup — all driven with availableNow triggers
+to completion (deterministic, synchronous)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from build_a_cloud_based_batch_etl_pipeline_spark.config import IngestConfig
+from build_a_cloud_based_batch_etl_pipeline_spark import ingest
+from build_a_cloud_based_batch_etl_pipeline_spark.schemas import EVENTS
+from build_a_cloud_based_batch_etl_pipeline_spark.streaming import (
+    ingest_stream,
+    windows_stream,
+)
+
+
+def _cfg(tmp_path) -> IngestConfig:
+    return IngestConfig(
+        source_url="fake://posts",
+        landing_uri=str(tmp_path / "landing"),
+        warehouse_uri=str(tmp_path / "warehouse"),
+        checkpoint_uri=str(tmp_path / "ckpt"),
+    )
+
+
+def _drop_file(tmp_path, name, rows):
+    d = tmp_path / "landing" / "ingest_date=2023-11-14" / f"run={name}"
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_incremental_stream_exactly_once(spark, tmp_path):
+    cfg = _cfg(tmp_path)
+    _drop_file(tmp_path, "r1", [
+        {"userId": 1, "id": 1, "title": "a", "body": ""},
+        {"userId": 1, "id": 2, "title": "b", "body": ""},
+    ])
+    assert ingest_stream.incremental_load(spark, cfg) == 2
+    # re-run with no new files: checkpoint prevents reprocessing
+    assert ingest_stream.incremental_load(spark, cfg) == 0
+    # drop a second file -> only it is processed
+    _drop_file(tmp_path, "r2", [{"userId": 2, "id": 3, "title": "c", "body": ""}])
+    assert ingest_stream.incremental_load(spark, cfg) == 1
+    assert ingest.read_table(spark, cfg).count() == 3
+
+
+def _run_stream_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming tumbling agg over the events fixture must equal its
+    batch twin once the stream is fully drained (availableNow + complete
+    output => no rows are watermark-dropped on a bounded input)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.sources import load_table
+
+    batch_events = load_table(spark, sf_dir, "events")
+    # stage events as parquet with µs timestamps for the stream source
+    staged = str(tmp_path / "events_staged")
+    batch_events.write.mode("overwrite").parquet(staged)
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(staged)
+    out = _run_stream_to_memory(
+        spark, windows_stream.tumbling_counts(stream), "tumb", "complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 2))
+        for r in out.collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 2))
+        for r in (
+            batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+            .collect()
+        )
+    }
+    assert got == expected
+
+
+def test_streaming_session_window_runs(spark, sf_dir, tmp_path):
+    from build_a_cloud_based_batch_etl_pipeline_spark.sources import load_table
+
+    batch_events = load_table(spark, sf_dir, "events")
+    staged = str(tmp_path / "events_staged2")
+    batch_events.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(batch_events.schema).parquet(staged)
+    out = _run_stream_to_memory(
+        spark, windows_stream.session_aggregates(stream), "sess", "complete"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start for r in rows)
+    # session count should match the batch sessionization's session count
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        events_session,
+    )
+
+    assert len(rows) == events_session(spark, sf_dir).count()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},  # dup id
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    with open(d / "e.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(EVENTS).json(str(d))
+    out = _run_stream_to_memory(
+        spark, windows_stream.dedup_within_watermark(stream), "dd", "append"
+    )
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
