@@ -1,0 +1,78 @@
+"""UDF surface (SURVEY.md §2.2 "UDF surface"): Arrow-vectorized pandas
+UDFs and grouped-map applyInPandas, each oracled against the equivalent
+built-in-SQL formulation — proving the UDF path computes exactly what the
+declarative path would, while demonstrating the escape hatch for logic
+Spark can't express.
+
+Hot-path rule (SCALE.md): built-ins first; when Python is unavoidable it
+is always Arrow-batched (scalar pandas_udf / applyInPandas), never
+row-at-a-time F.udf.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..queries import query
+from .util import t
+
+
+@F.pandas_udf(T.DoubleType())
+def _charge_udf(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized charge computation: whole Arrow batches, numpy ops.
+    No rounding here: pandas .round() is half-even while SQL round is
+    half-up — ties would flip. The caller rounds JVM-side."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@query(
+    "udf_pandas_charge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem
+    WHERE l_orderkey < 400
+    """,
+)
+def udf_pandas_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-batched) vs the built-in expression the
+    oracle uses — identical results, demonstrating the vectorized Python
+    escape hatch."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_charge_udf("l_extendedprice", "l_discount", "l_tax"), 2).alias("charge"),
+    )
+
+
+@query(
+    "udf_grouped_zscore",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER w)
+                 / stddev_samp(c_acctbal) OVER w, 4) AS z
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-segment z-score of account balance.
+    Oracle: the window-function formulation — the two must agree exactly
+    (pandas ddof=1 == stddev_samp)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["c_acctbal"].mean()
+        std = pdf["c_acctbal"].std(ddof=1)
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["z"] = ((pdf["c_acctbal"] - mean) / std).round(4)
+        return out
+
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        per_group, schema="c_custkey long, c_mktsegment string, z double"
+    )

@@ -62,6 +62,9 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         text,
         multimodal,
+        subqueries,
+        udfs,
+        reshape,
     )
 
     return REGISTRY
