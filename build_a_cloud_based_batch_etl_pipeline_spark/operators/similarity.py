@@ -188,6 +188,63 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+        FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dp / (x.nrm * y.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms x ON id_a = x.vec_id
+    JOIN norms y ON id_b = y.vec_id
+    WHERE round(dp / (x.nrm * y.nrm), 4) >= 0.42
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.42, unordered
+    id_a < id_b) — the semantic-dedup member of the dedup family
+    (exact/minhash/simhash/ngram-jaccard cover the lexical side).
+
+    Exact all-pairs here is the oracle-checkable baseline; the filter sits
+    on the *rounded* cosine so both engines make identical boundary
+    decisions. At corpus scale the identical output is produced
+    sub-quadratically by LSH-bucketing candidates first (embed_ann_lsh's
+    bucket join) and exact-rescoring only in-bucket pairs; planted
+    near-dup pairs have cosine >> the hyperplane collision threshold, so
+    recall is governed by bits/tables exactly as for search.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            dot(F.col("ea"), F.col("eb"))
+            / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
+            4,
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= 0.42)
+
+
 # Deterministic pseudo-random hyperplanes for LSH (seeded, engine-side
 # literals — no RNG at runtime, resumable and cross-run stable).
 _LSH_BITS = 12

@@ -195,3 +195,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("norm_fp"),
         F.md5(F.substring("text", 1, 64)).alias("prefix_fp"),
     )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, tfidf FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * ln(n_docs * 1.0 / dfreq.df), 4) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(n_docs * 1.0 / dfreq.df), 4) DESC,
+                            tf.term) AS rn
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tokenize -> term frequency ->
+    document frequency -> tf * ln(N/df) -> windowed top-k.
+
+    The corpus size N is a 1-row aggregate broadcast via crossJoin (no
+    driver collect); df is a second small aggregate that broadcasts onto
+    the tf side under AQE. Ranking uses the ROUNDED score (term as
+    tie-break) so both engines cut the top-3 identically. Shuffles: one
+    on (doc_id, term) for tf — df, the broadcast, and the per-doc window
+    all reuse or avoid it; at 100 TB the (doc, term) explode is the big
+    intermediate, and it is reduced map-side before the shuffle."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )

@@ -1,0 +1,513 @@
+"""Remaining TPC-H-shaped analytical queries (q2/q8/q9/q11/q12/q13/q15/
+q16/q17/q18/q20/q21), adapted to the fixture schema.
+
+The reference delegates its whole query surface to BigQuery SQL
+(reference terraform/main.tf:63-102, SURVEY.md §2.2); these queries close
+out the classic decision-support shapes that surface delegates. The
+fixtures carry no partsupp table and no l_commitdate/l_receiptdate/
+l_shipmode columns, so each query keeps the *plan shape* of its TPC-H
+namesake (correlated min, market-share ratio, histogram over left join,
+argmax, multi-exists reformulated as grouped counts, …) while using
+columns that exist (`FIXTURES.md`).
+
+Scale notes (100 TB): every query below aggregates lineitem BEFORE
+joining the result to dimension/owner tables, so the big shuffles carry
+pre-reduced data; global thresholds (q11/q15) are single-row aggregates
+broadcast via crossJoin, never a driver collect; dimension joins stay
+broadcast (region/nation always; filtered part/supplier sides under AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .util import r2, r4, t, ts
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+        SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+        FROM part
+        JOIN ps       ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, round(s_acctbal, 2) AS bal
+    FROM cand c
+    WHERE s_acctbal = (SELECT min(c2.s_acctbal) FROM cand c2
+                       WHERE c2.p_partkey = c.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: per-part argmin supplier. partsupp does not exist
+    in the fixtures, so the shipping relationship (distinct lineitem
+    part/supp pairs) stands in for it; min s_acctbal stands in for min
+    ps_supplycost. Window-min over the candidate set replaces the
+    correlated scalar subquery — same decorrelated plan, one shuffle."""
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    sup = t(spark, sf_dir, "supplier")
+    cand = (
+        part.join(ps, part.p_partkey == ps.l_partkey)
+        .join(sup, ps.l_suppkey == sup.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", r2("s_acctbal").alias("bal"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+    FROM lineitem
+    JOIN part      ON l_partkey = p_partkey
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region    ON cn.n_regionkey = r_regionkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: one nation's slice of a
+    region's PROMO-part revenue per order year. nation appears in two
+    roles (customer side filters the market, supplier side is measured).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    sup = t(spark, sf_dir, "supplier")
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, cust.c_nationkey == F.col("cn_key"))
+        .join(reg, F.col("cn_region") == reg.r_regionkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(sn, sup.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            r4(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit by supplier nation and year
+    (no ps_supplycost exists, so profit is discounted revenue)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH eur AS (
+        SELECT l_partkey, l_extendedprice * l_quantity AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT l_partkey, round(sum(val), 2) AS value
+    FROM eur
+    GROUP BY l_partkey
+    HAVING sum(val) > (SELECT sum(val) * 0.001 FROM eur)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: per-part shipped value for one region's
+    suppliers, kept only above a fraction of the global total. The global
+    threshold is a 1-row aggregate joined back via broadcast crossJoin —
+    no driver collect, works at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    per_part = eur.groupBy("l_partkey").agg(F.sum("val").alias("raw_value"))
+    total = eur.agg((F.sum("val") * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", r2("raw_value").alias("value"))
+    )
+
+
+@query(
+    "q12_priority_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional counts (l_shipmode doesn't exist;
+    l_linestatus is the grouping stand-in)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        GROUP BY c_custkey
+    ) counts
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped histogram of per-customer order counts (left
+    outer join keeps zero-order customers; the second aggregation is tiny
+    — AQE coalesces it to a handful of partitions)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped argmax: quarter revenue per supplier, keep the
+    max. The max is a 1-row broadcast crossJoin (the classic "view +
+    scalar subquery" decorrelation), so the whole query is two passes
+    over the filtered lineitem slice and zero driver round-trips."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_rev")
+    )
+    mx = rev.agg(F.max("raw_rev").alias("max_rev"))
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("raw_rev") == F.col("max_rev"))
+        .join(sup, F.col("supplier_no") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", r2("raw_rev").alias("total_revenue"))
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (10, 20, 30, 40)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier counts per part group, with a
+    NOT IN exclusion expressed as a left-anti join (negative-balance
+    suppliers stand in for the complaints filter)."""
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(10, 20, 30, 40)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        part.join(ps, part.p_partkey == ps.l_partkey)
+        .join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue from below-half-average-quantity lines.
+    The correlated per-part average is computed once as a grouped
+    aggregate and joined back (Catalyst produces the same plan when
+    decorrelating the SQL form); the per-part aggregate is tiny relative
+    to lineitem so it broadcasts under AQE."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS price,
+           round(total_qty, 2)    AS total_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 160) big
+      ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose line quantities sum above a
+    threshold, joined back to owner customer. Aggregate-then-join keeps
+    the orderkey shuffle on pre-reduced rows."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 160)
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            r2("o_totalprice").alias("price"),
+            r2("raw_qty").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q20_part_promotion",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 50
+      )
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers in one region who moved more than a
+    threshold of red parts in a year — IN-subquery expressed as a
+    left-semi join onto the grouped/filtered shipping volumes."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    )
+    red = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    movers = (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .join(movers, sup.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH lines AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+        FROM lines GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM lines l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+          WHERE l.late = 1 AND p.n_supp > 1 AND p.n_late = 1) waiters
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: the sole late supplier on multi-supplier
+    finalized orders (late = shipped >60 days after order; the fixtures
+    carry no commit/receipt dates). The EXISTS / NOT EXISTS pair of the
+    original is reformulated as grouped distinct counts per order —
+    semantically identical and ONE shuffle instead of two decorrelated
+    self-joins of lineitem, which is the plan you want at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int")
+        .alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiters = (
+        lines.filter(F.col("late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        waiters.join(sup, waiters.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

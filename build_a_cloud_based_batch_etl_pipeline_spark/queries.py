@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         subqueries,
         udfs,
         reshape,
+        tpch_extra,
     )
 
     return REGISTRY

@@ -65,12 +65,28 @@ def test_wholestage_codegen_active(spark, sf_dir):
     assert plans.wholestage_codegen_spans(df) >= 1
 
 
+# Queries whose plan contains a cartesian/BNLJ ON PURPOSE:
+# - join_cross: the cross-join operator itself.
+# - q11_important_stock, q15_top_supplier, text_tfidf: 1-row global
+#   aggregate joined back via broadcast crossJoin (the scalar-threshold
+#   pattern — O(1) broadcast, strictly better than a driver collect).
+# - dedup_embedding_cosine: exact all-pairs similarity baseline; the
+#   sub-quadratic path is the LSH bucket equi-join (embed_ann_lsh).
+INTENTIONAL_CROSS = {
+    "join_cross",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "text_tfidf",
+    "dedup_embedding_cosine",
+}
+
+
 def test_no_query_plans_cartesian(spark, sf_dir):
     """No registered query may contain an unintended cartesian product /
-    BNLJ — except join_cross, which is one on purpose."""
+    BNLJ — the exceptions above are cartesian by design."""
     offenders = []
     for name, spec in REGISTRY.items():
-        if name == "join_cross":
+        if name in INTENTIONAL_CROSS:
             continue
         df = spec.fn(spark, sf_dir)
         if plans.has_cartesian_or_bnlj(df):
