@@ -159,18 +159,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m31): MinHash signature from shingle xxhash64 values.
+def gram_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, grams): word n-gram shingles as an int64-hash ARRAY per
+    document — no shingle strings, no explode.
 
-    All K minimums in one aggregation pass (K min-columns, not K passes).
+    Each word is hashed once (one transform pass), then each shingle hash
+    is xxhash64 over n consecutive word hashes. Keeping shingles as a
+    per-row array lets the MinHash signature be computed with array_min/
+    transform folds in the same projection — the signature step needs NO
+    aggregation shuffle at all (vs the classic explode -> groupBy-min,
+    which shuffles every shingle row).
     """
-    h = F.xxhash64("s").bitwiseAND(F.lit(_MH_MASK)).alias("h")
-    hashed = sh.select("doc_id", h)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    w = F.split("text", " ")
+    wh = F.transform(w, lambda x: F.xxhash64(x))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(n)])
+    )
+    return docs.select("doc_id", grams.alias("grams"))
+
+
+def minhash_signatures(grams_df: DataFrame) -> DataFrame:
+    """(doc_id, m0..m31): MinHash signature as 32 array_min folds over the
+    per-document gram array — pure projection, zero shuffles."""
     mins = [
-        F.min((F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i])) % _MH_PRIME).alias(f"m{i}")
+        F.array_min(
+            F.transform(
+                "grams",
+                lambda g: (g.bitwiseAND(F.lit(_MH_MASK)) * F.lit(_MH_A[i]) + F.lit(_MH_B[i]))
+                % _MH_PRIME,
+            )
+        ).alias(f"m{i}")
         for i in range(_MH_K)
     ]
-    return hashed.groupBy("doc_id").agg(*mins)
+    return grams_df.select("doc_id", *mins)
 
 
 @query("dedup_minhash_pairs")
@@ -179,17 +202,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature arithmetic is not expressible in the SQL oracle; correctness
     is covered by tests/test_dedup.py recall-vs-exact property checks).
 
-    Pipeline: shingle -> 32-way MinHash signature (one agg pass) -> 16
-    banded hashes -> explode -> equi-join on (band, band_hash) -> exact
-    Jaccard verify on the candidate set only. The scale path: linear scan,
-    16 rows/doc shuffled, candidates ~ true-pair density.
+    Pipeline: per-doc gram-hash array -> 32-way MinHash signature
+    (array_min folds, zero-shuffle) -> 16 banded hashes -> explode ->
+    equi-join on (band, band_hash) -> exact Jaccard verify on the
+    candidate set only. The only shuffles in the whole job are the band
+    join (16 rows/doc) and the candidate joins — at corpus scale that is
+    the minimum possible data motion for LSH dedup.
     """
     docs = t(spark, sf_dir, "documents")
-    # hashed shingle sets: one int64 per shingle; the verify step below
-    # intersects per-pair arrays instead of re-joining the exploded
-    # shingle table (which fans out one row per SHARED shingle — quadratic
-    # on near-identical docs).
-    sh = shingles(docs).withColumn("hs", F.xxhash64("s")).cache()
+    # Per-doc int64 gram arrays; the verify step below intersects per-pair
+    # arrays instead of re-joining an exploded shingle table (which fans
+    # out one row per SHARED shingle — quadratic on near-identical docs).
+    sh = gram_hashes(docs).cache()
     sig = minhash_signatures(sh)
     bands = sig.select(
         "doc_id",
@@ -217,9 +241,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Exact verification restricted to candidates: per-doc shingle-hash
-    # sets as sorted arrays, one array_intersect per candidate pair.
+    # sets (array_distinct — again no aggregation shuffle), one
+    # array_intersect per candidate pair.
     # (xxhash64 collisions across ~1e6 shingles: P ~ 1e-7 — negligible.)
-    sets = sh.groupBy("doc_id").agg(F.collect_set("hs").alias("hset"))
+    sets = sh.select("doc_id", F.array_distinct("grams").alias("hset"))
     common = F.size(F.array_intersect(F.col("x.hset"), F.col("y.hset")))
     na, nb = F.size(F.col("x.hset")), F.size(F.col("y.hset"))
     jac = common * 1.0 / (na + nb - common)

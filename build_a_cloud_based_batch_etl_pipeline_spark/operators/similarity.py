@@ -160,7 +160,14 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 res_c.extend(row[order].tolist())
             yield pd.DataFrame({"qid": res_q, "nid": res_n, "cosine": res_c})
 
-    return emb.mapInPandas(score, out_schema)
+    # The fixture is one small parquet file = one input split; without an
+    # explicit repartition the whole matmul would run as a single task.
+    # 8 tasks parallelizes the scoring while capping the number of Python
+    # workers to spin up (worker startup, not the BLAS matmul, dominates
+    # at test scale). At real scale file splits provide parallelism
+    # natively and this repartition is a cheap rebalance.
+    q = emb.repartition(min(8, spark.sparkContext.defaultParallelism))
+    return q.mapInPandas(score, out_schema)
 
 
 @query(
