@@ -260,23 +260,33 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash from word hashes.
 
     Bit j of the fingerprint is the sign of sum(+-1 over words, + where
-    word-hash bit j is set). One explode + one 64-column aggregation pass.
-    """
+    word-hash bit j is set). Computed entirely array-side: one aggregate
+    fold over the per-doc word-hash array accumulating the 64 bit-sums —
+    a pure projection with ZERO shuffles (vs the classic explode ->
+    64-column groupBy, which shuffles every word row)."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).withColumn("h", F.xxhash64("word"))
-    bit_sums = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
+    wh = F.transform(F.split("text", " "), lambda x: F.xxhash64(x))
+
+    def contrib(h):
+        return F.array(
+            *[
                 F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(64)
-        ]
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for j in range(64)
+            ]
+        )
+
+    bits = F.aggregate(
+        wh,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, contrib(h), lambda a, b: a + b),
     )
-    return bit_sums.select(
+    # Stage the fold as its own column: the final select references it 64
+    # times, and CollapseProject keeps a multiply-referenced non-trivial
+    # alias materialized instead of inlining 64 copies of the fold.
+    with_bits = docs.select("doc_id", bits.alias("bits"))
+    return with_bits.select(
         "doc_id",
         # bit 63 as its negative two's-complement value: 1<<63 is not a
         # valid long literal, and summing bits 0..62 first keeps every
@@ -284,7 +294,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         sum(
             [
                 F.when(
-                    F.col(f"b{j}") > 0,
+                    F.element_at(F.col("bits"), j + 1) > 0,
                     F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
                 ).otherwise(F.lit(0).cast("long"))
                 for j in range(64)
