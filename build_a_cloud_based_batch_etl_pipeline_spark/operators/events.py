@@ -175,3 +175,88 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in types],
     )
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                      TIMESTAMP '2024-01-07 23:00:00',
+                                      INTERVAL 1 HOUR)) AS hour
+        FROM users
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               round(sum(value), 2) AS hour_value,
+               count(*) AS n_events
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.hour,
+           coalesce(h.n_events, 0) AS n_events,
+           last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.hour = h.hour
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: hourly per-user buckets over a
+    fixed 3-day range, zero-filled counts, forward-filled (LOCF) values —
+    the hypertable-rollup shape time-series stores provide natively.
+
+    The dense spine is generated distributedly (distinct users x
+    sequence-explode — no driver-side range loop); the left join is an
+    equi-join on (user, hour); the forward fill is last(ignorenulls) over
+    a per-user window. One shuffle for the hourly agg, one for the join
+    (co-partitioned on user_id by AQE), one per-user sort for the fill —
+    at 100 TB the spine is |users| x |buckets| rows, generated in place,
+    never collected.
+    """
+    ev = t(spark, sf_dir, "events")
+    lo, hi_incl, hi_excl = (
+        "2024-01-05 00:00:00",
+        "2024-01-07 23:00:00",
+        "2024-01-08 00:00:00",
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("timestamp"),
+                F.lit(hi_incl).cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    hourly = (
+        ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi_excl).cast("timestamp"))
+        )
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            r2(F.sum("value")).alias("hour_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    fill_w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(fill_w).alias("filled_value"),
+    )

@@ -205,6 +205,26 @@ sql_query(
 )
 
 sql_query(
+    "sub_lateral_topn",
+    """
+    SELECT r_name, n_name, bal
+    FROM region r,
+    LATERAL (
+        SELECT n_name, round(sum(s_acctbal), 2) AS bal
+        FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        WHERE n_regionkey = r.r_regionkey
+        GROUP BY n_name
+        ORDER BY sum(s_acctbal) DESC, n_name
+        LIMIT 2
+    ) t
+    """,
+    doc="Correlated LATERAL subquery with aggregate + per-row LIMIT "
+    "(top-2 nations by supplier balance per region) — the lateral-join "
+    "surface BigQuery users rely on; Catalyst plans it as a "
+    "DomainJoin-decorrelated ranked join.",
+)
+
+sql_query(
     "q7_nation_pairs",
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

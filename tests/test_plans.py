@@ -72,12 +72,15 @@ def test_wholestage_codegen_active(spark, sf_dir):
 #   pattern — O(1) broadcast, strictly better than a driver collect).
 # - dedup_embedding_cosine: exact all-pairs similarity baseline; the
 #   sub-quadratic path is the LSH bucket equi-join (embed_ann_lsh).
+# - embed_ann_ivf: the nearest-centroid assignment broadcasts the tiny
+#   codebook (nlist rows) against every vector — O(N * nlist) by design.
 INTENTIONAL_CROSS = {
     "join_cross",
     "q11_important_stock",
     "q15_top_supplier",
     "text_tfidf",
     "dedup_embedding_cosine",
+    "embed_ann_ivf",
 }
 
 
