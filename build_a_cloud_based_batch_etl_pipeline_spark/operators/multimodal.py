@@ -121,3 +121,113 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     bin_df = with_binary_payload(docs).select("doc_id", "payload")
     return bin_df.mapInPandas(decode_image_batch, DECODED_SCHEMA)
+
+
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, text,
+               CAST(ceil(length(text) / {_FRAME_BYTES}.0) AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, i AS frame_idx,
+           length(substring(text, CAST(i * {_FRAME_BYTES} + 1 AS BIGINT),
+                            {_FRAME_BYTES}))                    AS frame_bytes,
+           md5(substring(text, CAST(i * {_FRAME_BYTES} + 1 AS BIGINT),
+                         {_FRAME_BYTES}))                       AS frame_digest
+    FROM p, UNNEST(range(0, n_frames, {_FRAME_STRIDE})) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary payload (the video-column
+    shape): chunk the payload into fixed-size frames, keep every
+    STRIDE-th, emit per-frame size + digest. Pure built-in expressions —
+    sequence/explode/substring operate on the BINARY column JVM-side, so
+    a 100 TB video corpus never leaves executor memory and only scalar
+    frame metadata shuffles.
+
+    (The oracle slices the same bytes via VARCHAR substring — the fixture
+    payload is ASCII text bytes, so character and byte offsets coincide;
+    Spark-side runs on the real binary column.)
+    """
+    docs = t(spark, sf_dir, "documents")
+    bin_df = with_binary_payload(docs).select("doc_id", "payload")
+    n_frames = F.ceil(F.octet_length("payload") / float(_FRAME_BYTES))
+    idx = F.sequence(
+        F.lit(0), n_frames - 1, F.lit(_FRAME_STRIDE)
+    )
+    framed = bin_df.filter(n_frames > 0).select(
+        "doc_id", "payload", F.explode(idx).alias("frame_idx")
+    )
+    frame = F.expr(
+        f"substring(payload, frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES})"
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length(frame).alias("frame_bytes"),
+        F.md5(frame).alias("frame_digest"),
+    )
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+_THUMB_SIDE = 8  # 8x8 "thumbnail"
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize + feature-extract: payload -> fixed 8x8
+    "thumbnail" bytes + mean-byte feature.
+
+    STUB: without an imaging library the thumbnail is a deterministic
+    stride-sample of the payload bytes (cycled to fill 64 bytes); with
+    PIL this would be Image.open(...).resize((8, 8)).tobytes(). The Arrow
+    batch shape, binary-in/binary-out schema, and partition parallelism
+    are identical either way.
+    """
+    n_out = _THUMB_SIDE * _THUMB_SIDE
+    for pdf in batches:
+        if _HAVE_PIL:
+            raise NotImplementedError(
+                "real image resize intentionally not wired in this container; "
+                "swap the fake branch for PIL resize when available"
+            )
+        thumbs, means = [], []
+        for buf in pdf["payload"]:
+            b = bytes(buf)
+            sampled = bytes(b[(i * max(1, len(b) // n_out)) % len(b)] for i in range(n_out))
+            thumbs.append(sampled)
+            means.append(sum(sampled) / float(n_out))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([_THUMB_SIDE] * len(pdf), dtype="int32"),
+                "height": pd.Series([_THUMB_SIDE] * len(pdf), dtype="int32"),
+                "thumb": thumbs,
+                "mean_byte": means,
+            }
+        )
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake resize/feature-extract over the binary column
+    (rows-only: the stub's thumbnail bytes are deterministic but not
+    SQL-expressible; shape/determinism asserted in
+    tests/test_multimodal.py)."""
+    docs = t(spark, sf_dir, "documents")
+    bin_df = with_binary_payload(docs).select("doc_id", "payload")
+    return bin_df.mapInPandas(resize_batch, THUMB_SCHEMA)
