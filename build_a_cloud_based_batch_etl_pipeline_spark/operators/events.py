@@ -260,3 +260,62 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("hour_value", ignorenulls=True).over(fill_w).alias("filled_value"),
     )
+
+
+@query(
+    "events_multires_rollup",
+    oracle="""
+    SELECT CASE WHEN grouping(hour) = 0 THEN 'hour'
+                WHEN grouping(day) = 0  THEN 'day'
+                ELSE 'total' END            AS resolution,
+           day, hour, event_type,
+           count(*)                         AS n,
+           round(sum(value), 2)             AS total_value
+    FROM (SELECT event_type, value,
+                 date_trunc('day',  CAST(ts AS TIMESTAMP)) AS day,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+            AND ts <  TIMESTAMP '2024-01-12 00:00:00') e
+    GROUP BY GROUPING SETS ((day, hour, event_type), (day, event_type),
+                            (event_type))
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the continuous-aggregate /
+    hypertable-rollup shape): hour, day, and total resolutions for each
+    event type in ONE pass via GROUPING SETS — Spark's Expand operator
+    replicates each row once per grouping set BEFORE the shuffle, so the
+    three resolutions cost one aggregation instead of three scans."""
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+    )
+    e = ev.select(
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    )
+    grouped = e.groupingSets(
+        [["day", "hour", "event_type"], ["day", "event_type"], ["event_type"]],
+        "day",
+        "hour",
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        r2(F.sum("value")).alias("total_value"),
+        F.grouping("day").alias("_gd"),
+        F.grouping("hour").alias("_gh"),
+    )
+    return grouped.select(
+        F.when(F.col("_gh") == 0, "hour")
+        .when(F.col("_gd") == 0, "day")
+        .otherwise("total")
+        .alias("resolution"),
+        "day",
+        "hour",
+        "event_type",
+        "n",
+        "total_value",
+    )

@@ -312,3 +312,59 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = t(spark, sf_dir, "region").select("r_name")
     statuses = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
     return reg.crossJoin(statuses)
+
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                          AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: manual key salting, result identical to
+    the plain join (the oracle IS the plain join).
+
+    The probe side appends a deterministic salt in [0, B) to its key; the
+    build side is exploded B-fold, one copy per salt value; the join key
+    becomes (key, salt), so one hot key's rows spread over B shuffle
+    partitions instead of one straggler task. This is the manual
+    technique for engines/settings without AQE skew-join splitting; with
+    AQE on (session default) Spark does the equivalent split at runtime
+    from map-output sizes — both paths ship, and the plan guardrails keep
+    this an equi-join (no BNLJ). Salting cost: B-fold replication of the
+    (small, pre-projected) build side — bounded and chosen, unlike a
+    straggler, which is unbounded.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_li = li.withColumn(
+        "salt", (F.xxhash64("l_orderkey", "l_extendedprice") % _SALT_BUCKETS + _SALT_BUCKETS) % _SALT_BUCKETS
+    )
+    exploded_orders = orders.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    joined = salted_li.join(
+        exploded_orders,
+        (salted_li.l_orderkey == exploded_orders.o_orderkey)
+        & (salted_li.salt == exploded_orders.salt),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
