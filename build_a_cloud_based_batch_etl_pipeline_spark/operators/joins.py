@@ -226,6 +226,61 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    targets: DataFrame,
+    sources: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    out_col: str,
+    strict: bool = True,
+) -> DataFrame:
+    """Generic as-of join builder: for every target row, attach
+    `value_col` from the latest source row of the same `key` with source
+    time < target time (strict) or <= (non-strict).
+
+    Spark has no native ASOF JOIN; the scalable composition is
+    union-the-streams + one window sorted by time with
+    last(value, ignorenulls=True): a single shuffle on the partition key,
+    linear scan per partition — no correlated per-row lookup, no range
+    explosion. (SURVEY.md §2.2 / §7 "what's hard".) Property-tested
+    against a brute-force reference on random inputs in
+    tests/test_properties.py.
+    """
+    tgt_cols = targets.columns
+    src = sources.select(
+        key,
+        F.col(time_col),
+        F.col(value_col).alias("__asof_val"),
+        F.lit(0).alias("__is_target"),
+        *[F.lit(None).cast(targets.schema[c].dataType).alias(c)
+          for c in tgt_cols if c not in (key, time_col)],
+    )
+    tgt = targets.select(
+        key,
+        F.col(time_col),
+        F.lit(None).cast(sources.schema[value_col].dataType).alias("__asof_val"),
+        F.lit(1).alias("__is_target"),
+        *[c for c in tgt_cols if c not in (key, time_col)],
+    )
+    # Strict `source.time < target.time` semantics: at equal time the
+    # target must sort BEFORE the source so the (unboundedPreceding, -1)
+    # frame cannot see an equal-time source. Hence __is_target descending
+    # tie-break; non-strict flips it.
+    order_tgt = F.col("__is_target").desc() if strict else F.col("__is_target").asc()
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(time_col), order_tgt)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        src.unionByName(tgt)
+        .withColumn(out_col, F.last("__asof_val", ignorenulls=True).over(w))
+        .filter(F.col("__is_target") == 1)
+        .select(*tgt_cols, out_col)
+    )
+
+
 @query(
     "join_asof",
     oracle="""
@@ -240,37 +295,20 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: for each purchase, the user's most recent prior click.
-
-    Spark has no native ASOF JOIN; the scalable composition is
-    union-the-streams + one window sorted by time with
-    last(value, ignorenulls=True): a single shuffle on the partition key,
-    linear scan per partition — no correlated per-row lookup, no range
-    explosion. (SURVEY.md §2.2 / §7 "what's hard".)
-    """
+    """As-of join: for each purchase, the user's most recent prior click
+    (strict) — the fixture instantiation of the generic asof_join
+    builder."""
     ev = t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("ts").alias("click_ts"), F.lit(0).alias("is_target"),
-        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts", F.col("ts").alias("click_ts")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
-        F.lit(1).alias("is_target"), "event_id",
+        "event_id", "user_id", "ts"
     )
-    # Strict `click.ts < purchase.ts` semantics: at equal ts the purchase
-    # must sort BEFORE the click so the (unboundedPreceding, -1) frame
-    # cannot see an equal-ts click. Hence is_target descending tie-break.
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("is_target").desc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    return (
-        clicks.unionByName(purchases)
-        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
-        .filter(F.col("is_target") == 1)
-        .select("event_id", "user_id", "ts", "last_click_ts")
-    )
+    return asof_join(
+        purchases, clicks, key="user_id", time_col="ts",
+        value_col="click_ts", out_col="last_click_ts", strict=True,
+    ).select("event_id", "user_id", "ts", "last_click_ts")
 
 
 @query(

@@ -61,3 +61,14 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a (slowly
+    changing) dimension table. The static side is re-resolved per
+    micro-batch, so dimension updates are picked up without restarting
+    the stream; Spark plans it as a broadcast join when the dim is small
+    — no stream-side shuffle at all. (Stream-stream joins with
+    watermark-bounded state are the other half; the fixture's single
+    stream exercises the static case.)"""
+    return events.join(F.broadcast(dim), on, "left")

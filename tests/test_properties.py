@@ -1,0 +1,106 @@
+"""Property-based checks (hypothesis): the distributed compositions must
+agree with brute-force Python references on arbitrary small inputs —
+catching semantic edge cases (ties, empty groups, all-late rows) that
+fixture data may never produce.
+
+One shared SparkSession round-trip per example keeps runtime bounded;
+examples are capped and deadlines disabled (Spark latency >> hypothesis
+defaults).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from build_a_cloud_based_batch_etl_pipeline_spark.operators.joins import asof_join
+
+BASE = datetime(2024, 1, 1)
+
+# (key, minute-offset) event streams; small key space forces collisions,
+# small time space forces ties.
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=0, max_size=12
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sources=events_strategy, targets=events_strategy)
+def test_asof_join_matches_bruteforce(spark, sources, targets):
+    src_rows = [
+        (k, BASE + timedelta(minutes=m), float(i))
+        for i, (k, m) in enumerate(sources)
+    ]
+    tgt_rows = [
+        (k, BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(targets)
+    ]
+    src_df = spark.createDataFrame(
+        src_rows, "key: long, ts: timestamp, src_val: double"
+    ) if src_rows else spark.createDataFrame([], "key: long, ts: timestamp, src_val: double")
+    tgt_df = spark.createDataFrame(
+        tgt_rows, "key: long, ts: timestamp, tgt_id: long"
+    ) if tgt_rows else spark.createDataFrame([], "key: long, ts: timestamp, tgt_id: long")
+
+    out = asof_join(
+        tgt_df, src_df, key="key", time_col="ts",
+        value_col="src_val", out_col="asof_val", strict=True,
+    ).collect()
+
+    # brute force: latest strictly-earlier source per key. When several
+    # sources TIE on the winning ts, the window's intra-ts order is not
+    # contractual — any tied value is a correct answer.
+    def expected(k, ts):
+        cands = [(s_ts, v) for (sk, s_ts, v) in src_rows if sk == k and s_ts < ts]
+        if not cands:
+            return {None}
+        best_ts = max(c[0] for c in cands)
+        return {v for (s_ts, v) in cands if s_ts == best_ts}
+
+    assert len(out) == len(tgt_rows)
+    got = {r.tgt_id: r.asof_val for r in out}
+    for k, ts, tid in tgt_rows:
+        assert got[tid] in expected(k, ts), (k, ts, tid, got[tid], expected(k, ts))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sources=events_strategy, targets=events_strategy)
+def test_asof_join_nonstrict_includes_equal_ts(spark, sources, targets):
+    src_rows = [
+        (k, BASE + timedelta(minutes=m), float(i))
+        for i, (k, m) in enumerate(sources)
+    ]
+    tgt_rows = [
+        (k, BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(targets)
+    ]
+    src_df = spark.createDataFrame(
+        src_rows, "key: long, ts: timestamp, src_val: double"
+    ) if src_rows else spark.createDataFrame([], "key: long, ts: timestamp, src_val: double")
+    tgt_df = spark.createDataFrame(
+        tgt_rows, "key: long, ts: timestamp, tgt_id: long"
+    ) if tgt_rows else spark.createDataFrame([], "key: long, ts: timestamp, tgt_id: long")
+
+    out = asof_join(
+        tgt_df, src_df, key="key", time_col="ts",
+        value_col="src_val", out_col="asof_val", strict=False,
+    ).collect()
+
+    def expected(k, ts):
+        cands = [(s_ts, v) for (sk, s_ts, v) in src_rows if sk == k and s_ts <= ts]
+        if not cands:
+            return {None}
+        best_ts = max(c[0] for c in cands)
+        return {v for (s_ts, v) in cands if s_ts == best_ts}
+
+    got = {r.tgt_id: r.asof_val for r in out}
+    for k, ts, tid in tgt_rows:
+        assert got[tid] in expected(k, ts), (k, ts, tid)

@@ -133,3 +133,36 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         spark, windows_stream.dedup_within_watermark(stream), "dd", "append"
     )
     assert sorted(r.event_id for r in out.collect()) == [1, 2]
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static broadcast join resolves per micro-batch and enriches
+    every streamed row that has a matching dim key."""
+    d = tmp_path / "evdrop"
+    d.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 8, "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 99, "event_type": "view", "value": 3.0, "props": "{}"},
+    ]
+    with open(d / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "silver")], "user_id: long, tier: string"
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).json(str(d))
+    )
+    enriched = windows_stream.enrich_with_dim(stream, dim, "user_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM enriched_out").collect()}
+    assert got == {1: "gold", 2: "silver", 3: None}
