@@ -319,3 +319,60 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    fv AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+        FROM ev GROUP BY user_id
+    ),
+    fc AS (
+        SELECT e.user_id, min(e.ts) AS first_click
+        FROM ev e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click' AND e.ts > fv.first_view
+        GROUP BY e.user_id
+    ),
+    fp AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM ev e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(first_view) FROM fv) AS n_view,
+           (SELECT count(*) FROM fc)          AS n_view_click,
+           (SELECT count(*) FROM fp)          AS n_view_click_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view -> later click -> later
+    purchase): per stage, the count of users who completed it in order.
+    Three grouped aggregates chained by equi-joins — each stage's input
+    shrinks to the survivors of the previous one, and every join is on
+    user_id, so AQE reuses/broadcasts the small survivor sets. At 100 TB
+    the first aggregate is the only big shuffle."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv.filter(F.col("first_view").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    n_view = fv.agg(F.count("first_view").alias("n_view"))
+    n_click = fc.agg(F.count("*").alias("n_view_click"))
+    n_purch = fp.agg(F.count("*").alias("n_view_click_purchase"))
+    return n_view.crossJoin(n_click).crossJoin(n_purch)

@@ -1,0 +1,132 @@
+"""Dataset sampling & packing for training-data pipelines (north-star
+extensions over `documents`):
+
+- sample_hash_split   deterministic md5-bucket train/valid/test split (oracled)
+- pack_token_bins     sequential token-budget bin packing               (oracled)
+- sample_stratified   seeded per-stratum Bernoulli sampling           (rows-only)
+
+Scale notes: the hash split is a pure projection — reproducible on any
+cluster size, no RNG state, no shuffle; re-running on a grown corpus
+keeps every previously-assigned document in the same split (the property
+that makes eval sets stable across crawls). Bin packing is one window
+cumsum per source partition — one shuffle on the partition key. The
+Bernoulli sampler is seeded sampleBy: per-stratum fractions with no
+shuffle at all (filter-shaped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .util import t
+
+# md5-hex prefix thresholds: first byte < 0x0d -> ~5.1% valid,
+# < 0x1a -> next ~5.1% test, rest train.
+_VALID_LT = "0d"
+_TEST_LT = "1a"
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VALID_LT}'
+                    THEN 'valid'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TEST_LT}'
+                    THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split by md5 bucket of the document
+    id — the reproducible-split pattern for training pipelines (no RNG,
+    stable under corpus growth, identical on any engine). Emits per-split
+    doc counts + char mass."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(bucket < _VALID_LT, "valid")
+        .when(bucket < _TEST_LT, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+_BIN_CAPACITY = 8192  # tokens per training chunk
+
+
+@query(
+    "pack_token_bins",
+    oracle=f"""
+    WITH est AS (
+        SELECT doc_id, source,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, est_tokens,
+               CAST(floor(coalesce(sum(est_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_BIN_CAPACITY}.0) AS BIGINT) AS bin
+        FROM est
+    )
+    SELECT source, bin,
+           count(*)        AS n_docs,
+           sum(est_tokens) AS bin_tokens
+    FROM packed
+    GROUP BY source, bin
+    """,
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: assign documents (in stable doc_id order,
+    per source) to sequential ~8k-token training chunks via a window
+    cumsum — the deterministic packing step before writing training
+    shards. A document straddling a boundary opens the next bin
+    (sequential fill). One shuffle on source, linear per partition."""
+    docs = t(spark, sf_dir, "documents")
+    est = docs.select(
+        "doc_id", "source", F.ceil(F.col("n_chars") / 4.0).alias("est_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = est.select(
+        "source",
+        "est_tokens",
+        F.floor(
+            F.coalesce(F.sum("est_tokens").over(w), F.lit(0)) / float(_BIN_CAPACITY)
+        ).alias("bin"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("est_tokens").alias("bin_tokens")
+    )
+
+
+STRATA_FRACTIONS = {"en": 0.2, "fr": 0.5, "de": 0.5}
+
+
+@query("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified (per-language) Bernoulli sample via sampleBy —
+    rows-only: the sampling hash is Spark-internal, so no SQL oracle;
+    determinism + per-stratum rates are asserted in
+    tests/test_sampling.py. Unlisted strata default to fraction 0."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.sampleBy("lang", STRATA_FRACTIONS, seed=42).select(
+        "doc_id", "lang", "source"
+    )

@@ -66,6 +66,7 @@ def load_all() -> dict[str, QuerySpec]:
         udfs,
         reshape,
         tpch_extra,
+        sampling,
     )
 
     return REGISTRY

@@ -74,6 +74,7 @@ def test_wholestage_codegen_active(spark, sf_dir):
 #   sub-quadratic path is the LSH bucket equi-join (embed_ann_lsh).
 # - embed_ann_ivf: the nearest-centroid assignment broadcasts the tiny
 #   codebook (nlist rows) against every vector — O(N * nlist) by design.
+# - events_funnel: final assembly crossJoins three 1-row stage counts.
 INTENTIONAL_CROSS = {
     "join_cross",
     "q11_important_stock",
@@ -81,6 +82,7 @@ INTENTIONAL_CROSS = {
     "text_tfidf",
     "dedup_embedding_cosine",
     "embed_ann_ivf",
+    "events_funnel",
 }
 
 
