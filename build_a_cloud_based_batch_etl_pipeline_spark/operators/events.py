@@ -376,3 +376,45 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_click = fc.agg(F.count("*").alias("n_view_click"))
     n_purch = fp.agg(F.count("*").alias("n_view_click_purchase"))
     return n_view.crossJoin(n_click).crossJoin(n_purch)
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    cohort AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM ev GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM ev
+    )
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.active_day) AS day_offset,
+           count(DISTINCT a.user_id)                    AS n_active
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    WHERE date_diff('day', c.cohort_day, a.active_day) BETWEEN 0 AND 7
+    GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.active_day)
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on each
+    of their first 8 active days — the standard product-analytics
+    retention triangle. Two aggregates (cohort assignment, distinct
+    activity days) joined on user_id; both shuffles are on user_id so AQE
+    plans them into one exchange reuse; the final matrix is tiny."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day")
+    ).distinct()
+    joined = cohort.join(activity, "user_id").withColumn(
+        "day_offset", F.datediff("active_day", "cohort_day")
+    )
+    return (
+        joined.filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -130,3 +130,66 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("lang", STRATA_FRACTIONS, seed=42).select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "pipeline_training_prep",
+    oracle=f"""
+    WITH quality AS (
+        SELECT doc_id, text, n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS words,
+               len(list_distinct(string_split(text, ' ')))       AS uniq_words
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, text, n_chars FROM quality
+        WHERE words BETWEEN 20 AND 1000 AND uniq_words * 1.0 / words > 0.3
+    ),
+    canonical AS (
+        SELECT md5(text) AS h, min(doc_id) AS doc_id, min(n_chars) AS n_chars
+        FROM kept GROUP BY md5(text)
+    ),
+    split_assigned AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VALID_LT}'
+                    THEN 'valid'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TEST_LT}'
+                    THEN 'test'
+                    ELSE 'train' END AS split
+        FROM canonical
+    )
+    SELECT split,
+           count(*)                                   AS n_docs,
+           sum(CAST(ceil(n_chars / 4.0) AS BIGINT))   AS est_tokens
+    FROM split_assigned GROUP BY split
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline, end to end in one plan:
+    quality gate (word count + lexical diversity) -> exact dedup (keep
+    lowest doc_id per content hash) -> deterministic hash split ->
+    per-split document/token inventory. Each stage is the already-proven
+    operator; composing them stays a single Catalyst plan, so column
+    pruning drops `text` right after the hash is computed and the only
+    shuffles are the dedup groupBy and the final 3-group aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    )
+    uniq = F.size(F.array_distinct(F.split("text", " ")))
+    kept = docs.filter(words.between(20, 1000) & (uniq * 1.0 / words > 0.3))
+    canonical = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars")
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assigned = canonical.select(
+        "n_chars",
+        F.when(bucket < _VALID_LT, "valid")
+        .when(bucket < _TEST_LT, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_tokens"),
+    )
