@@ -256,3 +256,26 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.sum("l_extendedprice")).alias("total"),
         r4(F.avg("l_quantity")).alias("avg_qty"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*)                                AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (BigQuery STRING_AGG / LISTAGG): collect_list
+    -> array_sort -> concat_ws gives a deterministic ordered result —
+    collect_list alone is partition-order-dependent, which is exactly the
+    nondeterminism a distributed engine must pin down before comparing or
+    publishing such a column."""
+    nat = t(spark, sf_dir, "nation")
+    return nat.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count("*").alias("n"),
+    )
