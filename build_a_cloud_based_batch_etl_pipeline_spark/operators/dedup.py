@@ -349,3 +349,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def propagate_min_label(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 5
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (doc_id, label) x (doc_a, doc_b) -> converged (doc_id, label).
+
+    Each round every node takes the min of its own label and its
+    neighbors' labels (edges used in both directions); a round is one
+    equi-join + one groupBy-min — all shuffles on doc_id. max_iters
+    bounds the chain length handled exactly; duplicate clusters are
+    near-cliques (diameter 1-2), so the default converges with slack.
+    Iterative algorithms are the one place the driver loops — each
+    iteration is still a fully distributed plan, and `localCheckpoint`
+    truncates lineage so the plan does not grow superlinearly at scale.
+    """
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = nodes
+    for _ in range(max_iters):
+        neighbor = (
+            both.join(labels, both.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+@query("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment (rows-only; cluster/cover properties
+    asserted in tests/test_dedup.py): MinHash-LSH near-dup pairs become
+    edges; min-label propagation gives every document a canonical
+    cluster_id (the smallest doc_id in its component); singleton docs are
+    their own cluster. Output: (doc_id, cluster_id, cluster_size)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    edges = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = docs.select("doc_id", F.col("doc_id").alias("label"))
+    labels = propagate_min_label(nodes, edges)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+    )

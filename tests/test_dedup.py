@@ -56,3 +56,40 @@ def test_simhash_invariants(spark):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(fp[1], fp[3]) <= 16
     assert ham(fp[1], fp[4]) > 16
+
+
+def test_clusters_cover_near_dup_pairs(spark, sf_dir):
+    """Total cover (one cluster row per doc); every near-dup edge joins
+    one cluster; cluster_id is the component's smallest doc_id; sizes are
+    consistent with the edge-induced components."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+    REG = load_all()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in REG["dedup_clusters"].fn(spark, sf_dir).collect()}
+    assert len(out) == docs.count()  # total cover, one row per doc
+    edges = [(r.doc_a, r.doc_b)
+             for r in REG["dedup_minhash_pairs"].fn(spark, sf_dir).collect()]
+    assert edges, "fixture should contain near-duplicate pairs"
+    for a, b in edges:
+        assert out[a][0] == out[b][0], f"edge ({a},{b}) split across clusters"
+    # brute-force union-find over the same edges -> exact components
+    parent = {d: d for d in out}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, set] = {}
+    for d in out:
+        comp.setdefault(find(d), set()).add(d)
+    for root, members in comp.items():
+        expect_id = min(members)
+        for m in members:
+            assert out[m][0] == expect_id, (m, out[m][0], expect_id)
+            assert out[m][1] == len(members), (m, out[m][1], len(members))
