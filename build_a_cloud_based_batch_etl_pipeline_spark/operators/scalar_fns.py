@@ -232,3 +232,33 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vec_sum"),
         F.array_contains(F.array(F.col("label"), F.lit(0)), 3).alias("label_is_3"),
     )
+
+
+@query(
+    "fn_json_parse_serialize",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props))                               AS n_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT)          AS k_typed,
+           CAST(json_extract(json(props), '$.k') AS BIGINT)    AS k_reparsed,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR)  AS k_str
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def fn_json_parse_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parse -> typed struct -> serialize -> re-parse round-trip
+    (from_json / to_json — R2/R3 generalized): the parsed value survives
+    a serialize/re-parse cycle bit-identically. Key COUNT is compared
+    rather than serialized text, since JSON text formatting (spacing) is
+    engine-specific but the data model is not."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    parsed = F.from_json("props", "map<string,bigint>")
+    reparsed = F.from_json(F.to_json(parsed), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(parsed)).alias("n_keys"),
+        parsed.getItem("k").alias("k_typed"),
+        reparsed.getItem("k").alias("k_reparsed"),
+        parsed.getItem("k").cast("string").alias("k_str"),
+    )
