@@ -86,3 +86,22 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """Warehouse appends survive additive schema evolution: a new column
+    appears in later files; mergeSchema reads the union schema with nulls
+    backfilled for old files — the drift case the reference's fixed
+    Terraform DDL cannot absorb (its BigQuery insert rejects unknown
+    columns row by row)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id: long, title: string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 7.5)], "id: long, title: string, score: double"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "title", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 7.5}
