@@ -72,3 +72,37 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     watermark-bounded state are the other half; the fixture's single
     stream exercises the static case.)"""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events
+    of the same key that happened within [left.ts, left.ts + max_delay).
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, which is what lets Spark GC buffered state: a
+    buffered left row can be dropped once the right watermark passes
+    left.ts + max_delay, and vice versa. Without the time bound the state
+    store grows without limit — the property that separates a viable
+    100 TB streaming join from an OOM."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") < F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
+    ).select("l_key", "l_event_id", "r_event_id", "l_ts", "r_ts")

@@ -166,3 +166,41 @@ def test_stream_static_enrichment(spark, tmp_path):
     q.awaitTermination()
     got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM enriched_out").collect()}
     assert got == {1: "gold", 2: "silver", 3: None}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join pairs clicks with purchases of the
+    same user within the interval, drops pairs outside it."""
+    import datetime as dt
+
+    def drop(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir(exist_ok=True)
+        with open(d / "part-0.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    base = "2024-01-01T00:{m:02d}:00"
+    drop("clicks", [
+        {"event_id": 1, "ts": base.format(m=0), "user_id": 7},
+        {"event_id": 2, "ts": base.format(m=5), "user_id": 8},
+    ])
+    drop("purchases", [
+        {"event_id": 10, "ts": base.format(m=30), "user_id": 7},   # within 1h of click 1
+        {"event_id": 11, "ts": base.format(m=4), "user_id": 8},    # BEFORE click 2 -> excluded
+        {"event_id": 12, "ts": "2024-01-01T02:00:00", "user_id": 7},  # > 1h after -> excluded
+    ])
+    schema = "event_id long, ts timestamp, user_id long"
+    clicks = spark.readStream.schema(schema).json(str(tmp_path / "clicks"))
+    purchases = spark.readStream.schema(schema).json(str(tmp_path / "purchases"))
+    joined = windows_stream.join_streams_interval(clicks, purchases)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.l_event_id, r.r_event_id)
+           for r in spark.sql("SELECT * FROM ss_join_out").collect()}
+    assert got == {(1, 10)}
