@@ -200,3 +200,48 @@ def window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH nat_rev AS (
+        SELECT n_name, n_regionkey,
+               sum(s_acctbal) AS nation_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, n_regionkey
+    )
+    SELECT n_name,
+           round(nation_bal, 2) AS nation_bal,
+           round(nation_bal / sum(nation_bal) OVER (PARTITION BY n_regionkey), 4)
+               AS share_of_region,
+           round(nation_bal / sum(nation_bal) OVER (), 4)
+               AS share_of_total
+    FROM nat_rev
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total at two grains (ratio_to_report): each nation's
+    supplier balance as a share of its region and of the world — window
+    aggregates over a pre-reduced input, so the unpartitioned total
+    window runs over |nations| rows, not the fact table (the safe way to
+    use a global window at any scale)."""
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    nat_rev = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "n_regionkey")
+        .agg(F.sum("s_acctbal").alias("nation_bal"))
+    )
+    w_region = W.partitionBy("n_regionkey")
+    w_all = W.partitionBy()
+    return nat_rev.select(
+        "n_name",
+        F.round("nation_bal", 2).alias("nation_bal"),
+        F.round(F.col("nation_bal") / F.sum("nation_bal").over(w_region), 4).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("nation_bal") / F.sum("nation_bal").over(w_all), 4).alias(
+            "share_of_total"
+        ),
+    )
