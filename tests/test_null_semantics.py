@@ -1,0 +1,69 @@
+"""Null-handling semantics on inline data (the fixtures are null-free, so
+these engine behaviors would otherwise ship unasserted): null grouping
+keys, null join keys, null ordering, null-safe equality, and aggregate
+null-skipping — pinned to the ANSI semantics the DuckDB oracle assumes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "a", None), (4, None, 40.0), (5, "b", 50.0)],
+        "id: long, k: string, v: double",
+    )
+
+
+def test_groupby_groups_nulls_together(spark):
+    out = {r.k: (r.n, r.s) for r in
+           _df(spark).groupBy("k").agg(F.count("*").alias("n"),
+                                       F.sum("v").alias("s")).collect()}
+    assert out[None] == (2, 60.0)          # null keys form ONE group
+    assert out["a"] == (2, 10.0)           # sum skips null v
+
+
+def test_inner_join_drops_null_keys(spark):
+    left = _df(spark).select("id", "k")
+    right = spark.createDataFrame([("a", 1), (None, 2)], "k: string, r: long")
+    joined = left.join(right, "k").collect()
+    assert {r.id for r in joined} == {1, 3}  # null = null is not a match
+
+
+def test_null_safe_equality_matches_nulls(spark):
+    left = _df(spark).select("id", "k")
+    right = spark.createDataFrame([("a", 1), (None, 2)], "k: string, r: long")
+    joined = left.join(right, left.k.eqNullSafe(right.k)).collect()
+    assert {r.id for r in joined} == {1, 2, 3, 4}  # <=> matches null pairs
+
+
+def test_count_semantics_on_nulls(spark):
+    row = _df(spark).agg(
+        F.count("*").alias("all"),
+        F.count("v").alias("non_null"),
+        F.countDistinct("k").alias("distinct_k"),
+        F.avg("v").alias("avg_v"),
+    ).first()
+    assert row.all == 5
+    assert row.non_null == 4               # count(col) skips nulls
+    assert row.distinct_k == 2             # count(distinct) skips nulls
+    assert abs(row.avg_v - 30.0) < 1e-9    # avg over non-null only
+
+
+def test_order_by_null_placement(spark):
+    asc = [r.id for r in _df(spark).orderBy(F.col("v").asc_nulls_first()).collect()]
+    assert asc[0] == 3
+    desc = [r.id for r in _df(spark).orderBy(F.col("v").desc_nulls_last()).collect()]
+    assert desc[-1] == 3
+
+
+def test_window_ignorenulls_vs_respect(spark):
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    out = {r.id: (r.last_any, r.last_nn) for r in _df(spark).select(
+        "id",
+        F.last("v").over(w).alias("last_any"),
+        F.last("v", ignorenulls=True).over(w).alias("last_nn"),
+    ).collect()}
+    assert out[3] == (None, 20.0)          # respect-nulls sees the null, ignore skips
