@@ -35,6 +35,7 @@ import json
 import os
 import time
 import urllib.request
+import uuid
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +53,16 @@ def _default_fetcher(url: str) -> bytes:
     raise-for-status parity: urlopen raises on HTTP errors."""
     with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
         return resp.read()
+
+
+def _run_id(run_ts: float) -> str:
+    """Unique landing-run directory id: second-resolution timestamp (the
+    reference's data_%Y%m%d_%H%M%S naming, src/extract/main.py:36) PLUS a
+    random suffix — two extracts in the same wall-clock second must not
+    compute the same run= dir, or the second overwrite silently destroys
+    the first payload before it is ever loaded."""
+    stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime(run_ts))
+    return f"{stamp}_{uuid.uuid4().hex[:8]}"
 
 
 def extract_to_landing(
@@ -75,7 +86,7 @@ def extract_to_landing(
     # src/load/main.py:39-51) happens at extract time instead:
     rows = payload if isinstance(payload, list) else [payload]
     ingest_date = time.strftime("%Y-%m-%d", time.gmtime(run_ts))
-    run_id = time.strftime("%Y%m%d_%H%M%S", time.gmtime(run_ts))
+    run_id = _run_id(run_ts)
     out_dir = os.path.join(cfg.landing_uri, f"ingest_date={ingest_date}", f"run={run_id}")
     df = spark.createDataFrame(
         [tuple(r.get(f.name) for f in POSTS_RAW.fields) for r in rows],
@@ -101,7 +112,7 @@ def extract_many_to_landing(
     fetcher = fetcher or _default_fetcher
     run_ts = time.time() if run_ts is None else run_ts
     ingest_date = time.strftime("%Y-%m-%d", time.gmtime(run_ts))
-    run_id = time.strftime("%Y%m%d_%H%M%S", time.gmtime(run_ts))
+    run_id = _run_id(run_ts)
     out_dir = os.path.join(cfg.landing_uri, f"ingest_date={ingest_date}", f"run={run_id}")
 
     url_list = list(urls)
@@ -119,6 +130,42 @@ def extract_many_to_landing(
     )
     spark.createDataFrame(rdd, schema=POSTS_RAW).write.mode("overwrite").json(out_dir)
     return out_dir
+
+
+def append_idempotent(
+    spark: SparkSession, df: DataFrame, table_path: str, key: str = "id"
+) -> int:
+    """Append `df` to the warehouse table, skipping rows whose key is
+    already present. Returns the number of NEW rows appended.
+
+    Idempotency at scale: the warehouse key set is unbounded, so it is
+    never broadcast/shuffled. Instead (1) semi-join the warehouse against
+    the BROADCAST incoming batch -> the set of keys already present
+    (bounded by one batch), then (2) anti-join incoming against that
+    small set. Both joins broadcast only batch-sized data; the warehouse
+    side streams through a scan. Shared by the batch loader and the
+    streaming foreachBatch sink — for the streaming side this is also
+    what makes micro-batch REPLAY safe: a retried epoch's rows are
+    already in the table, so the re-append is a no-op (a blind append
+    after a checkpoint race would duplicate them).
+    """
+    incoming = df
+    if _table_exists(spark, table_path):
+        existing_keys = spark.read.parquet(table_path).select(key)
+        already_present = existing_keys.join(
+            F.broadcast(incoming.select(key).distinct()), key, "left_semi"
+        ).distinct()
+        incoming = incoming.join(F.broadcast(already_present), key, "left_anti")
+    # cache: count() + write() below would otherwise execute the whole
+    # read + both idempotency joins twice.
+    incoming = incoming.cache()
+    try:
+        n_new = incoming.count()
+        if n_new:
+            incoming.write.mode("append").parquet(table_path)
+    finally:
+        incoming.unpersist()
+    return n_new
 
 
 def load_landing_to_table(
@@ -142,25 +189,7 @@ def load_landing_to_table(
         .withColumn("processedAt", F.current_timestamp())
         .select(*[f.name for f in POSTS.fields])
     )
-
-    table_path = cfg.table_path()
-    if _table_exists(spark, table_path):
-        existing_keys = spark.read.parquet(table_path).select(key)
-        # Idempotency at scale: the warehouse key set is unbounded, so it is
-        # never broadcast/shuffled. Instead (1) semi-join the warehouse
-        # against the BROADCAST incoming batch -> the set of keys already
-        # present (bounded by one extraction run), then (2) anti-join
-        # incoming against that small set. Both joins broadcast only
-        # batch-sized data; the warehouse side streams through a scan.
-        already_present = existing_keys.join(
-            F.broadcast(incoming.select(key).distinct()), key, "left_semi"
-        ).distinct()
-        incoming = incoming.join(F.broadcast(already_present), key, "left_anti")
-
-    n_new = incoming.count()
-    if n_new:
-        incoming.write.mode("append").parquet(table_path)
-    return n_new
+    return append_idempotent(spark, incoming, cfg.table_path(), key)
 
 
 def read_table(spark: SparkSession, cfg: IngestConfig) -> DataFrame:

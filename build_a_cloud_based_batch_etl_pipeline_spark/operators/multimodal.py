@@ -77,14 +77,22 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "swap the fake branch for PIL Image.open when available"
             )
         payloads = pdf["payload"]
+        # len(b)==0 guards: an empty document yields an empty payload;
+        # b[0]/b[-1] would IndexError and kill the whole task.
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "byte_len": payloads.str.len().astype("int64"),
-                "width": payloads.map(lambda b: 1 + b[0] % 64).astype("int32"),
-                "height": payloads.map(lambda b: 1 + b[-1] % 64).astype("int32"),
+                "width": payloads.map(
+                    lambda b: 1 + b[0] % 64 if len(b) else 0
+                ).astype("int32"),
+                "height": payloads.map(
+                    lambda b: 1 + b[-1] % 64 if len(b) else 0
+                ).astype("int32"),
                 "format": payloads.map(
-                    lambda b: "fake/rgb" if len(b) % 2 == 0 else "fake/gray"
+                    lambda b: ("fake/rgb" if len(b) % 2 == 0 else "fake/gray")
+                    if len(b)
+                    else "fake/empty"
                 ),
             }
         )
@@ -208,6 +216,10 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         thumbs, means = [], []
         for buf in pdf["payload"]:
             b = bytes(buf)
+            if not b:  # empty payload: zero thumbnail, not a ZeroDivisionError
+                thumbs.append(bytes(n_out))
+                means.append(0.0)
+                continue
             sampled = bytes(b[(i * max(1, len(b) // n_out)) % len(b)] for i in range(n_out))
             thumbs.append(sampled)
             means.append(sum(sampled) / float(n_out))

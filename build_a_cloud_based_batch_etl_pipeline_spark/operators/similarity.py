@@ -48,6 +48,14 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def cosine(a: Column, b: Column) -> Column:
+    """Rounded (4dp) cosine similarity — the ONE definition shared by the
+    exact pair baseline and both ANN re-scorers, so a rounding or
+    zero-norm change can never silently diverge between the baseline and
+    the approximations it verifies."""
+    return F.round(dot(a, b) / (l2_norm(a) * l2_norm(b)), 4)
+
+
 @query(
     "embed_norms",
     oracle="""
@@ -244,13 +252,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a",
-        "id_b",
-        F.round(
-            dot(F.col("ea"), F.col("eb"))
-            / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
-            4,
-        ).alias("cosine"),
+        "id_a", "id_b", cosine(F.col("ea"), F.col("eb")).alias("cosine")
     )
     return scored.filter(F.col("cosine") >= 0.42)
 
@@ -334,13 +336,7 @@ def ann_lsh_topk(
         .distinct()
     )
     scored = cand.select(
-        "qid",
-        "nid",
-        F.round(
-            dot(F.col("ea"), F.col("eb"))
-            / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
-            4,
-        ).alias("cosine"),
+        "qid", "nid", cosine(F.col("ea"), F.col("eb")).alias("cosine")
     )
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
@@ -422,13 +418,7 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(ix, "bucket")
         .filter(F.col("qid") != F.col("nid"))
         .select(
-            "qid",
-            "nid",
-            F.round(
-                dot(F.col("ea"), F.col("eb"))
-                / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
-                4,
-            ).alias("cosine"),
+            "qid", "nid", cosine(F.col("ea"), F.col("eb")).alias("cosine")
         )
         .distinct()
     )

@@ -39,10 +39,16 @@ def incremental_load(
     """Process all new landing files into the warehouse table, exactly once,
     then stop (availableNow). Returns rows appended in this run.
 
-    Within-stream duplicate keys are dropped per micro-batch in
-    foreachBatch; re-running never re-reads a processed file (checkpoint),
-    which is the property the reference chain lacks.
+    Exactly-once is layered: the file-source checkpoint means a processed
+    file is never re-READ, and the table-level idempotent append
+    (ingest.append_idempotent — same code as the batch loader) means a
+    replayed micro-batch or a key split across batches/files is never
+    re-WRITTEN. A blind foreachBatch append would be only at-least-once:
+    a crash between the parquet commit and the checkpoint commit replays
+    the epoch on restart and would duplicate its rows.
     """
+    from ..ingest import append_idempotent
+
     reader = (
         spark.readStream.schema(POSTS_RAW)
         .option("recursiveFileLookup", "true")
@@ -61,10 +67,7 @@ def incremental_load(
             .withColumn("processedAt", F.current_timestamp())
             .select(*[f.name for f in POSTS.fields])
         )
-        n = out.count()
-        if n:
-            out.write.mode("append").parquet(table_path)
-        appended["n"] += n
+        appended["n"] += append_idempotent(spark, out, table_path, key="id")
 
     q = (
         stream.writeStream.foreachBatch(write_batch)

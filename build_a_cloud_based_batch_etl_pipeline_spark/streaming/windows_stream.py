@@ -63,15 +63,21 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> 
     )
 
 
-def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, on: str, hint_broadcast: bool = True
+) -> DataFrame:
     """Stream-static join: enrich each micro-batch with a (slowly
     changing) dimension table. The static side is re-resolved per
     micro-batch, so dimension updates are picked up without restarting
-    the stream; Spark plans it as a broadcast join when the dim is small
-    — no stream-side shuffle at all. (Stream-stream joins with
-    watermark-bounded state are the other half; the fixture's single
-    stream exercises the static case.)"""
-    return events.join(F.broadcast(dim), on, "left")
+    the stream.
+
+    hint_broadcast=True (default) forces the broadcast — right for the
+    common small-dim case and removes any stream-side shuffle. For a dim
+    too large to broadcast, pass False and let the planner pick from its
+    size estimate: a forced hint on a huge dim would ship the whole table
+    to every executor each micro-batch."""
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return events.join(d, on, "left")
 
 
 def join_streams_interval(
