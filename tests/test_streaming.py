@@ -204,3 +204,22 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = {(r.l_event_id, r.r_event_id)
            for r in spark.sql("SELECT * FROM ss_join_out").collect()}
     assert got == {(1, 10)}
+
+
+def test_incremental_stream_survives_checkpoint_loss(spark, tmp_path):
+    """Replay safety: if the checkpoint is lost (or an epoch is replayed
+    after a crash between parquet commit and checkpoint commit), re-read
+    files must NOT duplicate rows — the table-level idempotent append is
+    the second layer under the file-source log."""
+    import shutil
+
+    cfg = _cfg(tmp_path)
+    _drop_file(tmp_path, "r1", [
+        {"userId": 1, "id": 1, "title": "t1", "body": "b"},
+        {"userId": 1, "id": 2, "title": "t2", "body": "b"},
+    ])
+    assert ingest_stream.incremental_load(spark, cfg) == 2
+    # lose the checkpoint entirely -> every file is re-read from scratch
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    assert ingest_stream.incremental_load(spark, cfg) == 0
+    assert ingest.read_table(spark, cfg).count() == 2
