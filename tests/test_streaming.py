@@ -223,3 +223,36 @@ def test_incremental_stream_survives_checkpoint_loss(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "ckpt"))
     assert ingest_stream.incremental_load(spark, cfg) == 0
     assert ingest.read_table(spark, cfg).count() == 2
+
+
+def test_continuous_aggregate_maintenance(spark, tmp_path):
+    """The materialized per-user totals table accumulates correctly
+    across micro-batches and new file drops."""
+    evdir = tmp_path / "agg_events"
+    evdir.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def drop(name, rows):
+        with open(evdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    agg_path = str(tmp_path / "user_totals")
+    ckpt = str(tmp_path / "agg_ckpt")
+    drop("f1.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 7, "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 8, "value": 5.0},
+    ])
+    ingest_stream.maintain_running_aggregate(spark, str(evdir), agg_path, ckpt, schema)
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in spark.read.parquet(agg_path).collect()}
+    assert got == {7: (2, 3.0), 8: (1, 5.0)}
+    drop("f2.json", [
+        {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 7, "value": 10.0},
+        {"event_id": 5, "ts": "2024-01-01T01:01:00", "user_id": 9, "value": 0.5},
+    ])
+    ingest_stream.maintain_running_aggregate(spark, str(evdir), agg_path, ckpt, schema)
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in spark.read.parquet(agg_path).collect()}
+    assert got == {7: (3, 13.0), 8: (1, 5.0), 9: (1, 0.5)}
