@@ -63,10 +63,13 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         sv, dv = s[c], d[c]
         try:
             if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
-                eq = (
-                    sv.astype(float).fillna(1.2345e300)
-                    - dv.astype(float).fillna(1.2345e300)
-                ).abs() < 1e-9
+                # BIT-EXACT by default: the driver's value-hash has no
+                # tolerance, so the local gate must not either (all 113
+                # oracled queries pass exactly — the r2/r4 rounding
+                # discipline makes both engines emit identical doubles).
+                eq = sv.astype(float).fillna(1.2345e300).eq(
+                    dv.astype(float).fillna(1.2345e300)
+                )
             else:
                 eq = sv.fillna("\x00NULL") .eq(dv.fillna("\x00NULL")) if sv.dtype == object else sv.eq(dv) | (sv.isna() & dv.isna())
             if not bool(eq.all()):
