@@ -279,3 +279,29 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+           floor(l_extendedprice / 5000.0) * 5000.0        AS bin_lo,
+           count(*)                                        AS n,
+           round(avg(l_extendedprice), 4)                  AS bin_avg
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (5000-wide price bins): the binning is
+    a projection (floor division), so the histogram is ONE ordinary hash
+    aggregate — bins, not rows, cross the shuffle, and the shape is
+    identical at any scale factor."""
+    li = t(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice") / 5000.0)
+    return li.groupBy(
+        bin_col.alias("bin"), (bin_col * 5000.0).alias("bin_lo")
+    ).agg(
+        F.count("*").alias("n"),
+        r4(F.avg("l_extendedprice")).alias("bin_avg"),
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import r2, t
+from .util import r2, r4, t
 
 
 @query(
@@ -417,4 +417,55 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.filter(F.col("day_offset").between(0, 7))
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               lead(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    held AS (
+        SELECT user_id, value,
+               date_diff('second', ts, next_ts) AS held_s
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           round(sum(value * held_s) / sum(held_s), 4) AS twa_value,
+           sum(held_s)                                 AS observed_s
+    FROM held
+    GROUP BY user_id
+    HAVING sum(held_s) > 0
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each reading is weighted by how
+    long it was the latest value (lead(ts) - ts) — the correct average
+    for irregularly-sampled series, where the arithmetic mean
+    over-weights bursts. One window (lag composition) + one aggregate,
+    both partitioned on user_id."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    held = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).alias("held_s"),
+        )
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            r4(F.sum(F.col("value") * F.col("held_s")) / F.sum("held_s")).alias(
+                "twa_value"
+            ),
+            F.sum("held_s").alias("observed_s"),
+        )
+        .filter(F.col("observed_s") > 0)
     )
