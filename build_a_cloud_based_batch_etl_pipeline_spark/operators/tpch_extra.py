@@ -511,3 +511,36 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "basket_part_affinity",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order at least 3 times. The self-join fans out as C(k,2) per order
+    where k = lines per order (~4 here, bounded by order size, NOT by
+    table size), so the join output is a small constant factor of
+    lineitem at any scale; the distinct projection first keeps repeated
+    part-per-order rows from inflating pair counts."""
+    ps = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = ps.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = ps.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
