@@ -245,3 +245,32 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@query(
+    "window_median",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(c_acctbal, 2) AS bal,
+           round(median(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
+               AS segment_median,
+           round(c_acctbal - median(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
+               AS diff_from_median
+    FROM customer
+    WHERE c_custkey < 300
+    """,
+)
+def window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median as a window aggregate (each row vs its segment median) —
+    the robust-center analog of the avg-over-window pattern; partition
+    key cardinality grows with data, so partitions stay bounded."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    w = W.partitionBy("c_mktsegment")
+    med = F.median("c_acctbal").over(w)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.round(med, 4).alias("segment_median"),
+        F.round(F.col("c_acctbal") - med, 4).alias("diff_from_median"),
+    )
