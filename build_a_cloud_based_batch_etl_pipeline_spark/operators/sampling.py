@@ -193,3 +193,65 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_tokens"),
     )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH splits AS (
+        SELECT doc_id, text,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VALID_LT}' AS is_eval
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_eval,
+               w[CAST(i AS INT)]     || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+               w[CAST(i AS INT) + 2] || ' ' || w[CAST(i AS INT) + 3] || ' ' ||
+               w[CAST(i AS INT) + 4] AS g
+        FROM (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM splits),
+             UNNEST(range(1, len(w) - 3)) AS t(i)
+    ),
+    dg AS (SELECT DISTINCT doc_id, is_eval, g FROM grams)
+    SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+           count(*) AS shared_5grams
+    FROM dg tr JOIN dg ev ON tr.g = ev.g
+    WHERE NOT tr.is_eval AND ev.is_eval
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing >= 3 distinct
+    word-5-grams with any held-out (eval-split) document — the standard
+    n-gram-overlap contamination sweep run before training on a crawl.
+    The eval set is the deterministic hash split's 'valid' bucket, so the
+    check needs no side input.
+
+    Scale shape: distinct (doc, gram) on both sides, equi-join on the
+    gram — identical to the dedup shingle join, and like it the 100 TB
+    path pre-filters candidates with MinHash bands before the exact
+    overlap count; the eval side is tiny (the split fraction) and
+    broadcasts under AQE."""
+    docs = t(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < _VALID_LT
+    w = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(5)])
+    )
+    dg = (
+        docs.select(
+            "doc_id", is_eval.alias("is_eval"), F.explode(grams).alias("g")
+        )
+        .distinct()
+    )
+    train = dg.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    ev = dg.filter(F.col("is_eval")).select(F.col("doc_id").alias("eval_doc"), "g")
+    return (
+        train.join(ev, "g")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("shared_5grams"))
+        .filter(F.col("shared_5grams") >= 3)
+    )

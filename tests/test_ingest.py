@@ -112,3 +112,23 @@ def test_malformed_rows_do_not_poison_load(spark, tmp_path):
     ids = {r.id for r in table.collect()}
     assert 21 in ids
     assert n >= 1
+
+
+def test_purge_keys_removes_and_preserves(spark, tmp_path):
+    """Purge removes exactly the listed keys, preserves everything else,
+    and is a no-op (no rewrite) when no key matches."""
+    cfg = _cfg(tmp_path)
+    ingest.extract_to_landing(spark, cfg, fetcher=_fake_fetcher(POSTS_FIXTURE), run_ts=1700000000)
+    ingest.load_landing_to_table(spark, cfg)
+    before = {r.id for r in ingest.read_table(spark, cfg).collect()}
+    assert len(before) == 3
+
+    doomed = spark.createDataFrame([(min(before),)], "id: long")
+    removed = ingest.purge_keys(spark, cfg.table_path(), doomed)
+    assert removed == 1
+    after = {r.id for r in ingest.read_table(spark, cfg).collect()}
+    assert after == before - {min(before)}
+
+    none = spark.createDataFrame([(999999,)], "id: long")
+    assert ingest.purge_keys(spark, cfg.table_path(), none) == 0
+    assert {r.id for r in ingest.read_table(spark, cfg).collect()} == after
