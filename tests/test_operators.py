@@ -86,3 +86,29 @@ def test_window_on_single_row_partition(spark):
         F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("run"),
     ).collect()[0]
     assert row.rn == 1 and row.prev is None and row.run == 5.0
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL++ estimates must land within the documented ~5% rsd of exact
+    distinct counts (the rows-only check can't see values — this can)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey").alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) <= 0.05 * row.exact + 1
+
+
+def test_percentile_approx_accuracy(spark, sf_dir):
+    """Approximate medians stay within 2% (relative) of the exact
+    percentile at default accuracy."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) <= 0.02 * abs(row.exact)
