@@ -262,3 +262,42 @@ def fn_json_parse_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         reparsed.getItem("k").alias("k_reparsed"),
         parsed.getItem("k").cast("string").alias("k_str"),
     )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / NULLIF(l_quantity - l_quantity, 0.0), 4)
+               AS div_by_zero,
+           CAST(floor(l_extendedprice / NULLIF(l_quantity, 0.0)) AS BIGINT)
+               AS unit_price_floor,
+           TRY_CAST(l_returnflag AS INTEGER)                   AS bad_cast,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER)  AS good_cast
+    FROM lineitem
+    WHERE l_orderkey < 300
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic/casts under ANSI mode (Spark 4 default):
+    try_divide and try_cast return NULL where strict evaluation would
+    raise — the per-row fault isolation a 100 TB job needs so one bad
+    record cannot kill a stage (the reference's row-error behavior,
+    src/load/main.py:41-43, aborts the whole request instead)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")), 4
+        ).alias("div_by_zero"),
+        # floor-to-int, not round-to-4dp: a division result can sit within
+        # one ulp of a 4dp rounding boundary and the two engines' rounding
+        # implementations split (observed: 1731.47125) — integer floors
+        # have 1e4x fewer boundaries.
+        F.floor(F.try_divide("l_extendedprice", "l_quantity"))
+        .cast("bigint")
+        .alias("unit_price_floor"),
+        F.col("l_returnflag").try_cast("int").alias("bad_cast"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("good_cast"),
+    )

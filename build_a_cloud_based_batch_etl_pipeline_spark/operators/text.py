@@ -261,3 +261,41 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+@query(
+    "text_levenshtein_pairs",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM part a JOIN part b
+      ON a.p_type = b.p_type AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical part names (edit distance
+    <= 4) within the same (type, size) block. The blocking keys make the
+    join an equi-join — the quadratic levenshtein only runs inside small
+    blocks, the same blocking discipline as every near-dup operator here."""
+    part = t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "p_type",
+        "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "p_type",
+        "p_size",
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["p_type", "p_size"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(lev <= 4)
+        .select("part_a", "part_b", lev.alias("edit_distance"))
+    )
