@@ -305,3 +305,41 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         r4(F.avg("l_extendedprice")).alias("bin_avg"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT c_mktsegment, mode_bal, n_at_mode FROM (
+        SELECT c_mktsegment, bal_bucket AS mode_bal, n AS n_at_mode,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY n DESC, bal_bucket) AS rn
+        FROM (SELECT c_mktsegment,
+                     CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                     count(*) AS n
+              FROM customer GROUP BY 1, 2) counts
+    ) ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent balance bucket per segment) via
+    count + windowed argmax with a value tie-break — built-in mode()
+    breaks ties arbitrarily in BOTH engines, so a comparable pipeline
+    must pin the tie order itself. Two aggregations, both keyed."""
+    from pyspark.sql import Window as W
+
+    cust = t(spark, sf_dir, "customer")
+    counts = cust.groupBy(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_bucket"),
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), "bal_bucket")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("bal_bucket").alias("mode_bal"),
+            F.col("n").alias("n_at_mode"),
+        )
+    )

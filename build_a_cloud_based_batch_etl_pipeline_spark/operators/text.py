@@ -299,3 +299,55 @@ def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(lev <= 4)
         .select("part_a", "part_b", lev.alias("edit_distance"))
     )
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_URL_RE = "https?://[^\\s]+"
+_NUM_RE = "\\b[0-9]{6,}\\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))  AS n_emails,
+           len(regexp_extract_all(text, '{_URL_RE}'))    AS n_urls,
+           len(regexp_extract_all(text, '{_NUM_RE}'))    AS n_long_numbers,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+                  '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{_URL_RE}', '<URL>', 'g'),
+                  '{_NUM_RE}', '<NUM>', 'g'))             AS scrubbed_len,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                  '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{_URL_RE}', '<URL>', 'g'),
+                  '{_NUM_RE}', '<NUM>', 'g'))             AS scrubbed_fp
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, URLs, long digit runs ->
+    placeholder tokens) — the scrub pass a training corpus gets before
+    anything else. Pure regexp expressions, zero shuffles; the scrubbed
+    fingerprint lets a re-run verify nothing leaked back in. (The
+    synthetic fixture contains no real PII — matches are incidental —
+    but the operator contract is the deterministic scrub itself;
+    Spark's regexp_replace replaces all matches by default, equal to
+    DuckDB's 'g' flag.)"""
+    docs = t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _NUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_RE), 0)).alias("n_long_numbers"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )

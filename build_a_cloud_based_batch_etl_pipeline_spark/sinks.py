@@ -53,3 +53,30 @@ def write_bucketed_table(
         .sortBy(bucket_col)
         .saveAsTable(table_name)
     )
+
+
+def write_sharded(
+    df, path: str, target_rows_per_file: int, order_by: str | None = None
+) -> int:
+    """Write `df` as evenly-sized shards (~target_rows_per_file each) —
+    the file-sizing step before publishing training shards, where
+    downstream loaders want uniform files, not whatever task layout the
+    upstream job happened to have.
+
+    Computes the shard count from an exact count (one extra pass — at
+    shard-writing time the data is about to be fully written anyway),
+    then round-robin repartitions for even sizes; with `order_by`, uses a
+    range repartition instead so shards are also key-ordered (enables
+    shard-level pruning by the ordering key). Returns the shard count.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    n = df.count()
+    shards = max(1, -(-n // target_rows_per_file))  # ceil div
+    out = (
+        df.repartitionByRange(shards, order_by)
+        if order_by
+        else df.repartition(shards)
+    )
+    out.write.mode("overwrite").parquet(path)
+    return shards

@@ -105,3 +105,32 @@ def test_schema_evolution_on_append(spark, tmp_path):
     assert set(merged.columns) == {"id", "title", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows == {1: None, 2: None, 3: 7.5}
+
+
+def test_write_sharded_even_files(spark, sf_dir, tmp_path):
+    """Sharded writes produce the computed number of parquet files with
+    near-uniform row counts; range-sharding keeps shards key-ordered."""
+    import glob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    shards = sinks.write_sharded(docs, out, target_rows_per_file=100)
+    assert shards == -(-n // 100)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == shards
+    sizes = [spark.read.parquet(f).count() for f in files]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= max(10, n // shards // 2)
+
+    out2 = str(tmp_path / "shards_ranged")
+    sinks.write_sharded(docs, out2, target_rows_per_file=100, order_by="doc_id")
+    ranges = []
+    for f in glob.glob(out2 + "/part-*.parquet"):
+        r = spark.read.parquet(f).agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        ranges.append((r.lo, r.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # non-overlapping key ranges -> prunable shards
