@@ -68,6 +68,41 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Reference-workload parity: the reference's entire job is one
+    # 100-row HTTP->GCS->BigQuery batch per 6-hour tick (reference
+    # src/extract/main.py:20, terraform/cloud_scheduler.tf:4). Time the
+    # engine's end-to-end equivalent at 100x that batch size: extract ->
+    # JSON-lines landing -> idempotent warehouse load.
+    import json as _json
+    import shutil
+    import tempfile
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import ingest
+    from build_a_cloud_based_batch_etl_pipeline_spark.config import IngestConfig
+
+    n_posts = 10_000
+    payload = _json.dumps(
+        [
+            {"userId": i % 97, "id": i, "title": f"t{i}", "body": "x" * 80}
+            for i in range(n_posts)
+        ]
+    ).encode()
+    workdir = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        cfg = IngestConfig(
+            source_url="fake://posts",
+            landing_uri=f"{workdir}/landing",
+            warehouse_uri=f"{workdir}/warehouse",
+            checkpoint_uri=f"{workdir}/ckpt",
+        )
+        t0 = time.perf_counter()
+        ingest.extract_to_landing(spark, cfg, fetcher=lambda url: payload)
+        n_loaded = ingest.load_landing_to_table(spark, cfg)
+        timings["ingest_e2e_10k"] = round(time.perf_counter() - t0, 3)
+        assert n_loaded == n_posts
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
