@@ -469,3 +469,43 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("observed_s") > 0)
     )
+
+
+@query(
+    "events_week_over_week",
+    oracle="""
+    WITH weekly AS (
+        SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+               event_type,
+               round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT week, event_type, total,
+           round(lag(total) OVER (PARTITION BY event_type ORDER BY week), 2)
+               AS prev_total,
+           round((total - lag(total) OVER (PARTITION BY event_type ORDER BY week))
+                 / NULLIF(lag(total) OVER (PARTITION BY event_type ORDER BY week), 0)
+                 * 100.0, 2) AS pct_change
+    FROM weekly
+    """,
+)
+def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movers: weekly totals per event type with the
+    previous week's value and percent change — aggregate-then-window, so
+    the lag runs over |weeks|x|types| rows, never raw events. (Both
+    engines truncate weeks to Monday.)"""
+    ev = t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"), "event_type"
+    ).agg(r2(F.sum("value")).alias("total"))
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("total").over(w)
+    return weekly.select(
+        "week",
+        "event_type",
+        "total",
+        r2(prev).alias("prev_total"),
+        r2((F.col("total") - prev) / F.nullif(prev, F.lit(0.0)) * 100.0).alias(
+            "pct_change"
+        ),
+    )
