@@ -255,3 +255,36 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_5grams"))
         .filter(F.col("shared_5grams") >= 3)
     )
+
+
+_CAP_PER_GROUP = 50
+
+
+@query(
+    "sample_cap_per_group",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) ranked WHERE rn <= {_CAP_PER_GROUP}
+    """,
+)
+def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: cap each language at K
+    documents, chosen by rank over the md5 of the id — random-looking,
+    engine-independent, and stable across reruns and corpus growth for
+    the retained set's ordering (the rebalancing step that stops one
+    dominant language from swamping a multilingual corpus). One window
+    per stratum; strata grow with data, partitions stay bounded."""
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CAP_PER_GROUP)
+        .select("doc_id", "lang")
+    )
