@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import t
+from .util import seq1, t
 
 # MinHash parameters: 32 hashes = 16 bands x 2 rows. Banding theory: the
 # probability a pair with Jaccard s shares >=1 band is 1-(1-s^rows)^bands;
@@ -50,7 +50,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     w = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    idx = seq1(F.size(w) - (n - 1))  # empty (not [1,0]!) for short docs
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -173,7 +173,7 @@ def gram_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     w = F.split("text", " ")
     wh = F.transform(w, lambda x: F.xxhash64(x))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    idx = seq1(F.size(w) - (n - 1))  # empty (not [1,0]!) for short docs
     grams = F.transform(
         idx, lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(n)])
     )

@@ -20,12 +20,28 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import t
+from .util import seq1, t
 
 # md5-hex prefix thresholds: first byte < 0x0d -> ~5.1% valid,
 # < 0x1a -> next ~5.1% test, rest train.
 _VALID_LT = "0d"
 _TEST_LT = "1a"
+
+
+def _split_bucket(col: str = "doc_id"):
+    """First md5-hex byte of the key — THE bucket expression behind the
+    train/valid/test membership contract. Single definition so the
+    split, the training-prep pipeline, and the decontamination sweep can
+    never disagree about what 'eval' means."""
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+
+
+def _split_label(col: str = "doc_id"):
+    """Bucket -> split name ('valid' | 'test' | 'train')."""
+    b = _split_bucket(col)
+    return (
+        F.when(b < _VALID_LT, "valid").when(b < _TEST_LT, "test").otherwise("train")
+    )
 
 
 @query(
@@ -50,15 +66,7 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable under corpus growth, identical on any engine). Emits per-split
     doc counts + char mass."""
     docs = t(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    assigned = docs.select(
-        "doc_id",
-        "n_chars",
-        F.when(bucket < _VALID_LT, "valid")
-        .when(bucket < _TEST_LT, "test")
-        .otherwise("train")
-        .alias("split"),
-    )
+    assigned = docs.select("doc_id", "n_chars", _split_label().alias("split"))
     return assigned.groupBy("split").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
@@ -94,8 +102,11 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing: assign documents (in stable doc_id order,
     per source) to sequential ~8k-token training chunks via a window
     cumsum — the deterministic packing step before writing training
-    shards. A document straddling a boundary opens the next bin
-    (sequential fill). One shuffle on source, linear per partition."""
+    shards. Next-fit semantics: a doc is placed by the cumsum BEFORE it
+    (floor(prev_cumsum / capacity)), so a boundary-straddling doc stays
+    in the bin it started filling (that bin then exceeds capacity by up
+    to one doc), and a doc larger than the capacity can skip bin ids.
+    One shuffle on source, linear per partition."""
     docs = t(spark, sf_dir, "documents")
     est = docs.select(
         "doc_id", "source", F.ceil(F.col("n_chars") / 4.0).alias("est_tokens")
@@ -181,14 +192,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical = kept.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars")
     )
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    assigned = canonical.select(
-        "n_chars",
-        F.when(bucket < _VALID_LT, "valid")
-        .when(bucket < _TEST_LT, "test")
-        .otherwise("train")
-        .alias("split"),
-    )
+    assigned = canonical.select("n_chars", _split_label().alias("split"))
     return assigned.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_tokens"),
@@ -233,9 +237,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap count; the eval side is tiny (the split fraction) and
     broadcasts under AQE."""
     docs = t(spark, sf_dir, "documents")
-    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < _VALID_LT
+    is_eval = _split_bucket() < _VALID_LT
     w = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(0)))
+    idx = seq1(F.size(w) - 4)  # empty (not [1,0]!) for docs under 5 words
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(5)])
     )

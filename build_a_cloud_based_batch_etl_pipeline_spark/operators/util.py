@@ -39,3 +39,17 @@ def r4(c: Column | str) -> Column:
 def ts(lit: str) -> Column:
     """Timestamp literal (session TZ is pinned to UTC => bit-equal to DuckDB)."""
     return F.lit(lit).cast("timestamp")
+
+
+def seq1(stop: Column) -> Column:
+    """sequence(1, stop) that is EMPTY when stop < 1.
+
+    F.sequence(1, 0) silently yields a DESCENDING [1, 0] (Spark
+    auto-steps -1 when start > stop), so the classic
+    sequence(1, greatest(size - k, 0)) shingle/n-gram index pattern
+    evaluates element_at(arr, 0) on short inputs and throws under ANSI
+    mode. Every 1-based index sequence in the engine goes through this
+    guard instead."""
+    return F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )

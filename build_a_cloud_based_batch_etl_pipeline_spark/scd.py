@@ -38,11 +38,18 @@ def scd2_apply(
 
     Returns the new history: untouched rows + closed-out old versions +
     newly-opened versions. A latest-update equal to the open version on
-    every attribute is a no-op (no spurious version churn).
+    every attribute is a no-op (no spurious version churn), and so is a
+    STALE update (ts <= the open version's valid_from) — applying one
+    would close the open row with valid_to < valid_from, an inverted
+    interval that corrupts every as-of lookup after it.
     """
     out_cols = [key, *attrs, "valid_from", "valid_to"]
 
-    w = W.partitionBy(key).orderBy(F.col(ts_col).desc())
+    # ts desc, then the attribute tuple desc: two updates with the SAME
+    # timestamp must pick a deterministic winner, not partition order.
+    w = W.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), *[F.col(a).desc_nulls_last() for a in attrs]
+    )
     latest = (
         updates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -59,12 +66,16 @@ def scd2_apply(
     joined = open_rows.alias("h").join(
         F.broadcast(latest).alias("u"), key, "full_outer"
     )
-    # open rows with a real change -> close them at the update timestamp
+    # an update only counts if it is NEWER than the open version; stale
+    # (late-arriving, already-superseded) updates are no-ops.
+    fresh_update = F.col("u._upd_ts").isNotNull() & (
+        F.col("h.valid_from").isNull()
+        | (F.col("u._upd_ts") > F.col("h.valid_from"))
+    )
+    # open rows with a real, fresh change -> close at the update timestamp
     to_close = (
         joined.filter(
-            F.col("h.valid_from").isNotNull()
-            & F.col("u._upd_ts").isNotNull()
-            & attr_changed
+            F.col("h.valid_from").isNotNull() & fresh_update & attr_changed
         )
         .select(
             key,
@@ -76,8 +87,7 @@ def scd2_apply(
     # those same keys get a fresh open version from the update
     to_open = (
         joined.filter(
-            F.col("u._upd_ts").isNotNull()
-            & (F.col("h.valid_from").isNull() | attr_changed)
+            fresh_update & (F.col("h.valid_from").isNull() | attr_changed)
         )
         .select(
             key,
@@ -89,8 +99,7 @@ def scd2_apply(
     # open rows with no update, or whose latest update is a no-op, survive
     untouched_open = (
         joined.filter(
-            F.col("h.valid_from").isNotNull()
-            & (F.col("u._upd_ts").isNull() | ~attr_changed)
+            F.col("h.valid_from").isNotNull() & (~fresh_update | ~attr_changed)
         )
         .select(
             key,

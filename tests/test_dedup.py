@@ -93,3 +93,22 @@ def test_clusters_cover_near_dup_pairs(spark, sf_dir):
         for m in members:
             assert out[m][0] == expect_id, (m, out[m][0], expect_id)
             assert out[m][1] == len(members), (m, out[m][1], len(members))
+
+
+def test_shingle_helpers_handle_short_docs(spark):
+    """Docs shorter than the shingle width must yield ZERO shingles, not
+    a descending [1, 0] index sequence that element_at's past the array
+    (ANSI crash; regression for the sequence(1, 0) pitfall)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dedup import (
+        gram_hashes,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "a b c"), (5, "a b c d e")],
+        "doc_id: long, text: string",
+    )
+    by_doc = {r.doc_id: len(r.grams) for r in gram_hashes(docs).collect()}
+    assert by_doc == {1: 0, 2: 0, 3: 0, 4: 1, 5: 3}
+    sh = shingles(docs).collect()
+    assert {r.doc_id for r in sh} == {4, 5}

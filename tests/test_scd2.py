@@ -66,3 +66,21 @@ def test_closed_history_untouched(spark):
         (1, "current", T1, T2),
         (1, "newer", T2, None),
     ]
+
+
+def test_stale_update_is_noop(spark):
+    """A late-arriving update older than the open version must not close
+    it (that would create an inverted interval)."""
+    got = _apply(spark, [(1, "current", T2, None)], [(1, "stale", T0)])
+    assert got == [(1, "current", T2, None)]
+
+
+def test_equal_ts_updates_pick_deterministic_winner(spark):
+    """Two same-key updates with the SAME timestamp resolve by attribute
+    order, not partition order — rerunning gives the same history."""
+    runs = [
+        _apply(spark, [(1, "v0", T0, None)], [(1, "alpha", T2), (1, "zeta", T2)])
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert runs[0] == [(1, "v0", T0, T2), (1, "zeta", T2, None)]
