@@ -509,3 +509,47 @@ def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               avg(value)        OVER (PARTITION BY user_id) AS mu,
+               stddev_samp(value) OVER (PARTITION BY user_id) AS sigma,
+               count(*)          OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           round(value, 2)                    AS value,
+           round((value - mu) / sigma, 4)     AS zscore
+    FROM stats
+    WHERE n >= 10 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier detection: events whose value sits more than
+    2.5 sigma from that user's own mean (users with <10 events are
+    skipped — too few points for a stable baseline). Window aggregates
+    over the user partition, filter on the standardized score; the
+    monitoring shape that feeds alerting at any scale."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = W.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    n = F.count("*").over(w)
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.withColumn("zscore_raw", z)
+        .withColumn("n", n)
+        .withColumn("sigma", sigma)
+        .filter((F.col("n") >= 10) & (F.col("sigma") > 0) & (F.abs("zscore_raw") > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            r2("value").alias("value"),
+            r4("zscore_raw").alias("zscore"),
+        )
+    )
