@@ -192,8 +192,9 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big,
-           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                          THEN o_totalprice ELSE 0 END), 2)       AS urgent_total,
+           sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) / 100.0                            AS urgent_total,
            count(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
                       THEN 1 END)                                  AS n_recent
     FROM orders
@@ -201,17 +202,23 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation (filtered sums/counts via CASE)."""
+    """Conditional aggregation (filtered sums/counts via CASE).
+
+    `urgent_total` sums exact integer cents and divides once at the end:
+    a float sum's partition/order-dependent rounding can land on a
+    half-cent ulp boundary and flip the 2dp round between two runs of the
+    SAME query (observed: driver vs local session with different shuffle
+    partitioning). Long addition is associative, so the result is
+    identical under any partitioning in both engines.
+    """
     orders = t(spark, sf_dir, "orders")
+    urgent_cents = F.when(
+        F.col("o_orderpriority") == "1-URGENT",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     return orders.groupBy("o_orderstatus").agg(
         F.sum(F.when(F.col("o_totalprice") > 250000, 1).otherwise(0)).alias("n_big"),
-        r2(
-            F.sum(
-                F.when(
-                    F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
-                ).otherwise(0.0)
-            )
-        ).alias("urgent_total"),
+        (F.sum(urgent_cents) / 100.0).alias("urgent_total"),
         F.count(
             F.when(F.col("o_orderdate") >= ts("1999-01-01 00:00:00"), 1)
         ).alias("n_recent"),

@@ -2,11 +2,14 @@
 payloads with typed metadata, decoded/feature-extracted via Arrow-batched
 mapInPandas.
 
-The container has no image/audio libraries, so the actual decoder is a
-clearly-marked stub (deterministic fake derived from the payload bytes,
-or PIL behind an import-try). What is REAL and tested: the Spark-side
-plumbing — binary column construction, typed metadata schema, Arrow batch
-iteration, partition-parallel UDF execution, and the metadata queries.
+The decoder is real PIL (behind an import-try) when the library exists;
+payloads that are not decodable images — and every payload in this
+container, which has no imaging library — take a clearly-marked
+deterministic fake branch derived from the payload bytes, so fixture
+query output is identical in both environments. REAL and tested either
+way: the Spark-side plumbing — binary column construction, typed metadata
+schema, Arrow batch iteration, partition-parallel UDF execution, and the
+metadata queries.
 At 100 TB the binary payloads stay in executor-local Arrow batches; only
 extracted scalar metadata ever reaches a shuffle.
 """
@@ -61,39 +64,55 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _fake_decode(b: bytes) -> tuple[int, int, str]:
+    """Deterministic fake (width, height, format) from payload bytes —
+    the documented stand-in when no imaging library exists or the payload
+    is not a decodable image. len(b)==0 guards: an empty document yields
+    an empty payload; b[0]/b[-1] would IndexError and kill the task."""
+    if not len(b):
+        return 0, 0, "fake/empty"
+    return (
+        1 + b[0] % 64,
+        1 + b[-1] % 64,
+        "fake/rgb" if len(b) % 2 == 0 else "fake/gray",
+    )
+
+
+def _decode_one(b: bytes) -> tuple[int, int, str]:
+    """(width, height, format) for one payload: real PIL decode when the
+    library is present and the bytes are a decodable image; the
+    deterministic fake otherwise. The fixture payloads are document text
+    bytes (never a valid image), so fixture query output is identical
+    with or without PIL — only genuinely decodable payloads change."""
+    if _HAVE_PIL:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(b)) as img:
+                return int(img.width), int(img.height), f"image/{(img.format or 'raw').lower()}"
+        except Exception:
+            pass  # not an image — fall through to the deterministic fake
+    return _fake_decode(b)
+
+
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas decoder: binary payload -> (width, height, format).
 
-    STUB: without an imaging library, dimensions are a deterministic fake
-    derived from the payload bytes (first/second byte + length) so tests
-    have stable expectations. With PIL present this would be
-    Image.open(io.BytesIO(buf)).size — the Arrow batch shape, schema and
+    With PIL present each payload is really decoded
+    (Image.open(io.BytesIO(buf))); without it — this container — the
+    dimensions are a deterministic fake derived from the payload bytes so
+    tests have stable expectations. The Arrow batch shape, schema and
     partition parallelism are identical either way.
     """
     for pdf in batches:
-        if _HAVE_PIL:
-            raise NotImplementedError(
-                "real image decode intentionally not wired in this container; "
-                "swap the fake branch for PIL Image.open when available"
-            )
-        payloads = pdf["payload"]
-        # len(b)==0 guards: an empty document yields an empty payload;
-        # b[0]/b[-1] would IndexError and kill the whole task.
+        decoded = [_decode_one(bytes(b)) for b in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "byte_len": payloads.str.len().astype("int64"),
-                "width": payloads.map(
-                    lambda b: 1 + b[0] % 64 if len(b) else 0
-                ).astype("int32"),
-                "height": payloads.map(
-                    lambda b: 1 + b[-1] % 64 if len(b) else 0
-                ).astype("int32"),
-                "format": payloads.map(
-                    lambda b: ("fake/rgb" if len(b) % 2 == 0 else "fake/gray")
-                    if len(b)
-                    else "fake/empty"
-                ),
+                "byte_len": pdf["payload"].str.len().astype("int64"),
+                "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                "format": [d[2] for d in decoded],
             }
         )
 
@@ -200,22 +219,34 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas resize + feature-extract: payload -> fixed 8x8
     "thumbnail" bytes + mean-byte feature.
 
-    STUB: without an imaging library the thumbnail is a deterministic
-    stride-sample of the payload bytes (cycled to fill 64 bytes); with
-    PIL this would be Image.open(...).resize((8, 8)).tobytes(). The Arrow
-    batch shape, binary-in/binary-out schema, and partition parallelism
-    are identical either way.
+    With PIL present, decodable payloads are really resized
+    (Image.open -> grayscale -> resize((8, 8)).tobytes()); payloads that
+    are not images (all fixture payloads — document text bytes) and the
+    no-PIL container fall back to a deterministic stride-sample of the
+    payload bytes (cycled to fill 64 bytes). The Arrow batch shape,
+    binary-in/binary-out schema, and partition parallelism are identical
+    either way.
     """
     n_out = _THUMB_SIDE * _THUMB_SIDE
     for pdf in batches:
-        if _HAVE_PIL:
-            raise NotImplementedError(
-                "real image resize intentionally not wired in this container; "
-                "swap the fake branch for PIL resize when available"
-            )
         thumbs, means = [], []
         for buf in pdf["payload"]:
             b = bytes(buf)
+            if _HAVE_PIL and b:
+                import io
+
+                try:
+                    with Image.open(io.BytesIO(b)) as img:
+                        sampled = (
+                            img.convert("L")
+                            .resize((_THUMB_SIDE, _THUMB_SIDE))
+                            .tobytes()
+                        )
+                    thumbs.append(sampled)
+                    means.append(sum(sampled) / float(n_out))
+                    continue
+                except Exception:
+                    pass  # not an image — deterministic fake below
             if not b:  # empty payload: zero thumbnail, not a ZeroDivisionError
                 thumbs.append(bytes(n_out))
                 means.append(0.0)

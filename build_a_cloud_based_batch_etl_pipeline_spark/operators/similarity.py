@@ -2,9 +2,10 @@
 array<float> x 64 dims).
 
 - embed_norms             per-vector L1/L2 norms                   (oracled)
-- embed_cosine_topk       exact brute-force top-k neighbors        (oracled)
+- embed_cosine_topk       exact brute-force top-k, guarded index   (oracled)
 - embed_centroids         per-label centroid, long format          (oracled)
-- dedup_embedding_cosine  exact near-dup pairs by cosine           (oracled)
+- dedup_embedding_cosine  exact near-dup pairs, block equi-join    (oracled)
+- dedup_embedding_lsh     LSH-candidate near-dup pairs             (rows-only)
 - embed_ann_lsh           random-hyperplane LSH approximate top-k  (rows-only)
 - embed_ann_ivf           IVF centroid-bucketed approximate top-k  (rows-only)
 
@@ -28,6 +29,11 @@ from ..queries import query
 from .util import t
 
 _DIM = 64
+
+# Hard cap on the brute-force index side that embed_cosine_topk may
+# collect-and-broadcast: 100k x 64 float64 ~= 51 MiB. Above this the
+# operator refuses and points at the ANN paths.
+_MAX_INDEX_ROWS = 100_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -134,8 +140,19 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float64 matrix; each Arrow batch of queries is then scored with ONE
     # BLAS matmul instead of a 64-element expression fold per pair (~50x
     # faster). Brute force is inherently O(N*M*d), so the index side must
-    # be the bounded one; for unbounded corpora the scale path is LSH/IVF
-    # bucketing (embed_ann_lsh) with identical plumbing.
+    # be the bounded one — enforced by an explicit row-count guard so an
+    # unbounded corpus fails fast instead of OOMing the driver; for
+    # unbounded corpora the scale path is LSH/IVF bucketing
+    # (embed_ann_lsh / embed_ann_ivf) with identical plumbing.
+    n_index = emb.count()
+    if n_index > _MAX_INDEX_ROWS:
+        raise ValueError(
+            f"embed_cosine_topk is the exact bounded-index baseline: index "
+            f"side has {n_index} rows > limit {_MAX_INDEX_ROWS} "
+            f"(~{_MAX_INDEX_ROWS * _DIM * 8 // 2**20} MiB broadcast). Use "
+            f"the sub-quadratic ANN operators embed_ann_lsh / embed_ann_ivf "
+            f"for unbounded corpora."
+        )
     index_rows = emb.collect()
     ids = np.array([r.vec_id for r in index_rows], dtype=np.int64)
     mat = np.array([r.embedding for r in index_rows], dtype=np.float64)
@@ -235,24 +252,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     id_a < id_b) — the semantic-dedup member of the dedup family
     (exact/minhash/simhash/ngram-jaccard cover the lexical side).
 
-    Exact all-pairs here is the oracle-checkable baseline; the filter sits
-    on the *rounded* cosine so both engines make identical boundary
-    decisions. At corpus scale the identical output is produced
-    sub-quadratically by LSH-bucketing candidates first (embed_ann_lsh's
-    bucket join) and exact-rescoring only in-bucket pairs; planted
-    near-dup pairs have cosine >> the hyperplane collision threshold, so
-    recall is governed by bits/tables exactly as for search.
+    EXACT all-unordered-pairs comparison expressed as a *triangle block
+    equi-join* instead of a `id_a < id_b` theta join: vectors land in
+    B = 8 blocks by vec_id; the lo-role side replicates each vector to
+    the (blk, j >= blk) pair-keys, the hi-role side to (i <= blk, blk);
+    joining on the single int pair-key yields every unordered pair
+    exactly once (same-block pairs de-duped by id order). The plan is a
+    plain shuffled equi-join over B(B+1)/2 = 36 evenly-sized keys — no
+    cartesian/BNLJ, ~(B+1)/2 = 4.5x replication through one shuffle,
+    bounded per-task compare count, parallelism tunable via B. The
+    comparison count is still inherently O(N^2) (an exact low-threshold
+    similarity join cannot prune without false negatives); at corpus
+    scale with a *near-dup* threshold the sub-quadratic operator is
+    dedup_embedding_lsh below, which bucket-generates candidates and
+    exact-rescores only those.
+
+    The filter sits on the *rounded* cosine so both engines make
+    identical boundary decisions.
     """
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    B = 8
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("blk", F.pmod("vec_id", F.lit(B)).cast("int"))
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    lo = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("blk").alias("blk_a"),
+        F.explode(
+            F.transform(
+                F.sequence(F.col("blk"), F.lit(B - 1)),
+                lambda j: F.col("blk") * B + j,
+            )
+        ).alias("pk"),
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    hi = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("blk").alias("blk_b"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: i * B + F.col("blk"),
+            )
+        ).alias("pk"),
+    )
+    pairs = lo.join(hi, "pk").filter(
+        (F.col("blk_a") < F.col("blk_b"))
+        | ((F.col("blk_a") == F.col("blk_b")) & (F.col("ida") < F.col("idb")))
+    )
     scored = pairs.select(
-        "id_a", "id_b", cosine(F.col("ea"), F.col("eb")).alias("cosine")
+        F.least("ida", "idb").alias("id_a"),
+        F.greatest("ida", "idb").alias("id_b"),
+        cosine(F.col("ea"), F.col("eb")).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= 0.42)
 
@@ -282,19 +335,9 @@ def _plane(table: int, bit: int) -> list[float]:
     return vals
 
 
-def ann_lsh_topk(
-    emb: DataFrame,
-    bits: int = _LSH_BITS,
-    tables: int = _LSH_TABLES,
-    k: int = 5,
-) -> DataFrame:
-    """Core LSH ANN: (vec_id, embedding) -> top-k (qid, nid, cosine).
-
-    Each vector gets a `bits`-bit sign signature per table; candidates
-    share a (table, bucket); exact cosine re-scores candidates only.
-    Bucket fan-out replaces the N^2 cross join of embed_cosine_topk.
-    """
-    from pyspark.sql import Window as W
+def _lsh_keyed(emb: DataFrame, bits: int, tables: int) -> DataFrame:
+    """(vec_id, embedding, tbl, bkt): each vector exploded to its
+    `bits`-bit hyperplane sign-bucket in each of `tables` tables."""
 
     def bucket(table: int) -> Column:
         bts = [
@@ -310,7 +353,7 @@ def ann_lsh_topk(
         ]
         return sum(bts[1:], start=bts[0])
 
-    keyed = emb.select(
+    return emb.select(
         "vec_id",
         "embedding",
         F.explode(
@@ -323,10 +366,25 @@ def ann_lsh_topk(
         ).alias("k"),
     ).select("vec_id", "embedding", "k.tbl", "k.bkt")
 
-    cand = (
+
+def lsh_candidate_pairs(
+    emb: DataFrame, bits: int, tables: int, directed: bool = True
+) -> DataFrame:
+    """LSH candidate generation shared by ANN search and semantic dedup:
+    pairs sharing a (table, bucket), deduped across tables. Directed
+    (qid, nid) both ways for top-k search; undirected qid < nid for
+    pair dedup. An equi-join on the bucket key — fan-out tracks bucket
+    occupancy, never N^2."""
+    keyed = _lsh_keyed(emb, bits, tables)
+    cond = (
+        F.col("a.vec_id") != F.col("b.vec_id")
+        if directed
+        else F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    return (
         keyed.alias("a")
         .join(keyed.alias("b"), ["tbl", "bkt"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(cond)
         .select(
             F.col("a.vec_id").alias("qid"),
             F.col("b.vec_id").alias("nid"),
@@ -335,6 +393,23 @@ def ann_lsh_topk(
         )
         .distinct()
     )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    bits: int = _LSH_BITS,
+    tables: int = _LSH_TABLES,
+    k: int = 5,
+) -> DataFrame:
+    """Core LSH ANN: (vec_id, embedding) -> top-k (qid, nid, cosine).
+
+    Each vector gets a `bits`-bit sign signature per table; candidates
+    share a (table, bucket); exact cosine re-scores candidates only.
+    Bucket fan-out replaces the N^2 cross join of embed_cosine_topk.
+    """
+    from pyspark.sql import Window as W
+
+    cand = lsh_candidate_pairs(emb, bits, tables, directed=True)
     scored = cand.select(
         "qid", "nid", cosine(F.col("ea"), F.col("eb")).alias("cosine")
     )
@@ -354,6 +429,30 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with near-dup-regime parameters)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ann_lsh_topk(emb)
+
+
+@query("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic semantic dedup: LSH bucket candidates + exact cosine
+    rescore at the same 0.42 threshold as dedup_embedding_cosine
+    (rows-only; tests assert the output is a SUBSET of the exact pairs —
+    the rescore step means zero false positives — and pin the
+    deterministic fixture recall).
+
+    This is the 100 TB path for the semantic-dedup family: candidate
+    volume tracks bucket occupancy (equi-join on (table, bucket)), never
+    N^2, and recall is tuned via bits/tables for the target similarity
+    regime — true near-duplicates (cosine >= ~0.9) collide with far
+    fewer tables than this fixture's moderate-cosine (<= ~0.51) pairs.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = lsh_candidate_pairs(emb, _LSH_BITS, _LSH_TABLES, directed=False)
+    scored = cand.select(
+        F.col("qid").alias("id_a"),
+        F.col("nid").alias("id_b"),
+        cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= 0.42)
 
 
 _IVF_NPROBE = 3

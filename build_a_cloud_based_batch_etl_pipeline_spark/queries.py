@@ -48,25 +48,63 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 
+# Names the driver's correctness gate has already verified green in a past
+# round (CORRECTNESS_r01.json: 47 hash-green + 2 rows-only recorded; the one
+# red row, agg_conditional, is deliberately NOT here so its fix gets
+# re-checked). The driver only compares the FIRST 50 registry entries per
+# round, so load_all() orders never-driver-checked queries first and rotates
+# already-verified ones to the back — each round extends driver coverage to a
+# fresh 50 until every query has a CORRECTNESS row.
+_DRIVER_VERIFIED = frozenset(
+    {
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "q6_forecast_revenue", "q10_returned_items", "filter_predicates",
+        "proj_computed", "orderby_limit", "orderby_nulls", "agg_basic_stats",
+        "agg_count_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
+        "agg_grouping_sets", "agg_stats", "agg_percentiles",
+        "agg_percentile_approx", "agg_arg_extreme", "agg_global",
+        "agg_string_agg", "agg_value_histogram", "agg_mode_deterministic",
+        "window_ranking", "window_lag_lead", "window_running",
+        "window_range_frame", "topk_per_group", "window_cume",
+        "window_ratio_to_report", "window_median", "join_inner",
+        "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
+        "join_anti", "join_range_band", "join_asof", "join_broadcast_dims",
+        "join_cross", "join_skew_salted", "setop_union_all",
+        "setop_union_distinct", "setop_intersect", "setop_except",
+        "setop_distinct", "fn_string", "fn_datetime",
+    }
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every operator module (side effect: registry population)."""
+    """Import every operator module (side effect: registry population).
+
+    Returned dict order = driver check order: the fixed agg_conditional
+    first (red in r1), then never-driver-checked queries grouped by module
+    priority (LLM-pipeline surface first), then queries the driver already
+    verified green. Within a module, decorator (source) order is kept.
+    """
+    # Import order here is the intra-round priority for the driver's
+    # first-50 correctness window.
     from .operators import (  # noqa: F401
-        relational,
         aggregates,
-        windows,
-        joins,
-        setops,
-        scalar_fns,
-        events,
         dedup,
         similarity,
         text,
         multimodal,
-        subqueries,
-        udfs,
-        reshape,
-        tpch_extra,
         sampling,
+        udfs,
+        scalar_fns,
+        events,
+        reshape,
+        subqueries,
+        tpch_extra,
+        relational,
+        windows,
+        joins,
+        setops,
     )
 
-    return REGISTRY
+    front = [n for n in REGISTRY if n not in _DRIVER_VERIFIED]
+    back = [n for n in REGISTRY if n in _DRIVER_VERIFIED]
+    return {n: REGISTRY[n] for n in (*front, *back)}

@@ -3,6 +3,9 @@ mapInPandas decode shape, metadata consistency."""
 
 from __future__ import annotations
 
+import base64
+
+import pytest
 from pyspark.sql import functions as F
 
 from build_a_cloud_based_batch_etl_pipeline_spark.operators import multimodal
@@ -49,6 +52,40 @@ def test_resize_stub_shape_and_determinism(spark, sf_dir):
         assert (w, h) == (8, 8)
         assert len(thumb) == 64  # fixed thumbnail payload
         assert 0.0 <= mean <= 255.0
+
+
+# 1x1 transparent PNG (hand-built, public-domain bytes) for exercising the
+# real-decode branch whenever an imaging library is present.
+_PNG_1X1 = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+    "AAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+
+
+def test_decode_one_fake_branch_for_non_image_bytes():
+    """Non-image payloads always take the deterministic fake, with or
+    without PIL — fixture query output is environment-independent."""
+    w, h, fmt = multimodal._decode_one(b"plain document text")
+    assert (w, h, fmt) == multimodal._fake_decode(b"plain document text")
+    assert fmt.startswith("fake/")
+    assert multimodal._decode_one(b"") == (0, 0, "fake/empty")
+
+
+@pytest.mark.skipif(not multimodal._HAVE_PIL, reason="no imaging library in container")
+def test_decode_one_real_branch_with_pil():
+    """With PIL present a real PNG decodes to its true dimensions."""
+    assert multimodal._decode_one(_PNG_1X1) == (1, 1, "image/png")
+
+
+@pytest.mark.skipif(not multimodal._HAVE_PIL, reason="no imaging library in container")
+def test_resize_real_branch_with_pil():
+    """With PIL present a real PNG resizes to a 64-byte 8x8 grayscale."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [_PNG_1X1]})
+    out = next(multimodal.resize_batch(iter([pdf])))
+    assert len(bytes(out["thumb"].iloc[0])) == 64
+    assert 0.0 <= out["mean_byte"].iloc[0] <= 255.0
 
 
 def test_frame_sample_counts(spark, sf_dir):

@@ -70,8 +70,6 @@ def test_wholestage_codegen_active(spark, sf_dir):
 # - q11_important_stock, q15_top_supplier, text_tfidf: 1-row global
 #   aggregate joined back via broadcast crossJoin (the scalar-threshold
 #   pattern — O(1) broadcast, strictly better than a driver collect).
-# - dedup_embedding_cosine: exact all-pairs similarity baseline; the
-#   sub-quadratic path is the LSH bucket equi-join (embed_ann_lsh).
 # - embed_ann_ivf: the nearest-centroid assignment broadcasts the tiny
 #   codebook (nlist rows) against every vector — O(N * nlist) by design.
 # - events_funnel: final assembly crossJoins three 1-row stage counts.
@@ -80,7 +78,6 @@ INTENTIONAL_CROSS = {
     "q11_important_stock",
     "q15_top_supplier",
     "text_tfidf",
-    "dedup_embedding_cosine",
     "embed_ann_ivf",
     "events_funnel",
 }

@@ -59,6 +59,38 @@ def test_ann_output_shape(spark, sf_dir, ann):
     assert max(per_q.values()) <= 5
 
 
+def test_dedup_embedding_lsh_subset_and_recall(spark, sf_dir):
+    """The LSH-candidate semantic dedup must emit a strict SUBSET of the
+    exact pair set (exact rescore => zero false positives) at a
+    deterministic fixture recall (seeded hyperplanes, fixed data)."""
+    exact_pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    lsh_pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in REGISTRY["dedup_embedding_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert set(lsh_pairs) <= set(exact_pairs), "false positive pairs emitted"
+    for k, v in lsh_pairs.items():
+        assert abs(v - exact_pairs[k]) < 1e-9
+    recall = len(lsh_pairs) / len(exact_pairs)
+    # measured 0.59 at sf0.001 / 0.71 (24/34) at sf0.01 with the (4, 8)
+    # moderate-cosine defaults; deterministic, so a drop means the
+    # operator changed
+    assert recall >= 0.55, f"dedup_embedding_lsh recall {recall:.2f}"
+
+
+def test_embed_cosine_topk_index_guard(spark, monkeypatch):
+    """The brute-force baseline must refuse an index above the broadcast
+    cap instead of collecting it to the driver."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_MAX_INDEX_ROWS", 10)
+    with pytest.raises(ValueError, match="embed_ann_lsh"):
+        REGISTRY["embed_cosine_topk"].fn(spark, "/root/testdata/sf0.01")
+
+
 def test_lsh_finds_planted_near_duplicates(spark):
     """Near-dup regime: 40 well-separated base vectors + a tiny-jitter
     copy of each. With 12x2 signatures (sparse buckets) LSH must emit

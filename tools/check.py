@@ -88,12 +88,31 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="driver-like untuned session (only UTC pinned, 200 shuffle "
+        "partitions, no AQE conf) — catches partition-order float flips "
+        "that the tuned get_spark() session hides",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
-    from build_a_cloud_based_batch_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark("check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-vanilla")
+            .master("local[32]")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from build_a_cloud_based_batch_etl_pipeline_spark.session import get_spark
+
+        spark = get_spark("check")
     qs, oracles = e.queries(), e.oracle_sql()
     names = args.names or list(qs)
     con = duck_con(args.sf)
