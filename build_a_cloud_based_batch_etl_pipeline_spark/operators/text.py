@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import r4, t
+from .util import r4, seq1, t
 
 # Deterministic stopword lists for the language-ID heuristic.
 _LANG_STOPWORDS = {
@@ -298,6 +298,140 @@ def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_a") < F.col("part_b"))
         .filter(lev <= 4)
         .select("part_a", "part_b", lev.alias("edit_distance"))
+    )
+
+
+@query(
+    "text_gopher_quality",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               length(text)                                      AS chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+               len(regexp_extract_all(text, '[^a-z0-9 ]'))       AS n_symbols
+        FROM documents
+    )
+    SELECT doc_id, n_words,
+           round((chars - n_words + 1) * 1.0 / n_words, 4) AS mean_word_len,
+           round(alpha_words * 1.0 / n_words, 4)           AS alpha_word_frac,
+           round(n_symbols * 1.0 / n_words, 4)             AS symbol_ratio,
+           n_words BETWEEN 50 AND 100000
+             AND round((chars - n_words + 1) * 1.0 / n_words, 4)
+                 BETWEEN 3.0 AND 10.0
+             AND round(alpha_words * 1.0 / n_words, 4) >= 0.8
+             AND round(n_symbols * 1.0 / n_words, 4) <= 0.1 AS passes_gopher
+    FROM f
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public): word
+    count bounds, mean word length in [3, 10], fraction of words with an
+    alphabetic character >= 0.8, symbol-to-word ratio <= 0.1 — the
+    standard cheap crawl pre-filter. Pure codegen'd projections, zero
+    shuffles; every gate compares on the ROUNDED value so both engines
+    make identical boundary decisions. (mean word length counts
+    non-space chars: chars - (n_words - 1) separators, over n_words.)"""
+    docs = t(spark, sf_dir, "documents")
+    chars = F.length("text")
+    n_words = _word_count_expr("text")
+    alpha_words = F.size(
+        F.filter(F.split("text", " "), lambda w: w.rlike("[a-z]"))
+    )
+    n_symbols = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0))
+    mean_wl = r4((chars - n_words + 1) * 1.0 / n_words)
+    alpha_frac = r4(alpha_words * 1.0 / n_words)
+    sym_ratio = r4(n_symbols * 1.0 / n_words)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        sym_ratio.alias("symbol_ratio"),
+        (
+            n_words.between(50, 100000)
+            & mean_wl.between(3.0, 10.0)
+            & (alpha_frac >= 0.8)
+            & (sym_ratio <= 0.1)
+        ).alias("passes_gopher"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+    ),
+    agg AS (
+        SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_words
+        FROM wc GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_toks,
+               len(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]))) AS uniq_bigrams
+        FROM documents
+    )
+    SELECT agg.doc_id, n_words, top_cnt,
+           round(top_cnt * 1.0 / n_words, 4) AS top_word_frac,
+           uniq_bigrams,
+           round(uniq_bigrams * 1.0 / NULLIF(n_toks - 1, 0), 4)
+                                             AS uniq_bigram_ratio,
+           round(top_cnt * 1.0 / n_words, 4) <= 0.2
+             AND coalesce(round(uniq_bigrams * 1.0 / NULLIF(n_toks - 1, 0), 4)
+                          >= 0.5, TRUE)      AS passes_repetition
+    FROM agg JOIN bi ON agg.doc_id = bi.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the Gopher/C4 "repetitious document" family):
+    most-frequent-word fraction and distinct-bigram ratio, gated on the
+    ROUNDED values. Top-word counts take one (doc, word) shuffle with
+    map-side partial aggregation; the bigram ratio never shuffles at all —
+    bigrams are built with an in-row seq1/transform over the split array
+    and deduped with array_distinct, so a 100 TB corpus pays one reduced
+    shuffle total. Single-word docs have no bigrams (NULL ratio, gate
+    passes vacuously)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wc = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"), F.sum("c").alias("n_words")
+    )
+    words = F.split("text", " ")
+    bigrams = F.transform(
+        seq1(F.size(words) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    bi = docs.select(
+        "doc_id",
+        F.size(words).alias("n_toks"),
+        F.size(F.array_distinct(bigrams)).alias("uniq_bigrams"),
+    )
+    top_frac = r4(F.col("top_cnt") * 1.0 / F.col("n_words"))
+    bi_ratio = r4(
+        F.col("uniq_bigrams") * 1.0 / F.nullif(F.col("n_toks") - 1, F.lit(0))
+    )
+    return agg.join(bi, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "top_cnt",
+        top_frac.alias("top_word_frac"),
+        "uniq_bigrams",
+        bi_ratio.alias("uniq_bigram_ratio"),
+        ((top_frac <= 0.2) & F.coalesce(bi_ratio >= 0.5, F.lit(True))).alias(
+            "passes_repetition"
+        ),
     )
 
 

@@ -68,6 +68,47 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), DataFrame form: the EXISTS
+    becomes an explicit left-SEMI join — the same decorrelated plan
+    Catalyst builds for the SQL form (sub_exists_priority exercises that
+    path on 1997-Q1; this is the named Q4 on 1997-Q3). Fixture has no
+    l_commitdate/l_receiptdate (reference src has no lineitem at all), so
+    "line committed late" is adapted to l_shipdate > o_orderdate — the
+    shape (filtered fact scan, semi join on orderkey, low-cardinality
+    agg) is Q4's. Semi join shuffles only the two orderkey columns; at
+    100 TB the orders side is date-pruned before the shuffle."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1997-07-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-10-01 00:00:00"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "q8_market_share",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,

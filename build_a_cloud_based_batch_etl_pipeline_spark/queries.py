@@ -105,6 +105,10 @@ def load_all() -> dict[str, QuerySpec]:
         setops,
     )
 
-    front = [n for n in REGISTRY if n not in _DRIVER_VERIFIED]
+    # Pinned into the driver's first-50 window regardless of module
+    # position: the r1 red row's fix, and queries added this round whose
+    # home module sits past the window.
+    pins = [n for n in ("agg_conditional", "q4_order_priority") if n in REGISTRY]
+    front = [n for n in REGISTRY if n not in _DRIVER_VERIFIED and n not in pins]
     back = [n for n in REGISTRY if n in _DRIVER_VERIFIED]
-    return {n: REGISTRY[n] for n in (*front, *back)}
+    return {n: REGISTRY[n] for n in (*pins, *front, *back)}

@@ -1,0 +1,68 @@
+"""Job entry-point parity (reference R8/R10): envelope semantics of the
+scheduled extract/load handlers (src/extract/main.py:57-76,
+src/load/main.py:58-84) as one spark-submit-able main()."""
+
+from __future__ import annotations
+
+import json
+
+from build_a_cloud_based_batch_etl_pipeline_spark import job
+from build_a_cloud_based_batch_etl_pipeline_spark.config import IngestConfig
+
+POSTS_FIXTURE = [
+    {"userId": 1, "id": 1, "title": "t1", "body": "b1"},
+    {"userId": 2, "id": 2, "title": "t2", "body": "b2"},
+]
+
+
+def _cfg(tmp_path) -> IngestConfig:
+    return IngestConfig(
+        source_url="fake://posts",
+        landing_uri=str(tmp_path / "landing"),
+        warehouse_uri=str(tmp_path / "warehouse"),
+        checkpoint_uri=str(tmp_path / "ckpt"),
+    )
+
+
+def _fetcher(url):
+    return json.dumps(POSTS_FIXTURE).encode()
+
+
+def test_pipeline_envelope_and_idempotent_rerun(spark, tmp_path):
+    """One tick: success envelope with landing file + appended count; a
+    retried tick on the same payload re-lands but appends zero rows."""
+    cfg = _cfg(tmp_path)
+    env1 = job.run_pipeline(spark, cfg, fetcher=_fetcher)
+    assert env1["success"] is True
+    assert env1["rows_appended"] == 2
+    assert env1["file"].startswith(str(tmp_path / "landing"))
+
+    env2 = job.run_pipeline(spark, cfg, fetcher=_fetcher)
+    assert env2["success"] is True
+    assert env2["rows_appended"] == 0  # idempotent re-run
+
+
+def test_extract_failure_envelope(spark, tmp_path):
+    """Handler parity: failures become {"success": False, "error": ...}
+    envelopes (reference returns the same shape with HTTP 500), and the
+    pipeline short-circuits without attempting the load."""
+
+    def boom(url):
+        raise RuntimeError("upstream API down")
+
+    env = job.run_pipeline(spark, _cfg(tmp_path), fetcher=boom)
+    assert env["success"] is False
+    assert "upstream API down" in env["error"]
+
+
+def test_stream_step_envelope(spark, tmp_path):
+    """The availableNow streaming step drains landed files exactly once:
+    first tick appends, second tick (no new files) appends zero."""
+    cfg = _cfg(tmp_path)
+    assert job.run_extract(spark, cfg, fetcher=_fetcher)["success"]
+    env = job.run_stream(spark, cfg)
+    assert env["success"] is True
+    assert env["rows_appended"] == 2
+    env2 = job.run_stream(spark, cfg)
+    assert env2["success"] is True
+    assert env2["rows_appended"] == 0

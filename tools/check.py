@@ -89,6 +89,15 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
+        "--partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions (keeps local[32] "
+        "execution) — sweep {1,7,32,200} to smoke out partition-order "
+        "float-rounding flips before the driver's differently-partitioned "
+        "session does",
+    )
+    ap.add_argument(
         "--vanilla",
         action="store_true",
         help="driver-like untuned session (only UTC pinned, 200 shuffle "
@@ -112,7 +121,10 @@ def main() -> int:
     else:
         from build_a_cloud_based_batch_etl_pipeline_spark.session import get_spark
 
-        spark = get_spark("check")
+        spark = get_spark("check", shuffle_partitions=args.partitions)
+    if args.partitions is not None:
+        # getOrCreate() reuses an existing session, so set it live too
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.partitions))
     qs, oracles = e.queries(), e.oracle_sql()
     names = args.names or list(qs)
     con = duck_con(args.sf)
