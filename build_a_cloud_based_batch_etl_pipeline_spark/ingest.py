@@ -205,6 +205,67 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def _atomic_swap_rewrite(spark: SparkSession, table_path: str, new_df: DataFrame) -> None:
+    """Write `new_df` to a staging dir, then atomically swap it into
+    `table_path` (delete + rename — single-writer atomicity, the plain-
+    parquet stand-in for a transactional format's metadata commit)."""
+    staging = table_path + ".staging"
+    new_df.write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = hpath.getFileSystem(fs_conf)
+    fs.delete(hpath, True)
+    fs.rename(spath, hpath)
+
+
+def merge_upsert(
+    spark: SparkSession, table_path: str, updates: DataFrame, key: str = "id"
+) -> tuple[int, int]:
+    """MERGE semantics on a plain parquet table: WHEN MATCHED update (the
+    incoming row replaces the stored row), WHEN NOT MATCHED insert.
+    Returns (n_updated, n_inserted).
+
+    This is the transactional-MERGE parity the reference's at-least-once
+    load needs (duplicate exposure: src/load/main.py:40 + redelivery
+    terraform/main.tf:277-298) for the UPDATE case that append_idempotent
+    (insert-only) cannot express. Parquet has no row updates, so matched
+    rows are dropped via anti-join against the BROADCAST update batch and
+    the union is rewritten through an atomic staged swap. At warehouse
+    scale the rewrite should target only partitions containing matched
+    keys (partition pruning on the key's partition column); on
+    Delta/Iceberg the same join shape becomes a metadata-commit MERGE —
+    those format jars are not available in this sandbox, so the staged
+    swap is the documented stand-in with identical semantics. The update
+    batch is the bounded side (one load run) and is broadcast; the table
+    side only streams through a scan."""
+    updates = updates.dropDuplicates([key])
+    if not _table_exists(spark, table_path):
+        updates = updates.cache()
+        try:
+            n_ins = updates.count()
+            updates.write.mode("overwrite").parquet(table_path)
+        finally:
+            updates.unpersist()
+        return 0, n_ins
+
+    current = spark.read.parquet(table_path)
+    upd_keys = updates.select(key).distinct()
+    kept = current.join(F.broadcast(upd_keys), key, "left_anti")
+    merged = kept.unionByName(updates).cache()
+    try:
+        n_current = current.count()
+        n_total = merged.count()
+        n_upd_batch = updates.count()
+        n_inserted = n_total - n_current
+        n_updated = n_upd_batch - n_inserted
+        _atomic_swap_rewrite(spark, table_path, merged)
+    finally:
+        merged.unpersist()
+    return n_updated, n_inserted
+
+
 def purge_keys(
     spark: SparkSession, table_path: str, keys: DataFrame, key: str = "id"
 ) -> int:
@@ -227,15 +288,7 @@ def purge_keys(
         n_kept = kept.count()
         n_removed = current.count() - n_kept
         if n_removed:
-            staging = table_path + ".purge.staging"
-            kept.write.mode("overwrite").parquet(staging)
-            jvm = spark._jvm
-            fs_conf = spark._jsc.hadoopConfiguration()
-            hpath = jvm.org.apache.hadoop.fs.Path(table_path)
-            spath = jvm.org.apache.hadoop.fs.Path(staging)
-            fs = hpath.getFileSystem(fs_conf)
-            fs.delete(hpath, True)
-            fs.rename(spath, hpath)
+            _atomic_swap_rewrite(spark, table_path, kept)
     finally:
         kept.unpersist()
     return n_removed

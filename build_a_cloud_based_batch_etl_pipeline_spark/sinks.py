@@ -37,6 +37,20 @@ def write_parquet_table(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — same partition-parallel, atomic-per-task commit shape as
+    the parquet writer, for warehouses standardized on ORC."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -75,3 +75,13 @@ def read_csv(spark: SparkSession, path: str, schema, header: bool = True) -> Dat
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan (columnar sibling of parquet; same pushdown/pruning and
+    vectorized read via Catalyst). Schema optional: ORC files carry their
+    own, and unlike JSON/CSV there is no inference cost to avoid."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -132,3 +132,27 @@ def test_purge_keys_removes_and_preserves(spark, tmp_path):
     none = spark.createDataFrame([(999999,)], "id: long")
     assert ingest.purge_keys(spark, cfg.table_path(), none) == 0
     assert {r.id for r in ingest.read_table(spark, cfg).collect()} == after
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    """MERGE parity on plain parquet: matched keys are replaced by the
+    incoming row, unmatched keys are inserted, untouched rows survive,
+    and a re-run of the same batch is idempotent (0 inserts)."""
+    path = str(tmp_path / "merge_table")
+    schema = "id: long, val: string"
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema)
+
+    # first merge onto a non-existent table = pure insert
+    n_upd, n_ins = ingest.merge_upsert(spark, path, base)
+    assert (n_upd, n_ins) == (0, 3)
+
+    batch = spark.createDataFrame([(2, "B2"), (4, "d")], schema)
+    n_upd, n_ins = ingest.merge_upsert(spark, path, batch)
+    assert (n_upd, n_ins) == (1, 1)
+    rows = {r.id: r.val for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+    # replaying the same batch updates in place, inserts nothing new
+    n_upd, n_ins = ingest.merge_upsert(spark, path, batch)
+    assert (n_upd, n_ins) == (2, 0)
+    assert {r.id: r.val for r in spark.read.parquet(path).collect()} == rows

@@ -12,8 +12,22 @@ from build_a_cloud_based_batch_etl_pipeline_spark.sources import (
     load_table,
     read_csv,
     read_json,
+    read_orc,
     read_text,
 )
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source roundtrip preserves rows + schema, and filters
+    push down to the ORC scan like parquet."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_orc")
+    sinks.write_orc(cust, path, mode="overwrite")
+    back = read_orc(spark, path)
+    assert back.schema == cust.schema
+    assert back.count() == cust.count()
+    filtered = back.filter(F.col("c_custkey") == 1).select("c_custkey")
+    assert plans.has_pushed_filters(filtered)
 
 
 def test_csv_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
