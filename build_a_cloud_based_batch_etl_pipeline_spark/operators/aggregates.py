@@ -191,7 +191,8 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle="""
     SELECT o_orderstatus,
-           sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)
+                AS BIGINT)                                         AS n_big,
            sum(CASE WHEN o_orderpriority = '1-URGENT'
                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
                     ELSE 0 END) / 100.0                            AS urgent_total,

@@ -86,8 +86,9 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id,
@@ -436,7 +437,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            round(sum(value * held_s) / sum(held_s), 4) AS twa_value,
-           sum(held_s)                                 AS observed_s
+           CAST(sum(held_s) AS BIGINT)                 AS observed_s
     FROM held
     GROUP BY user_id
     HAVING sum(held_s) > 0

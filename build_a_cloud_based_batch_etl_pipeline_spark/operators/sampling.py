@@ -56,7 +56,8 @@ def _split_label(col: str = "doc_id"):
                     ELSE 'train' END AS split
         FROM documents
     )
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY split
     """,
 )
@@ -92,8 +93,8 @@ _BIN_CAPACITY = 8192  # tokens per training chunk
         FROM est
     )
     SELECT source, bin,
-           count(*)        AS n_docs,
-           sum(est_tokens) AS bin_tokens
+           count(*)                         AS n_docs,
+           CAST(sum(est_tokens) AS BIGINT)  AS bin_tokens
     FROM packed
     GROUP BY source, bin
     """,
@@ -170,8 +171,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM canonical
     )
     SELECT split,
-           count(*)                                   AS n_docs,
-           sum(CAST(ceil(n_chars / 4.0) AS BIGINT))   AS est_tokens
+           count(*)                                         AS n_docs,
+           CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+                                                            AS est_tokens
     FROM split_assigned GROUP BY split
     """,
 )

@@ -99,13 +99,13 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(l_extendedprice / l_quantity * 10000) / 10000 AS unit_price,
            CAST(l_quantity AS BIGINT) % 7              AS qty_mod7,
            abs(l_discount - 0.05)                      AS disc_dev,
-           ceil(l_extendedprice / 1000)                AS price_kilo_ceil,
-           floor(l_extendedprice / 1000)               AS price_kilo_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_kilo_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kilo_floor,
            round(sqrt(l_quantity), 6)                  AS qty_sqrt,
            round(ln(l_extendedprice), 6)               AS price_ln,
            round(log10(l_extendedprice), 6)            AS price_log10,
            round(power(l_discount, 2), 6)              AS disc_sq,
-           sign(l_discount - 0.05)                     AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)     AS disc_sign,
            greatest(l_discount, l_tax)                 AS max_rate,
            least(l_discount, l_tax)                    AS min_rate
     FROM lineitem

@@ -368,7 +368,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
     ),
     agg AS (
-        SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_words
+        SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_words
         FROM wc GROUP BY doc_id
     ),
     bi AS (

@@ -48,32 +48,40 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 
-# Names the driver's correctness gate has already verified green in a past
-# round (CORRECTNESS_r01.json: 47 hash-green + 2 rows-only recorded; the one
-# red row, agg_conditional, is deliberately NOT here so its fix gets
-# re-checked). The driver only compares the FIRST 50 registry entries per
-# round, so load_all() orders never-driver-checked queries first and rotates
-# already-verified ones to the back — each round extends driver coverage to a
-# fresh 50 until every query has a CORRECTNESS row.
-_DRIVER_VERIFIED = frozenset(
-    {
-        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-        "q6_forecast_revenue", "q10_returned_items", "filter_predicates",
-        "proj_computed", "orderby_limit", "orderby_nulls", "agg_basic_stats",
-        "agg_count_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
-        "agg_grouping_sets", "agg_stats", "agg_percentiles",
-        "agg_percentile_approx", "agg_arg_extreme", "agg_global",
-        "agg_string_agg", "agg_value_histogram", "agg_mode_deterministic",
-        "window_ranking", "window_lag_lead", "window_running",
-        "window_range_frame", "topk_per_group", "window_cume",
-        "window_ratio_to_report", "window_median", "join_inner",
-        "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
-        "join_anti", "join_range_band", "join_asof", "join_broadcast_dims",
-        "join_cross", "join_skew_salted", "setop_union_all",
-        "setop_union_distinct", "setop_intersect", "setop_except",
-        "setop_distinct", "fn_string", "fn_datetime",
-    }
-)
+def _driver_verified() -> set[str]:
+    """Names with a satisfied driver-correctness row in any past round.
+
+    The driver only compares the FIRST 50 registry entries per round, so
+    load_all() orders never-driver-checked queries first and rotates
+    already-verified ones to the back — each round extends driver
+    coverage to a fresh 50 until every query has a CORRECTNESS row.
+    Verified = a green hash row, or a recorded rows-only check
+    (err == 'no_oracle' — the strongest check those queries can get). A
+    red row (like r1's agg_conditional) stays in the front so its fix is
+    re-checked.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle" or (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                seen.add(name)
+    return seen
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -105,10 +113,15 @@ def load_all() -> dict[str, QuerySpec]:
         setops,
     )
 
+    verified = _driver_verified()
     # Pinned into the driver's first-50 window regardless of module
-    # position: the r1 red row's fix, and queries added this round whose
-    # home module sits past the window.
-    pins = [n for n in ("agg_conditional", "q4_order_priority") if n in REGISTRY]
-    front = [n for n in REGISTRY if n not in _DRIVER_VERIFIED and n not in pins]
-    back = [n for n in REGISTRY if n in _DRIVER_VERIFIED]
+    # position (until verified): past red rows' fixes, and queries added
+    # whose home module sits past the window.
+    pins = [
+        n
+        for n in ("agg_conditional", "q4_order_priority")
+        if n in REGISTRY and n not in verified
+    ]
+    front = [n for n in REGISTRY if n not in verified and n not in pins]
+    back = [n for n in REGISTRY if n in verified]
     return {n: REGISTRY[n] for n in (*pins, *front, *back)}
