@@ -294,3 +294,99 @@ def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _CAP_PER_GROUP)
         .select("doc_id", "lang")
     )
+
+
+_MIX_ALPHA = 0.3  # temperature exponent (alpha < 1 upweights small sources)
+
+
+@query(
+    "sample_domain_mix",
+    oracle="""
+    WITH per AS (
+        SELECT source,
+               count(*)                     AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+               CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+                                            AS est_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(est_tokens) AS BIGINT) AS corpus_tokens FROM per)
+    SELECT source, n_docs, n_chars_total, est_tokens,
+           round(est_tokens * 1.0 / corpus_tokens, 6) AS token_share
+    FROM per, tot
+    """,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture inventory: per-source document/char/token mass and
+    token share of the corpus — the report every data-mixing decision
+    starts from. One keyed aggregate; the corpus total is a 1-row
+    aggregate joined back by broadcast crossJoin (scalar-threshold
+    pattern, no driver collect)."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_tokens"),
+    )
+    tot = per.agg(F.sum("est_tokens").alias("corpus_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        "est_tokens",
+        F.round(F.col("est_tokens") * 1.0 / F.col("corpus_tokens"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+                   AS est_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(est_tokens) AS BIGINT) AS corpus_tokens FROM per),
+    shares AS (
+        SELECT source, est_tokens,
+               est_tokens * 1.0 / corpus_tokens AS p
+        FROM per, tot
+    ),
+    z AS (SELECT sum(power(p, {_MIX_ALPHA})) AS norm FROM shares)
+    SELECT source, est_tokens,
+           round(p, 6)                            AS token_share,
+           round(power(p, {_MIX_ALPHA}) / norm, 6) AS mix_weight,
+           round(power(p, {_MIX_ALPHA}) / norm / p, 4) AS sample_factor
+    FROM shares, z
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual/multi-domain
+    resampling rule, alpha = 0.3: w_i = p_i^a / sum p_j^a): small sources
+    are upweighted, dominant ones tempered; sample_factor = w_i / p_i is
+    the per-source repeat/subsample rate a loader applies. Two 1-row
+    global aggregates (corpus total, normalizer) both join back via
+    broadcast crossJoin — nothing touches the driver, shuffles carry only
+    per-source rows."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_tokens"),
+    )
+    tot = per.agg(F.sum("est_tokens").alias("corpus_tokens"))
+    shares = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "est_tokens",
+        (F.col("est_tokens") * 1.0 / F.col("corpus_tokens")).alias("p"),
+    )
+    z = shares.agg(F.sum(F.pow("p", _MIX_ALPHA)).alias("norm"))
+    w = F.pow("p", _MIX_ALPHA) / F.col("norm")
+    return shares.crossJoin(F.broadcast(z)).select(
+        "source",
+        "est_tokens",
+        F.round("p", 6).alias("token_share"),
+        F.round(w, 6).alias("mix_weight"),
+        F.round(w / F.col("p"), 4).alias("sample_factor"),
+    )

@@ -80,6 +80,10 @@ INTENTIONAL_CROSS = {
     "text_tfidf",
     "embed_ann_ivf",
     "events_funnel",
+    # 1-row corpus-total / normalizer aggregates broadcast back onto
+    # per-source rows (same scalar-threshold pattern as q11/q15/tfidf)
+    "sample_domain_mix",
+    "sample_temperature_mix",
 }
 
 
