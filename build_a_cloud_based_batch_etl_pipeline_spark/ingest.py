@@ -240,30 +240,32 @@ def merge_upsert(
     swap is the documented stand-in with identical semantics. The update
     batch is the bounded side (one load run) and is broadcast; the table
     side only streams through a scan."""
-    updates = updates.dropDuplicates([key])
-    if not _table_exists(spark, table_path):
-        updates = updates.cache()
-        try:
+    # cache once: the deduped batch is read for its key set, its count,
+    # and the union write — uncached, an expensive upstream batch plan
+    # would re-execute for each.
+    updates = updates.dropDuplicates([key]).cache()
+    try:
+        if not _table_exists(spark, table_path):
             n_ins = updates.count()
             updates.write.mode("overwrite").parquet(table_path)
-        finally:
-            updates.unpersist()
-        return 0, n_ins
+            return 0, n_ins
 
-    current = spark.read.parquet(table_path)
-    upd_keys = updates.select(key).distinct()
-    kept = current.join(F.broadcast(upd_keys), key, "left_anti")
-    merged = kept.unionByName(updates).cache()
-    try:
-        n_current = current.count()
-        n_total = merged.count()
-        n_upd_batch = updates.count()
-        n_inserted = n_total - n_current
-        n_updated = n_upd_batch - n_inserted
-        _atomic_swap_rewrite(spark, table_path, merged)
+        current = spark.read.parquet(table_path)
+        upd_keys = updates.select(key).distinct()
+        kept = current.join(F.broadcast(upd_keys), key, "left_anti")
+        merged = kept.unionByName(updates).cache()
+        try:
+            n_current = current.count()
+            n_total = merged.count()
+            n_upd_batch = updates.count()
+            n_inserted = n_total - n_current
+            n_updated = n_upd_batch - n_inserted
+            _atomic_swap_rewrite(spark, table_path, merged)
+        finally:
+            merged.unpersist()
+        return n_updated, n_inserted
     finally:
-        merged.unpersist()
-    return n_updated, n_inserted
+        updates.unpersist()
 
 
 def purge_keys(

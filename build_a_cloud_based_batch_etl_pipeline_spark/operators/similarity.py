@@ -149,20 +149,20 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float64 matrix; each Arrow batch of queries is then scored with ONE
     # BLAS matmul instead of a 64-element expression fold per pair (~50x
     # faster). Brute force is inherently O(N*M*d), so the index side must
-    # be the bounded one — enforced by an explicit row-count guard so an
-    # unbounded corpus fails fast instead of OOMing the driver; for
-    # unbounded corpora the scale path is LSH/IVF bucketing
-    # (embed_ann_lsh / embed_ann_ivf) with identical plumbing.
-    n_index = emb.count()
-    if n_index > _MAX_INDEX_ROWS:
+    # be the bounded one — enforced by collecting AT MOST cap+1 rows
+    # (limit pushes into the scan: no extra count job, and an unbounded
+    # corpus fails fast instead of OOMing the driver); for unbounded
+    # corpora the scale path is LSH/IVF bucketing (embed_ann_lsh /
+    # embed_ann_ivf) with identical plumbing.
+    index_rows = emb.limit(_MAX_INDEX_ROWS + 1).collect()
+    if len(index_rows) > _MAX_INDEX_ROWS:
         raise ValueError(
             f"embed_cosine_topk is the exact bounded-index baseline: index "
-            f"side has {n_index} rows > limit {_MAX_INDEX_ROWS} "
+            f"side exceeds the {_MAX_INDEX_ROWS}-row cap "
             f"(~{_MAX_INDEX_ROWS * _DIM * 8 // 2**20} MiB broadcast). Use "
             f"the sub-quadratic ANN operators embed_ann_lsh / embed_ann_ivf "
             f"for unbounded corpora."
         )
-    index_rows = emb.collect()
     ids = np.array([r.vec_id for r in index_rows], dtype=np.int64)
     mat = np.array([r.embedding for r in index_rows], dtype=np.float64)
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -350,8 +350,10 @@ def _plane(table: int, bit: int) -> list[float]:
 
 
 def _lsh_keyed(emb: DataFrame, bits: int, tables: int) -> DataFrame:
-    """(vec_id, embedding, tbl, bkt): each vector exploded to its
-    `bits`-bit hyperplane sign-bucket in each of `tables` tables."""
+    """(vec_id, tbl, bkt): each vector id exploded to its `bits`-bit
+    hyperplane sign-bucket in each of `tables` tables. Ids only — the
+    candidate join dedupes on id pairs first and attaches vectors+norms
+    afterwards (see lsh_candidate_pairs)."""
 
     def bucket(table: int) -> Column:
         bts = [
@@ -367,10 +369,8 @@ def _lsh_keyed(emb: DataFrame, bits: int, tables: int) -> DataFrame:
         ]
         return sum(bts[1:], start=bts[0])
 
-    return emb.withColumn("nrm", l2_norm(F.col("embedding"))).select(
+    return emb.select(
         "vec_id",
-        "embedding",
-        "nrm",
         F.explode(
             F.array(
                 *[
@@ -379,7 +379,7 @@ def _lsh_keyed(emb: DataFrame, bits: int, tables: int) -> DataFrame:
                 ]
             )
         ).alias("k"),
-    ).select("vec_id", "embedding", "nrm", "k.tbl", "k.bkt")
+    ).select("vec_id", "k.tbl", "k.bkt")
 
 
 def lsh_candidate_pairs(
@@ -396,7 +396,7 @@ def lsh_candidate_pairs(
     arrays would shuffle 64-float payloads as grouping keys; id-only
     distinct shuffles two longs per candidate, then two narrow joins
     attach each vector + its precomputed norm exactly once per pair."""
-    keyed = _lsh_keyed(emb, bits, tables).select("vec_id", "tbl", "bkt")
+    keyed = _lsh_keyed(emb, bits, tables)
     cond = (
         F.col("a.vec_id") != F.col("b.vec_id")
         if directed
