@@ -554,3 +554,60 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4("zscore_raw").alias("zscore"),
         )
     )
+
+
+@query(
+    "events_ohlc",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_ts,
+               value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY ts, event_id)        AS rn_open,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT event_type, bar_ts,
+           round(max(CASE WHEN rn_open = 1 THEN value END), 2)  AS open,
+           round(max(value), 2)                                 AS high,
+           round(min(value), 2)                                 AS low,
+           round(max(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+           count(*)                                             AS n_events,
+           round(sum(value), 2)                                 AS volume
+    FROM ranked
+    GROUP BY event_type, bar_ts
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (open/high/low/close + volume) —
+    the classic time-series downsampling rollup. First/last-in-bar are
+    pinned by (ts, event_id) row_number in BOTH engines (first_value /
+    arg_min tie semantics differ across engines; an explicit rank does
+    not), then one hash aggregate per bar. The window and the aggregate
+    share the same (event_type, hour) partitioning, so the bar rollup
+    costs a single shuffle at any scale."""
+    ev = t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    bar = F.date_trunc("hour", F.col("ts"))
+    wo = W.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    wc = W.partitionBy("event_type", bar).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        bar.alias("bar_ts"),
+        "value",
+        F.row_number().over(wo).alias("rn_open"),
+        F.row_number().over(wc).alias("rn_close"),
+    )
+    return ranked.groupBy("event_type", "bar_ts").agg(
+        r2(F.max(F.when(F.col("rn_open") == 1, F.col("value")))).alias("open"),
+        r2(F.max("value")).alias("high"),
+        r2(F.min("value")).alias("low"),
+        r2(F.max(F.when(F.col("rn_close") == 1, F.col("value")))).alias("close"),
+        F.count("*").alias("n_events"),
+        r2(F.sum("value")).alias("volume"),
+    )
