@@ -485,3 +485,52 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(scrubbed).alias("scrubbed_len"),
         F.md5(scrubbed).alias("scrubbed_fp"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+        SELECT w, count(*) AS c FROM toks GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM freq)
+    SELECT doc_id,
+           count(*)                                      AS n_tokens,
+           round(avg(ln(c * 1.0 / n_corpus)), 4)         AS avg_logprob,
+           round(-avg(ln(c * 1.0 / n_corpus)), 4) <= 8.0 AS passes_lm
+    FROM toks JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-proxy quality
+    filter (docs whose tokens are corpus-typical score high; gibberish
+    and boilerplate-with-rare-symbols score low). The corpus unigram
+    table is built in the same plan (count per word, total via 1-row
+    broadcast crossJoin — the scalar-threshold pattern), each token is
+    scored by ln(freq/total), and the per-doc mean gates at cross-entropy
+    8.0 nats on the ROUNDED value. Two keyed shuffles total (word freq,
+    per-doc mean); the unigram table broadcasts onto the token stream
+    under AQE. In production the freq table is computed once and reused —
+    the join shape is identical."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n_corpus"))
+    scored = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(F.col("c") * 1.0 / F.col("n_corpus")).alias("lp"),
+        )
+    )
+    avg_lp = r4(F.avg("lp"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        avg_lp.alias("avg_logprob"),
+        (r4(-F.avg("lp")) <= 8.0).alias("passes_lm"),
+    )

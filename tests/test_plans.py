@@ -84,6 +84,7 @@ INTENTIONAL_CROSS = {
     # per-source rows (same scalar-threshold pattern as q11/q15/tfidf)
     "sample_domain_mix",
     "sample_temperature_mix",
+    "text_unigram_logprob",
 }
 
 
