@@ -36,6 +36,10 @@ HEADLINE = [
     "events_session",
     "dedup_minhash_pairs",
     "embed_cosine_topk",
+    # LLM-pipeline surface anchors (added r3; first round with these rows
+    # becomes their anchor).
+    "text_tfidf",
+    "decontaminate_ngram_overlap",
 ]
 
 
@@ -52,17 +56,19 @@ def main() -> None:
     # dominated by first-action startup.
     materialize(registry["q6_forecast_revenue"].fn(spark, sf_dir))
 
-    # min of two runs per query: the second run re-executes the full
-    # plan against the noop sink, filtering out host-load noise and
-    # one-time codegen/compile cost, which is what a throughput number
-    # should exclude. (Operators that declare .cache() on an intermediate
-    # — minhash's gram arrays — serve run 2 from that cache, as they
-    # would in any warm engine session.)
+    # min of three runs per query: re-runs re-execute the full plan
+    # against the noop sink, filtering out host-load noise and one-time
+    # codegen/compile cost, which is what a throughput number should
+    # exclude. (Operators that declare .cache() on an intermediate —
+    # minhash's gram arrays — serve later runs from that cache, as they
+    # would in any warm engine session.) min-of-3 (was min-of-2 in r2)
+    # measures the same warm-best quantity, just with a tighter minimum
+    # under a noisy host — directly comparable to earlier warm-best rows.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -87,12 +93,12 @@ def main() -> None:
             for i in range(n_posts)
         ]
     ).encode()
-    # Same min-of-2 policy as the headline queries (a fresh workdir per
+    # Same min-of-3 policy as the headline queries (a fresh workdir per
     # run keeps the work identical): run 1 pays one-time cold-path cost
     # (createDataFrame/JSON-writer/join codegen) that a throughput number
     # should exclude.
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         workdir = tempfile.mkdtemp(prefix="bench_ingest_")
         try:
             cfg = IngestConfig(
@@ -135,6 +141,14 @@ def main() -> None:
             for q, v in timings.items()
             if anchor.get(q)
         }
+        # Methodology provenance: the r1 anchor for ingest_e2e_10k was a
+        # single COLD run; r2+ record min-of-N WARM-best, so that one
+        # ratio flatters the engine and should be read against the r2
+        # value (3.410 s, first warm-best round) instead.
+        out["note"] = (
+            "ingest_e2e_10k anchor (r1) was a cold single run; r2+ are "
+            "warm-best min-of-N — compare ingest vs r2=3.410s, not r1"
+        )
     print(json.dumps(out))
 
 

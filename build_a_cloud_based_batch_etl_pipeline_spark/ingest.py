@@ -253,16 +253,18 @@ def merge_upsert(
         current = spark.read.parquet(table_path)
         upd_keys = updates.select(key).distinct()
         kept = current.join(F.broadcast(upd_keys), key, "left_anti")
-        merged = kept.unionByName(updates).cache()
-        try:
-            n_current = current.count()
-            n_total = merged.count()
-            n_upd_batch = updates.count()
-            n_inserted = n_total - n_current
-            n_updated = n_upd_batch - n_inserted
-            _atomic_swap_rewrite(spark, table_path, merged)
-        finally:
-            merged.unpersist()
+        merged = kept.unionByName(updates)
+        # n_updated is counted DIRECTLY as the matched batch keys (semi-join
+        # against the table's key column) — deriving it from
+        # merged.count() - current.count() silently mis-counts (and can go
+        # negative) when the stored table carries duplicate keys, e.g. from
+        # a pre-idempotency append; the merge itself collapses those dups.
+        n_upd_batch = updates.count()
+        n_updated = updates.join(
+            current.select(key), key, "left_semi"
+        ).count()
+        n_inserted = n_upd_batch - n_updated
+        _atomic_swap_rewrite(spark, table_path, merged)
         return n_updated, n_inserted
     finally:
         updates.unpersist()

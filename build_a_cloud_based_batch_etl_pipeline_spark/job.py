@@ -105,7 +105,8 @@ def run_pipeline(
 
 
 def main(argv: list[str] | None = None) -> int:
-    """CLI entry point: ``spark-submit -m ...job <step>`` or
+    """CLI entry point:
+    ``spark-submit path/to/build_a_cloud_based_batch_etl_pipeline_spark/job.py <step>`` or
     ``python -m build_a_cloud_based_batch_etl_pipeline_spark.job <step>``.
 
     Prints the envelope as one JSON line; exit code 0 on success, 1 on

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import seq1, t
+from .util import cap_bucket_occupancy, seq1, t
 
 # MinHash parameters: 32 hashes = 16 bands x 2 rows. Banding theory: the
 # probability a pair with Jaccard s shares >=1 band is 1-(1-s^rows)^bands;
@@ -32,6 +32,12 @@ from .util import seq1, t
 _MH_K = 32
 _MH_BANDS = 16
 _MH_ROWS = 2
+# Per-(band, band-hash) occupancy bound (see util.cap_bucket_occupancy):
+# a corpus of near-identical documents puts them all in the same band
+# bucket in EVERY band; capping turns that bucket's occ^2 candidate
+# fan-out into ~occ*cap while near-identical members still meet in some
+# band with overwhelming probability.
+_MH_BAND_CAP = 10_000
 _MH_PRIME = 4294967311  # smallest prime > 2^32
 _MH_MASK = 0xFFFFFFFF
 # Deterministic odd multipliers in [1, 2^30) and offsets in [0, P).
@@ -204,10 +210,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline: per-doc gram-hash array -> 32-way MinHash signature
     (array_min folds, zero-shuffle) -> 16 banded hashes -> explode ->
-    equi-join on (band, band_hash) -> exact Jaccard verify on the
-    candidate set only. The only shuffles in the whole job are the band
-    join (16 rows/doc) and the candidate joins — at corpus scale that is
-    the minimum possible data motion for LSH dedup.
+    equi-join on (band, band_hash, sub) -> exact Jaccard verify on the
+    candidate set only. `sub` is the occupancy-cap split
+    (util.cap_bucket_occupancy): band buckets above _MH_BAND_CAP members
+    re-split on a doc_id hash so a degenerate near-identical corpus costs
+    ~occ*cap compares, never occ^2. The only shuffles in the whole job
+    are the band join (16 rows/doc) and the candidate joins — at corpus
+    scale that is the minimum possible data motion for LSH dedup.
     """
     docs = t(spark, sf_dir, "documents")
     # Per-doc int64 gram arrays; the verify step below intersects per-pair
@@ -231,9 +240,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
+    bands = cap_bucket_occupancy(bands, ["band", "bh"], "doc_id", _MH_BAND_CAP)
     cand = (
         bands.alias("x")
-        .join(bands.alias("y"), ["band", "bh"])
+        .join(bands.alias("y"), ["band", "bh", "sub"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
@@ -331,9 +341,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("doc_id", "simhash", "x.chunk", "x.ch")
+    chunks = cap_bucket_occupancy(chunks, ["chunk", "ch"], "doc_id", _MH_BAND_CAP)
     pairs = (
         chunks.alias("a")
-        .join(chunks.alias("b"), ["chunk", "ch"])
+        .join(chunks.alias("b"), ["chunk", "ch", "sub"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

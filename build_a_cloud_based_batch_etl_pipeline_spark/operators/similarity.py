@@ -26,7 +26,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import t
+from ..sources import table_path
+from .util import cap_bucket_occupancy, t
 
 _DIM = 64
 
@@ -34,6 +35,29 @@ _DIM = 64
 # collect-and-broadcast: 100k x 64 float64 ~= 51 MiB. Above this the
 # operator refuses and points at the ANN paths.
 _MAX_INDEX_ROWS = 100_000
+
+
+def _parquet_num_rows(path: str) -> int | None:
+    """Total row count from parquet footer metadata (file or directory of
+    part files) — driver-side and O(files), no Spark job. None when the
+    path is not readable parquet (caller falls back to a bounded
+    limit-collect)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -149,12 +173,19 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float64 matrix; each Arrow batch of queries is then scored with ONE
     # BLAS matmul instead of a 64-element expression fold per pair (~50x
     # faster). Brute force is inherently O(N*M*d), so the index side must
-    # be the bounded one — enforced by collecting AT MOST cap+1 rows
-    # (limit pushes into the scan: no extra count job, and an unbounded
-    # corpus fails fast instead of OOMing the driver); for unbounded
-    # corpora the scale path is LSH/IVF bucketing (embed_ann_lsh /
-    # embed_ann_ivf) with identical plumbing.
-    index_rows = emb.limit(_MAX_INDEX_ROWS + 1).collect()
+    # be the bounded one — the row-count cap is checked against the parquet
+    # FOOTERS driver-side (milliseconds, zero Spark jobs; a CollectLimit
+    # guard job measured ~2x the cost of the plain collect it guards), and
+    # an unbounded corpus fails fast instead of OOMing the driver. When
+    # footers are unreadable (non-parquet source) it degrades to the
+    # bounded limit-collect. For unbounded corpora the scale path is
+    # LSH/IVF bucketing (embed_ann_lsh / embed_ann_ivf) with identical
+    # plumbing.
+    n_index = _parquet_num_rows(table_path(sf_dir, "embeddings"))
+    if n_index is not None and n_index <= _MAX_INDEX_ROWS:
+        index_rows = emb.collect()
+    else:
+        index_rows = emb.limit(_MAX_INDEX_ROWS + 1).collect()
     if len(index_rows) > _MAX_INDEX_ROWS:
         raise ValueError(
             f"embed_cosine_topk is the exact bounded-index baseline: index "
@@ -166,8 +197,9 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = np.array([r.vec_id for r in index_rows], dtype=np.int64)
     mat = np.array([r.embedding for r in index_rows], dtype=np.float64)
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_n)
+    # One broadcast, not two: each sc.broadcast is a driver->executor
+    # round trip paid per query invocation.
+    b_index = spark.sparkContext.broadcast((ids, mat_n))
 
     out_schema = T.StructType(
         [
@@ -178,7 +210,7 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score(batches):
-        nids, nmat = b_ids.value, b_mat.value
+        nids, nmat = b_index.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -199,11 +231,12 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The fixture is one small parquet file = one input split; without an
     # explicit repartition the whole matmul would run as a single task.
-    # 8 tasks parallelizes the scoring while capping the number of Python
+    # 4 tasks parallelizes the scoring while capping the number of Python
     # workers to spin up (worker startup, not the BLAS matmul, dominates
-    # at test scale). At real scale file splits provide parallelism
+    # at test scale; measured sweep: 1 part 0.67s, 2 0.55s, 4 0.42s,
+    # 8 0.45s, 16 0.46s). At real scale file splits provide parallelism
     # natively and this repartition is a cheap rebalance.
-    q = emb.repartition(min(8, spark.sparkContext.defaultParallelism))
+    q = emb.repartition(min(4, spark.sparkContext.defaultParallelism))
     return q.mapInPandas(score, out_schema)
 
 
@@ -337,6 +370,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (12, 2) on the fixture's exact top-5.
 _LSH_BITS = 4
 _LSH_TABLES = 8
+# Per-(table, bucket) occupancy bound for candidate generation: members of
+# an over-full bucket are re-split on a secondary id hash so the compare
+# count per bucket is ~occ*cap, not occ^2. 10k members * 10k compares *
+# 8 tables ~= 1e9 scored pairs per degenerate cluster — bounded and
+# spreadable across executors, where occ^2 on a 1M-member cluster would be
+# 1e12 in ONE key.
+_LSH_BUCKET_CAP = 10_000
 
 
 def _plane(table: int, bit: int) -> list[float]:
@@ -383,20 +423,30 @@ def _lsh_keyed(emb: DataFrame, bits: int, tables: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    emb: DataFrame, bits: int, tables: int, directed: bool = True
+    emb: DataFrame,
+    bits: int,
+    tables: int,
+    directed: bool = True,
+    occupancy_cap: int = _LSH_BUCKET_CAP,
 ) -> DataFrame:
     """LSH candidate generation shared by ANN search and semantic dedup:
     pairs sharing a (table, bucket), deduped across tables. Directed
     (qid, nid) both ways for top-k search; undirected qid < nid for
     pair dedup. An equi-join on the bucket key — fan-out tracks bucket
-    occupancy, never N^2.
+    occupancy, never N^2, and occupancy itself is bounded: buckets above
+    `occupancy_cap` members are re-split on a secondary id hash
+    (cap_bucket_occupancy) so a degenerate corpus — thousands of
+    near-identical vectors sharing one bucket — costs ~occ*cap compares
+    instead of occ^2.
 
     Cross-table dedup happens on the (qid, nid) id pairs BEFORE the
     vectors are attached: a distinct over rows carrying the embedding
     arrays would shuffle 64-float payloads as grouping keys; id-only
     distinct shuffles two longs per candidate, then two narrow joins
     attach each vector + its precomputed norm exactly once per pair."""
-    keyed = _lsh_keyed(emb, bits, tables)
+    keyed = cap_bucket_occupancy(
+        _lsh_keyed(emb, bits, tables), ["tbl", "bkt"], "vec_id", occupancy_cap
+    )
     cond = (
         F.col("a.vec_id") != F.col("b.vec_id")
         if directed
@@ -404,7 +454,7 @@ def lsh_candidate_pairs(
     )
     ids = (
         keyed.alias("a")
-        .join(keyed.alias("b"), ["tbl", "bkt"])
+        .join(keyed.alias("b"), ["tbl", "bkt", "sub"])
         .filter(cond)
         .select(
             F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid")

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import BROADCAST_TABLES
@@ -39,6 +39,47 @@ def r4(c: Column | str) -> Column:
 def ts(lit: str) -> Column:
     """Timestamp literal (session TZ is pinned to UTC => bit-equal to DuckDB)."""
     return F.lit(lit).cast("timestamp")
+
+
+def cap_bucket_occupancy(
+    keyed: DataFrame, key_cols: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Append a `sub` column that splits any over-occupied bucket before a
+    candidate self-join.
+
+    LSH candidate generation (hyperplane buckets, MinHash bands) self-joins
+    a keyed table on its bucket key; the compare count per bucket is
+    occupancy^2, so ONE degenerate bucket — a corpus with thousands of
+    near-identical members all hashing together — becomes a quadratic
+    hotspot that AQE skew-splitting can redistribute but not shrink. The
+    fix is to bound the compare count itself: buckets with more than `cap`
+    members are re-split into ceil(occ/cap) sub-buckets on a secondary id
+    hash, and the self-join adds `sub` to its key. Per bucket that is
+    ~occ*cap compares instead of occ^2; normal buckets (occ <= cap) get
+    sub = 0 everywhere and are untouched.
+
+    Recall: a pair split across sub-buckets is missed IN THAT BUCKET but
+    can still collide in any other table/band — and members of a
+    degenerate bucket collide in nearly every table, so measured recall on
+    a planted near-identical cluster stays high (tests/test_similarity.py,
+    tests/test_dedup.py). The sub hash MUST mix in the bucket key, not
+    just the id: identical members share their bucket value in EVERY
+    table/band, and an id-only hash would carve the exact same
+    sub-partition everywhere — members of different subs would never meet
+    in any band and the duplicate cluster would fragment (caught by
+    tests/test_dedup.py connectivity check). Occupancy comes from a
+    window count over the bucket key — the same single shuffle the
+    self-join already needs, no extra join-back aggregation.
+    """
+    occ = F.count("*").over(Window.partitionBy(*key_cols))
+    nsub = F.greatest(F.ceil(occ / F.lit(cap)), F.lit(1)).cast("int")
+    return keyed.withColumn(
+        "sub",
+        F.pmod(
+            F.xxhash64(F.col(id_col), *[F.col(c) for c in key_cols], F.lit(0x5B5B5B)),
+            nsub,
+        ).cast("int"),
+    )
 
 
 def seq1(stop: Column) -> Column:

@@ -56,8 +56,11 @@ def _driver_verified() -> set[str]:
     already-verified ones to the back — each round extends driver
     coverage to a fresh 50 until every query has a CORRECTNESS row.
     Verified = a green hash row, or a recorded rows-only check
-    (err == 'no_oracle' — the strongest check those queries can get). A
-    red row (like r1's agg_conditional) stays in the front so its fix is
+    (err == 'no_oracle' — the strongest check those queries can get) for a
+    query that STILL has no oracle.  A query upgraded from rows-only to
+    oracled after its no_oracle row was recorded is NOT verified — it
+    returns to the front so the driver hash-checks the new oracle.  A red
+    row (like r1's agg_conditional) stays in the front so its fix is
     re-checked.
     """
     import glob
@@ -75,7 +78,11 @@ def _driver_verified() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("err") == "no_oracle" or (
+            spec = REGISTRY.get(name)
+            rows_only_ok = row.get("err") == "no_oracle" and (
+                spec is None or spec.oracle is None
+            )
+            if rows_only_ok or (
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")

@@ -112,3 +112,69 @@ def test_shingle_helpers_handle_short_docs(spark):
     assert by_doc == {1: 0, 2: 0, 3: 0, 4: 1, 5: 3}
     sh = shingles(docs).collect()
     assert {r.doc_id for r in sh} == {4, 5}
+
+
+def test_minhash_band_cap_keeps_degenerate_corpus_connected(spark, monkeypatch):
+    """400 identical documents put every doc in ONE band bucket per band —
+    the occ^2 hotspot. With a small band-occupancy cap the candidate set
+    must shrink well below all-pairs, yet the surviving pairs must still
+    connect the corpus into a single duplicate cluster (what dedup
+    actually needs at 100 TB: cluster cover, not every pairwise edge)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import dedup
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact document body repeated many times over") for i in range(400)],
+        "doc_id: long, text: string",
+    )
+
+    def run(sf_dir_ignored=None):
+        sh = dedup.gram_hashes(docs)
+        sig = dedup.minhash_signatures(sh)
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    f"m{bi * dedup._MH_ROWS + r}"
+                                    for r in range(dedup._MH_ROWS)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for bi in range(dedup._MH_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band", "b.bh")
+        from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import (
+            cap_bucket_occupancy,
+        )
+
+        capped = cap_bucket_occupancy(
+            bands, ["band", "bh"], "doc_id", dedup._MH_BAND_CAP
+        )
+        return (
+            capped.alias("x")
+            .join(capped.alias("y"), ["band", "bh", "sub"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+
+    monkeypatch.setattr(dedup, "_MH_BAND_CAP", 25)
+    pairs = run()
+    n_pairs = pairs.count()
+    all_pairs = 400 * 399 // 2
+    assert 0 < n_pairs < 0.75 * all_pairs, f"cap did not prune: {n_pairs}"
+
+    nodes = docs.select("doc_id", F.col("doc_id").alias("label"))
+    labels = dedup.propagate_min_label(nodes, pairs, max_iters=6)
+    n_clusters = labels.select("label").distinct().count()
+    assert n_clusters == 1, f"cap fragmented the duplicate cluster: {n_clusters}"

@@ -156,3 +156,22 @@ def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     n_upd, n_ins = ingest.merge_upsert(spark, path, batch)
     assert (n_upd, n_ins) == (2, 0)
     assert {r.id: r.val for r in spark.read.parquet(path).collect()} == rows
+
+
+def test_merge_upsert_counts_with_duplicate_stored_keys(spark, tmp_path):
+    """A table holding DUPLICATE keys (e.g. from a pre-idempotency append)
+    must still report (n_updated, n_inserted) from the batch's view: the
+    merge collapses the stored dups, which used to skew a
+    merged-minus-current derivation (n_inserted could go negative)."""
+    path = str(tmp_path / "dup_table")
+    schema = "id: long, val: string"
+    # raw append wrote key 1 twice
+    spark.createDataFrame(
+        [(1, "a"), (1, "a_dup"), (2, "b")], schema
+    ).write.mode("overwrite").parquet(path)
+
+    batch = spark.createDataFrame([(1, "A"), (3, "c")], schema)
+    n_upd, n_ins = ingest.merge_upsert(spark, path, batch)
+    assert (n_upd, n_ins) == (1, 1)
+    rows = {r.id: r.val for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "A", 2: "b", 3: "c"}

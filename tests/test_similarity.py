@@ -110,3 +110,70 @@ def test_lsh_finds_planted_near_duplicates(spark):
         a, b = i * 2, i * 2 + 1
         assert (a, b) in got and (b, a) in got, f"planted pair {(a, b)} missed"
         assert got[(a, b)] > 0.99
+
+
+def test_cap_bucket_occupancy_splits_degenerate_bucket(spark):
+    """Unit check of the occupancy cap: a bucket with 300 members at
+    cap=20 must fan out into ~ceil(300/20) hash sub-buckets, none wildly
+    above the cap; a bucket under the cap stays whole with sub=0."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import (
+        cap_bucket_occupancy,
+    )
+
+    rows = [(i, 0, 7) for i in range(300)] + [(1000 + i, 0, 8) for i in range(5)]
+    keyed = spark.createDataFrame(rows, "vec_id: long, tbl: int, bkt: int")
+    out = cap_bucket_occupancy(keyed, ["tbl", "bkt"], "vec_id", 20).collect()
+
+    big = [r.sub for r in out if r.bkt == 7]
+    small = [r.sub for r in out if r.bkt == 8]
+    assert set(small) == {0}, "under-cap bucket must not split"
+    n_subs = len(set(big))
+    assert n_subs == 15, f"expected ceil(300/20)=15 sub-buckets, got {n_subs}"
+    from collections import Counter
+
+    occ = Counter(big)
+    # hash splitting is uneven but every sub-bucket must stay near cap
+    assert max(occ.values()) <= 2 * 20, f"sub-bucket blowout: {occ.most_common(3)}"
+
+
+def test_lsh_occupancy_cap_bounds_degenerate_cluster(spark):
+    """A planted degenerate cluster (200 near-identical vectors, all in
+    one LSH bucket per table) must produce FAR fewer candidate pairs
+    under a small occupancy cap than the occ^2 all-pairs set, while
+    well-separated planted pairs OUTSIDE the cluster (sparse buckets,
+    untouched by the cap) keep perfect recall."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    hub = rng.randn(64)
+    rows = [
+        (i, [float(x) for x in hub + rng.randn(64) * 0.005]) for i in range(200)
+    ]
+    base = rng.randn(20, 64)
+    planted = []
+    for j, v in enumerate(base):
+        a, b = 1000 + j * 2, 1000 + j * 2 + 1
+        rows.append((a, [float(x) for x in v]))
+        rows.append((b, [float(x) for x in v + rng.randn(64) * 0.005]))
+        planted.append((a, b))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    uncapped = lsh_candidate_pairs(
+        emb, bits=12, tables=4, directed=False, occupancy_cap=10**9
+    )
+    capped = lsh_candidate_pairs(
+        emb, bits=12, tables=4, directed=False, occupancy_cap=20
+    )
+    n_unc = uncapped.count()
+    n_cap = capped.count()
+    # the cluster contributes ~C(200,2)=19900 distinct pairs uncapped
+    assert n_unc >= 19000
+    assert n_cap < 0.75 * n_unc, f"cap did not prune: {n_cap} vs {n_unc}"
+
+    got = {(r.qid, r.nid) for r in capped.collect()}
+    for a, b in planted:
+        assert (a, b) in got, f"cap broke sparse-bucket pair {(a, b)}"
