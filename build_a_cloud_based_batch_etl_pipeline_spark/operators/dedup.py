@@ -240,7 +240,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
-    bands = cap_bucket_occupancy(bands, ["band", "bh"], "doc_id", _MH_BAND_CAP)
+    # Cached: the cap's sizes subtree and the self-join both read bands;
+    # without the cache the 32 signature folds would be computed twice.
+    # Narrow rows (id + band + hash), so the cache is a few dozen bytes/doc.
+    bands = cap_bucket_occupancy(
+        bands.cache(), ["band", "bh"], "doc_id", _MH_BAND_CAP
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bh", "sub"])
@@ -341,7 +346,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("doc_id", "simhash", "x.chunk", "x.ch")
-    chunks = cap_bucket_occupancy(chunks, ["chunk", "ch"], "doc_id", _MH_BAND_CAP)
+    chunks = cap_bucket_occupancy(
+        chunks.cache(), ["chunk", "ch"], "doc_id", _MH_BAND_CAP
+    )
     pairs = (
         chunks.alias("a")
         .join(chunks.alias("b"), ["chunk", "ch", "sub"])

@@ -444,8 +444,14 @@ def lsh_candidate_pairs(
     arrays would shuffle 64-float payloads as grouping keys; id-only
     distinct shuffles two longs per candidate, then two narrow joins
     attach each vector + its precomputed norm exactly once per pair."""
+    # Cached: the cap's bucket-sizes subtree and both self-join sides read
+    # the keyed table; the cache avoids recomputing the hyperplane dot
+    # products. Rows are (vec_id, tbl, bkt) — three ints per table entry.
     keyed = cap_bucket_occupancy(
-        _lsh_keyed(emb, bits, tables), ["tbl", "bkt"], "vec_id", occupancy_cap
+        _lsh_keyed(emb, bits, tables).cache(),
+        ["tbl", "bkt"],
+        "vec_id",
+        occupancy_cap,
     )
     cond = (
         F.col("a.vec_id") != F.col("b.vec_id")
