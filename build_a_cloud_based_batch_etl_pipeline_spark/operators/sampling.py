@@ -233,30 +233,44 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The eval set is the deterministic hash split's 'valid' bucket, so the
     check needs no side input.
 
-    Scale shape: distinct (doc, gram) on both sides, equi-join on the
-    gram — identical to the dedup shingle join, and like it the 100 TB
-    path pre-filters candidates with MinHash bands before the exact
-    overlap count; the eval side is tiny (the split fraction) and
-    broadcasts under AQE."""
+    Scale shape: per-doc gram dedup is array_distinct INSIDE the row —
+    (doc, gram) uniqueness never crosses documents, so no distinct
+    shuffle exists anywhere in the plan — and grams travel as xxhash64
+    int64s built from per-word hashes (each word hashed ONCE, then 5
+    word-hashes re-hashed per gram: no 5-way string concat per
+    position), so the one real shuffle (the train x eval gram
+    equi-join) moves 8-byte keys instead of 5-word strings. (Hash
+    collisions across ~1e6 distinct grams: P ~ 1e-7 of ONE collision
+    anywhere — far below the >=3-shared-grams decision margin.) Like
+    the dedup shingle join, the 100 TB path pre-filters candidates with
+    MinHash bands before the exact overlap count; the eval side is tiny
+    (the split fraction) and broadcasts under AQE. The input is
+    repartitioned first — the fixture is one parquet file = one input
+    split, which would serialize the gram hashing (the dominant cost)
+    onto a single task; at real scale file splits provide the
+    parallelism and this is a cheap rebalance."""
     docs = t(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     is_eval = _split_bucket() < _VALID_LT
     w = F.split("text", " ")
+    wh = F.transform(w, lambda x: F.xxhash64(x))
     idx = seq1(F.size(w) - 4)  # empty (not [1,0]!) for docs under 5 words
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(5)])
-    )
-    dg = (
-        docs.select(
-            "doc_id", is_eval.alias("is_eval"), F.explode(grams).alias("g")
+    grams = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(5)])
         )
-        .distinct()
+    )
+    dg = docs.select(
+        "doc_id", is_eval.alias("is_eval"), F.explode(grams).alias("gh")
     )
     train = dg.filter(~F.col("is_eval")).select(
-        F.col("doc_id").alias("train_doc"), "g"
+        F.col("doc_id").alias("train_doc"), "gh"
     )
-    ev = dg.filter(F.col("is_eval")).select(F.col("doc_id").alias("eval_doc"), "g")
+    ev = dg.filter(F.col("is_eval")).select(F.col("doc_id").alias("eval_doc"), "gh")
     return (
-        train.join(ev, "g")
+        train.join(ev, "gh")
         .groupBy("train_doc", "eval_doc")
         .agg(F.count("*").alias("shared_5grams"))
         .filter(F.col("shared_5grams") >= 3)
