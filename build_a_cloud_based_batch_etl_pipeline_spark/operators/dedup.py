@@ -409,13 +409,62 @@ def propagate_min_label(
     return labels
 
 
-@query("dedup_clusters")
+_CLUSTERS_ORACLE = """
+    WITH RECURSIVE words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                                 || ' ' || w[CAST(i AS INT) + 2] AS s
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz x ON doc_a = x.doc_id
+        JOIN sz y ON doc_b = y.doc_id
+        WHERE common * 1.0 / (x.n + y.n - common) >= 0.5
+    ),
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN und e ON e.src = r.doc_id
+    ),
+    labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM labels
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment (rows-only; cluster/cover properties
-    asserted in tests/test_dedup.py): MinHash-LSH near-dup pairs become
+    """Duplicate-cluster assignment: MinHash-LSH near-dup pairs become
     edges; min-label propagation gives every document a canonical
     cluster_id (the smallest doc_id in its component); singleton docs are
-    their own cluster. Output: (doc_id, cluster_id, cluster_size)."""
+    their own cluster. Output: (doc_id, cluster_id, cluster_size).
+
+    Oracled via a DuckDB recursive CTE over the EXACT Jaccard >= 0.5 edge
+    set (word-3-grams, the same grams MinHash banding approximates): the
+    engine's LSH edge set equals the exact edge set on the test fixtures
+    (verified both sf0.001 and sf0.01 — banding at 16x2 catches j >= 0.5
+    pairs with p ~ 0.99 each, and the fixtures' near-dup pairs all sit
+    well above the threshold), so the component structure matches
+    deterministically. Cluster/cover invariants (label = component min,
+    sizes partition the corpus) are ALSO property-tested in
+    tests/test_dedup.py, independent of the fixture."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
     edges = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     nodes = docs.select("doc_id", F.col("doc_id").alias("label"))

@@ -131,17 +131,49 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STRATA_FRACTIONS = {"en": 0.2, "fr": 0.5, "de": 0.5}
 
+# Per-stratum md5-threshold (4 hex chars = 16 bits): keep a row when the
+# salted hash prefix sorts below round(frac * 2^16) rendered as 4-digit
+# lowercase hex — lexicographic compare on fixed-width lowercase hex IS
+# the numeric compare, in both engines.
+_STRATA_HEX_LT = {
+    lang: format(round(frac * 65536), "04x")
+    for lang, frac in STRATA_FRACTIONS.items()
+}
 
-@query("sample_stratified")
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CASE lang
+          {" ".join(
+              f"WHEN '{lang}' THEN substring(md5('{lang}:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{lt}'"
+              for lang, lt in _STRATA_HEX_LT.items()
+          )}
+          ELSE FALSE END
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified (per-language) Bernoulli sample via sampleBy —
-    rows-only: the sampling hash is Spark-internal, so no SQL oracle;
-    determinism + per-stratum rates are asserted in
-    tests/test_sampling.py. Unlisted strata default to fraction 0."""
+    """Stratified (per-language) Bernoulli sample by deterministic salted
+    md5 threshold: keep a doc when md5('<lang>:<doc_id>')'s 16-bit prefix
+    falls below round(frac * 2^16). Engine- and version-independent (a
+    Spark-internal `sampleBy` seed is not reproducible outside Spark, and
+    not even across repartitionings WITHIN Spark), stable under corpus
+    growth — membership depends only on the row's own key — and
+    SQL-oracled. The salt keys the draw per-stratum so a doc's fate in
+    one language's sample says nothing about any other stratum, and
+    stays independent of the md5(doc_id) train/valid/test split hash.
+    Unlisted strata default to fraction 0."""
     docs = t(spark, sf_dir, "documents")
-    return docs.sampleBy("lang", STRATA_FRACTIONS, seed=42).select(
-        "doc_id", "lang", "source"
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))),
+        1,
+        4,
     )
+    keep = F.lit(False)
+    for lang, lt in _STRATA_HEX_LT.items():
+        keep = F.when(F.col("lang") == lang, h < F.lit(lt)).otherwise(keep)
+    return docs.filter(keep).select("doc_id", "lang", "source")
 
 
 @query(
