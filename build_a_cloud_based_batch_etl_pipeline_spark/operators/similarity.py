@@ -627,3 +627,66 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("qid", "nid", "cosine")
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id, label,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                   AS scale,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, scale,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) / scale)
+                                        AS BIGINT)) AS qv
+        FROM scaled
+    )
+    SELECT vec_id, label, scale,
+           CAST(len(qv) AS INT)                                   AS n_dims,
+           CAST(list_sum(qv) AS BIGINT)                           AS q_sum,
+           CAST(list_max(list_transform(qv, v -> abs(v))) AS BIGINT)
+                                                                  AS q_absmax
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x memory/bandwidth
+    compression step before an ANN index is built or vectors are shipped
+    to a trainer: scale = max|x| / 127, q_i = round(x_i / scale), so
+    every component lands in [-127, 127] with the vector's own dynamic
+    range preserved. Output is the compare-friendly summary per vector
+    (scale, component sum, |q|max — q_absmax <= 127 IS the invariant);
+    production keeps the int8 array column itself.
+
+    Scale shape: pure projection, zero shuffles, linear scans. The scale
+    factor is staged as its own column so the quantizing lambda reads a
+    computed value instead of re-folding the 64-element abs-max once per
+    component (CollapseProject would inline it)."""
+    emb = t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    scaled = emb.select(
+        "vec_id", "label", "embedding", (absmax / F.lit(127.0)).alias("scale")
+    )
+    qv = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / F.col("scale")).cast("long"),
+    )
+    q = scaled.select("vec_id", "label", "scale", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.size("qv").cast("int").alias("n_dims"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_max(F.transform("qv", lambda v: F.abs(v))).alias("q_absmax"),
+    )

@@ -534,3 +534,102 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_lp.alias("avg_logprob"),
         (r4(-F.avg("lp")) <= 8.0).alias("passes_lm"),
     )
+
+
+_CHUNK_SIZE = 50  # words per chunk
+_CHUNK_STRIDE = 35  # chunk start step (=> 15-word overlap between neighbors)
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(i AS INT)            AS chunk_idx,
+           CAST(len(w) AS BIGINT)    AS doc_words,
+           CAST(least(len(w) - (CAST(i AS INT) - 1) * {_CHUNK_STRIDE},
+                      {_CHUNK_SIZE}) AS INT) AS chunk_words,
+           md5(array_to_string(
+               list_slice(w, (CAST(i AS INT) - 1) * {_CHUNK_STRIDE} + 1,
+                             (CAST(i AS INT) - 1) * {_CHUNK_STRIDE}
+                                 + {_CHUNK_SIZE}), ' ')) AS chunk_digest
+    FROM words,
+         UNNEST(range(1, CAST(ceil(len(w) * 1.0 / {_CHUNK_STRIDE}) AS BIGINT)
+                         + 1)) AS t(i)
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    before tokenization/embedding: word windows of _CHUNK_SIZE starting
+    every _CHUNK_STRIDE words (so consecutive chunks share
+    size - stride words of overlap and every word is covered), tail
+    chunks truncated. Emits one row per chunk with its position, width,
+    and content digest (the compare-friendly projection of the chunk
+    text itself — production writes the text, the digest pins it).
+
+    Scale shape: pure projection + explode, no shuffle anywhere; the
+    fan-out is ceil(words/stride) rows per document, linear in corpus
+    size. The slice happens once per CHUNK (not per word), so the cost
+    is O(words x size/stride) string copies — the unavoidable overlap
+    write amplification, and nothing more."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    staged = docs.select("doc_id", "lang", w.alias("w"))
+    n_chunks = F.ceil(F.size("w") / F.lit(_CHUNK_STRIDE)).cast("int")
+    ch = staged.select(
+        "doc_id", "lang", "w", F.explode(seq1(n_chunks)).alias("i")
+    )
+    start = (F.col("i") - 1) * _CHUNK_STRIDE + 1
+    chunk = F.slice("w", start, _CHUNK_SIZE)
+    return ch.select(
+        "doc_id",
+        "lang",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.size("w").cast("long").alias("doc_words"),
+        F.least(
+            F.size("w") - (F.col("i") - 1) * F.lit(_CHUNK_STRIDE),
+            F.lit(_CHUNK_SIZE),
+        )
+        .cast("int")
+        .alias("chunk_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
+    )
+
+
+@query(
+    "text_hashing_vectorizer",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT doc_id,
+           substring(md5(term), 1, 3) AS bucket,
+           CAST(count(*) AS BIGINT)   AS tf
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency features: every term maps to one of
+    4096 buckets by digest prefix (3 hex chars — engine-independent, no
+    vocabulary pass), and the output is the sparse (doc, bucket, tf)
+    triple stream a downstream trainer consumes. Collisions are the
+    accepted hashing-trick tradeoff; the bucket count is THE memory/
+    fidelity knob.
+
+    Scale shape: one shuffle on (doc_id, bucket) with map-side combine —
+    the per-partition partial agg collapses each document's repeats
+    before anything crosses the wire; no vocabulary table, no second
+    pass, no driver state (the fixed bucket space is what makes the
+    vectorizer streamable over 100 TB)."""
+    docs = t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        terms.groupBy(
+            "doc_id", F.substring(F.md5("term"), 1, 3).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -1,0 +1,81 @@
+"""Invariant checks for the LLM-data-prep additions: chunking coverage,
+int8 quantization bounds/reconstruction, hashing-vectorizer mass
+conservation. The value-level parity with the SQL oracles is the
+check.py/driver gate; these tests pin the semantic invariants on inputs
+the fixture may not contain (short docs, uneven tails, zero-heavy
+vectors)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
+)
+from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def test_chunks_cover_every_word_with_exact_overlap(spark, sf_dir):
+    rows = REGISTRY["doc_chunk_overlap"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = {
+        r.doc_id: r.n for r in docs.select(
+            "doc_id", (F.size(F.split("text", " "))).alias("n")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(words), "every document must be chunked"
+    for doc_id, chunks in by_doc.items():
+        n = words[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # chunk count and indices
+        expected = -(-n // _CHUNK_STRIDE)  # ceil
+        assert [c.chunk_idx for c in chunks] == list(range(1, expected + 1))
+        # widths: full except possibly truncated tails; coverage is exact
+        # because starts step by stride and the last start is < n
+        for c in chunks:
+            start = (c.chunk_idx - 1) * _CHUNK_STRIDE + 1
+            assert c.chunk_words == min(_CHUNK_SIZE, n - start + 1)
+            assert c.doc_words == n
+        last = chunks[-1]
+        last_start = (last.chunk_idx - 1) * _CHUNK_STRIDE + 1
+        assert last_start + last.chunk_words - 1 == n, "tail must reach the end"
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    out = {r.vec_id: r for r in
+           REGISTRY["embed_quantize_int8"].fn(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    assert set(out) == {r.vec_id for r in emb}
+    for r in emb:
+        q = out[r.vec_id]
+        vals = [float(x) for x in r.embedding]
+        absmax = max(abs(v) for v in vals)
+        assert q.n_dims == len(vals)
+        assert q.q_absmax <= 127, "int8 range invariant"
+        assert abs(q.scale * 127 - absmax) < 1e-9, "scale = max|x|/127"
+        # reconstruction: round(x/scale)*scale within scale/2 per component
+        # implies the summary q_sum*scale tracks sum(x) within n*scale/2
+        assert abs(q.q_sum * q.scale - sum(vals)) <= q.n_dims * q.scale / 2 + 1e-9
+
+
+def test_hashing_vectorizer_conserves_token_mass(spark, sf_dir):
+    out = REGISTRY["text_hashing_vectorizer"].fn(spark, sf_dir)
+    per_doc = {
+        r.doc_id: r.total for r in
+        out.groupBy("doc_id").agg(F.sum("tf").alias("total")).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        r.doc_id: r.n for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert per_doc == truth, "sum of bucket tfs must equal the token count"
+    buckets = {r.bucket for r in out.select("bucket").distinct().collect()}
+    assert all(len(b) == 3 for b in buckets)
