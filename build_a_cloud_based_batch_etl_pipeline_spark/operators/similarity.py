@@ -95,6 +95,54 @@ def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.round(dot(a, b) / (na * nb), 4)
 
 
+def blas_pair_scores(
+    pairs: DataFrame,
+    keep: list[str],
+    a_col: str = "ea",
+    b_col: str = "eb",
+    out_col: str = "cosine",
+    decimals: int | None = 4,
+) -> DataFrame:
+    """Arrow-batched row-wise cosine over a candidate-pair DataFrame:
+    keeps `keep` columns and appends `out_col`.
+
+    Spark's higher-order-function folds (zip_with/aggregate) run
+    INTERPRETED per element, not in whole-stage codegen — scoring 2M
+    64-dim candidate pairs through the fold formulation measured 22 s at
+    sf0.1 vs ~1 s through this scorer (einsum dot + vectorized norms per
+    Arrow batch). Norms are recomputed per pair here; that is 3 cheap
+    vectorized 64-wide ops per row, still ~20x faster than one
+    interpreted fold, and it removes the JVM-side norm-attach column
+    (itself an interpreted fold per vector).
+
+    decimals=None skips rounding (for internal orderings like IVF
+    centroid assignment); the default 4dp matches cosine()/the oracles.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (arrow batches arrive as pandas)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [pairs.schema[c] for c in keep]
+        + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf[a_col]), dtype=np.float64)
+            Bm = np.array(list(pdf[b_col]), dtype=np.float64)
+            num = np.einsum("ij,ij->i", A, Bm)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(Bm, axis=1)
+            out = pdf[keep].copy()
+            cos = num / den
+            out[out_col] = np.round(cos, decimals) if decimals is not None else cos
+            yield out
+
+    return pairs.mapInPandas(score, out_schema)
+
+
 @query(
     "embed_norms",
     oracle="""
@@ -311,18 +359,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The filter sits on the *rounded* cosine so both engines make
     identical boundary decisions.
+
+    Scoring runs as a cogrouped Arrow/BLAS matmul per pair-key — the
+    block structure hands each task two dense sub-matrices, so the
+    n_a x n_b score block is ONE numpy matmul instead of 64-element
+    zip_with/aggregate folds per pair (higher-order-function folds are
+    interpreted, not codegen'd: the fold formulation measured 22 s vs
+    ~1 s for 2M pairs at sf0.1). Only pairs at/above the threshold
+    leave the task, so the shuffle-out is the match set, not the N^2
+    score matrix.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     B = 8
     emb = (
         t(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .withColumn("blk", F.pmod("vec_id", F.lit(B)).cast("int"))
-        .withColumn("nrm", l2_norm(F.col("embedding")))
     )
     lo = emb.select(
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
         F.col("blk").alias("blk_a"),
         F.explode(
             F.transform(
@@ -334,7 +393,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = emb.select(
         F.col("vec_id").alias("idb"),
         F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
         F.col("blk").alias("blk_b"),
         F.explode(
             F.transform(
@@ -343,18 +401,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pk"),
     )
-    pairs = lo.join(hi, "pk").filter(
-        (F.col("blk_a") < F.col("blk_b"))
-        | ((F.col("blk_a") == F.col("blk_b")) & (F.col("ida") < F.col("idb")))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    scored = pairs.select(
-        F.least("ida", "idb").alias("id_a"),
-        F.greatest("ida", "idb").alias("id_b"),
-        cosine_prenorm(
-            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-        ).alias("cosine"),
+
+    def score_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        A = np.array(list(lpdf["ea"]), dtype=np.float64)
+        Bm = np.array(list(rpdf["eb"]), dtype=np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+        sims = np.round(An @ Bn.T, 4)
+        ida = lpdf["ida"].to_numpy()
+        idb = rpdf["idb"].to_numpy()
+        # per pair-key blk_a <= blk_b by construction; same-block keys
+        # dedup unordered pairs by id order
+        mask = sims >= 0.42
+        if lpdf["blk_a"].iat[0] == rpdf["blk_b"].iat[0]:
+            mask &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return empty
+        a, b = ida[ii], idb[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": sims[ii, jj],
+            }
+        )
+
+    return (
+        lo.groupBy("pk")
+        .cogroup(hi.groupBy("pk"))
+        .applyInPandas(score_block, out_schema)
     )
-    return scored.filter(F.col("cosine") >= 0.42)
 
 
 # Deterministic pseudo-random hyperplanes for LSH (seeded, engine-side
@@ -443,7 +537,8 @@ def lsh_candidate_pairs(
     vectors are attached: a distinct over rows carrying the embedding
     arrays would shuffle 64-float payloads as grouping keys; id-only
     distinct shuffles two longs per candidate, then two narrow joins
-    attach each vector + its precomputed norm exactly once per pair."""
+    attach each vector exactly once per pair (norms are computed in the
+    vectorized scorer — blas_pair_scores — not as JVM fold columns)."""
     # Cached: the cap's bucket-sizes subtree and both self-join sides read
     # the keyed table; the cache avoids recomputing the hyperplane dot
     # products. Rows are (vec_id, tbl, bkt) — three ints per table entry.
@@ -467,16 +562,11 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
-    vecs = emb.withColumn("nrm", l2_norm(F.col("embedding")))
-    qside = vecs.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    qside = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea")
     )
-    nside = vecs.select(
-        F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+    nside = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("eb")
     )
     return ids.join(qside, "qid").join(nside, "nid")
 
@@ -496,13 +586,7 @@ def ann_lsh_topk(
     from pyspark.sql import Window as W
 
     cand = lsh_candidate_pairs(emb, bits, tables, directed=True)
-    scored = cand.select(
-        "qid",
-        "nid",
-        cosine_prenorm(
-            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-        ).alias("cosine"),
-    )
+    scored = blas_pair_scores(cand, ["qid", "nid"])
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -537,12 +621,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cand = lsh_candidate_pairs(emb, _LSH_BITS, _LSH_TABLES, directed=False)
-    scored = cand.select(
-        F.col("qid").alias("id_a"),
-        F.col("nid").alias("id_b"),
-        cosine_prenorm(
-            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-        ).alias("cosine"),
+    scored = blas_pair_scores(cand, ["qid", "nid"]).select(
+        F.col("qid").alias("id_a"), F.col("nid").alias("id_b"), "cosine"
     )
     return scored.filter(F.col("cosine") >= 0.42)
 
@@ -586,14 +666,17 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("cl"), "centroid")
     )
 
-    sim_to_cent = (
-        dot(F.col("embedding"), F.col("centroid"))
-        / (F.col("nrm") * l2_norm(F.col("centroid")))
-    ).alias("csim")
-    assigned = (
-        emb.withColumn("nrm", l2_norm(F.col("embedding")))
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "nrm", "cl", sim_to_cent)
+    # Assignment scores go through the vectorized scorer too (raw,
+    # unrounded — it is an internal ordering, and rounding could flip a
+    # near-tie assignment); the N x nlist fan-out stays a broadcast
+    # crossJoin of the tiny codebook.
+    assigned = blas_pair_scores(
+        emb.crossJoin(F.broadcast(cent)).select("vec_id", "embedding", "cl", "centroid"),
+        ["vec_id", "embedding", "cl"],
+        a_col="embedding",
+        b_col="centroid",
+        out_col="csim",
+        decimals=None,
     )
     w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cl")
     ranked = assigned.withColumn("crn", F.row_number().over(w))
@@ -601,26 +684,16 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cl").alias("bucket"),
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
     )
     q = ranked.filter(F.col("crn") <= _IVF_NPROBE).select(
         F.col("cl").alias("bucket"),
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
     )
-    scored = (
-        q.join(ix, "bucket")
-        .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            cosine_prenorm(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-            ).alias("cosine"),
-        )
-        .distinct()
-    )
+    scored = blas_pair_scores(
+        q.join(ix, "bucket").filter(F.col("qid") != F.col("nid")),
+        ["qid", "nid"],
+    ).distinct()
     w2 = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
         scored.withColumn("rn", F.row_number().over(w2))
