@@ -351,3 +351,67 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_at_mode"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH per_val AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               sum(l_quantity) AS wt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, price, wt,
+               sum(wt) OVER (
+                   PARTITION BY flag ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               sum(wt) OVER (PARTITION BY flag) AS tot
+        FROM per_val
+    )
+    SELECT flag, round(min(price), 2) AS weighted_median,
+           round(min(tot), 2) AS total_weight
+    FROM cum WHERE cw >= tot / 2.0 GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (smallest value whose cumulative weight reaches
+    half the group total; weight = quantity) — the robust-center statistic
+    percentile_approx can't produce because Spark's percentile family is
+    unweighted.
+
+    Determinism at double precision: weights are pre-aggregated PER VALUE
+    first, so the running sum is over a deterministically ordered (by
+    value) sequence — both engines fold the same numbers in the same
+    order and the >= tot/2 boundary decision is bit-identical (the
+    quantities are integral-valued doubles, so the sums are exact).
+    Shape: one hash agg (map-side combined) collapses to distinct values,
+    one window per group, then a min-agg — nothing carries row-level
+    cardinality past the first agg."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    per_val = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum("l_quantity").alias("wt"))
+    wc = (
+        W.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = per_val.select(
+        "flag",
+        "price",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(W.partitionBy("flag")).alias("tot"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tot") / 2.0)
+        .groupBy("flag")
+        .agg(
+            r2(F.min("price")).alias("weighted_median"),
+            r2(F.min("tot")).alias("total_weight"),
+        )
+    )

@@ -436,3 +436,73 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("mix_weight"),
         F.round(w / F.col("p"), 4).alias("sample_factor"),
     )
+
+
+_WTOP_N = 25  # winners kept per source
+# Knuth multiplicative-hash constant; the modulus keeps the product far
+# below 2^63 so the SAME arithmetic is exact in Spark and DuckDB
+# (DuckDB errors on BIGINT overflow; Spark wraps silently — neither
+# branch is ever taken).
+_WTOP_MULT = 2654435761
+_WTOP_DOM = 1000003
+
+
+@query(
+    "sample_weighted_topn",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens,
+               pow(
+                   (((doc_id % {_WTOP_DOM}) * {_WTOP_MULT})
+                     % 4294967296 + 0.5) / 4294967296.0,
+                   1.0 / CAST(ceil(n_chars / 4.0) AS BIGINT)
+               ) AS wkey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, est_tokens, wkey,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY wkey DESC, doc_id
+               ) AS rn
+        FROM keyed
+    )
+    SELECT source, doc_id, est_tokens, round(wkey, 6) AS weight_key
+    FROM ranked WHERE rn <= {_WTOP_N}
+    """,
+)
+def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling-without-replacement, Efraimidis–Spirakis form:
+    each document draws key = u^(1/w) (w = estimated tokens, u = a
+    seedless deterministic uniform from doc_id) and the top-N keys per
+    source are the sample — longer documents win proportionally more
+    often, and the draw is reproducible on any cluster size because u is
+    pure arithmetic on the key, not RNG state (same property as the
+    md5 train/valid/test split above; ref has no sampling surface —
+    BigQuery delegation per src/load/main.py:40).
+
+    Scale: key assignment is a pure projection; selection is one
+    row_number window partitioned by source — a single shuffle on the
+    partition key, and only rank <= N rows survive. For a top-N over
+    billions of rows per source, swap the window for the two-phase
+    per-partition heap (TakeOrderedAndProject shape) — at N=25 the
+    window is already the plan AQE picks."""
+    docs = t(spark, sf_dir, "documents")
+    est = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    u = (
+        (F.col("doc_id") % _WTOP_DOM) * _WTOP_MULT % F.lit(4294967296).cast("bigint")
+        + 0.5
+    ) / 4294967296.0
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        est.alias("est_tokens"),
+        F.pow(u, 1.0 / est).alias("wkey"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("wkey").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WTOP_N)
+        .select("source", "doc_id", "est_tokens", F.round("wkey", 6).alias("weight_key"))
+    )

@@ -763,3 +763,52 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_max(F.transform("qv", lambda v: F.abs(v))).alias("q_absmax"),
     )
+
+
+@query(
+    "embed_pool_reduce",
+    oracle="""
+    WITH p AS (
+        SELECT vec_id,
+               list_transform(
+                   generate_series(0, 15),
+                   g -> round(
+                       (((CAST(embedding[4 * g + 1] AS DOUBLE)
+                          + CAST(embedding[4 * g + 2] AS DOUBLE))
+                          + CAST(embedding[4 * g + 3] AS DOUBLE))
+                          + CAST(embedding[4 * g + 4] AS DOUBLE)) / 4.0,
+                       6)
+               ) AS pooled
+        FROM embeddings
+    )
+    SELECT vec_id,
+           generate_subscripts(pooled, 1) AS pool_pos,
+           unnest(pooled)                 AS pooled_val
+    FROM p
+    """,
+)
+def embed_pool_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooling dimensionality reduction 64 -> 16 (each output dim
+    averages a contiguous block of 4) — the cheap deterministic
+    projection used to shrink vectors before a coarse ANN pass or
+    byte-budgeted export; unlike a learned/random projection it needs no
+    matrix state, so it stays a pure zero-shuffle projection.
+
+    The addition runs in the same left-assoc order in both engines
+    ((a+b)+c)+d, so the 6dp round is wobble-free. Long (vec_id,
+    pool_pos, pooled_val) output keeps the oracle hash scalar; the
+    explode multiplies rows 16x but never crosses a shuffle boundary."""
+    emb = t(spark, sf_dir, "embeddings")
+    pooled = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 15), g -> round("
+            " (((CAST(element_at(embedding, 4 * g + 1) AS DOUBLE)"
+            "   + CAST(element_at(embedding, 4 * g + 2) AS DOUBLE))"
+            "   + CAST(element_at(embedding, 4 * g + 3) AS DOUBLE))"
+            "   + CAST(element_at(embedding, 4 * g + 4) AS DOUBLE)) / 4.0, 6))"
+        ).alias("pooled"),
+    )
+    return pooled.select(
+        "vec_id", F.posexplode("pooled").alias("pos", "pooled_val")
+    ).select("vec_id", (F.col("pos") + 1).alias("pool_pos"), "pooled_val")

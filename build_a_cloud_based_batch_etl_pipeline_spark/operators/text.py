@@ -633,3 +633,59 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+_NGRAM_TOPK = 30
+
+
+@query(
+    "text_ngram_topk",
+    oracle=f"""
+    WITH ws AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1]
+               )) AS bigram
+        FROM ws
+        WHERE len(w) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT {_NGRAM_TOPK}
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K bigram table — the vocabulary-inspection /
+    boilerplate-detection primitive (a bigram appearing in half the
+    corpus is template text, not language).
+
+    Bigram construction is a zero-shuffle projection (adjacent-pair
+    transform over the split array — same shape as text_repetition's
+    bigram ratio); the only shuffles are the count's map-side-combined
+    hash agg and the final top-K, which Spark plans as
+    TakeOrderedAndProject — per-partition heaps of K rows, never a
+    global sort of the full bigram dictionary (the thing that matters
+    when the dictionary is billions of entries at 100 TB)."""
+    docs = t(spark, sf_dir, "documents")
+    grams = (
+        docs.select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(_NGRAM_TOPK)
+    )
