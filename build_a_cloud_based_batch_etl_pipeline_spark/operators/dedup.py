@@ -466,9 +466,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes partition the corpus) are ALSO property-tested in
     tests/test_dedup.py, independent of the fixture."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    edges = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    nodes = docs.select("doc_id", F.col("doc_id").alias("label"))
-    labels = propagate_min_label(nodes, edges)
+    edges = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # Iterate ONLY over nodes that touch an edge: in a deduplicated
+    # corpus the overwhelming majority of documents are singletons, and
+    # each propagation round over the full corpus would shuffle every
+    # doc_id five times to conclude nothing changed. Edge-participant
+    # nodes are |E|-bounded (tiny next to |V|); singletons join back at
+    # the end as their own label with zero iterations.
+    members = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    nodes = members.select("doc_id", F.col("doc_id").alias("label"))
+    linked = propagate_min_label(nodes, edges)
+    labels = docs.join(linked, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")

@@ -78,23 +78,6 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Rounded (4dp) cosine similarity — the ONE definition shared by the
-    exact pair baseline and both ANN re-scorers, so a rounding or
-    zero-norm change can never silently diverge between the baseline and
-    the approximations it verifies."""
-    return F.round(dot(a, b) / (l2_norm(a) * l2_norm(b)), 4)
-
-
-def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
-    """cosine() with the norms precomputed per VECTOR instead of per
-    PAIR: in any pairwise scorer each vector meets ~N others, so folding
-    its norm inside the pair expression does N redundant 64-element
-    passes per vector (measured 3x wall on the sf0.1 pair join). Same
-    fold, same rounding — bit-identical result to cosine()."""
-    return F.round(dot(a, b) / (na * nb), 4)
-
-
 def blas_pair_scores(
     pairs: DataFrame,
     keep: list[str],
@@ -487,33 +470,51 @@ def _lsh_keyed(emb: DataFrame, bits: int, tables: int) -> DataFrame:
     """(vec_id, tbl, bkt): each vector id exploded to its `bits`-bit
     hyperplane sign-bucket in each of `tables` tables. Ids only — the
     candidate join dedupes on id pairs first and attaches vectors+norms
-    afterwards (see lsh_candidate_pairs)."""
+    afterwards (see lsh_candidate_pairs).
 
-    def bucket(table: int) -> Column:
-        bts = [
-            F.when(
-                dot(
-                    F.col("embedding"),
-                    F.array(*[F.lit(v) for v in _plane(table, j)]),
-                )
-                > 0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-            for j in range(bits)
+    All tables' sign bits come from ONE Arrow-batched matmul against the
+    stacked (dim x tables*bits) plane matrix — the per-bit JVM
+    formulation was tables*bits interpreted 64-element dot folds per
+    vector (higher-order folds don't enter codegen; measured ~4x wall
+    on the sf0.1 ANN queries). The plane matrix is a ~1 KiB
+    deterministic constant baked into the task closure, not a join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [_plane(tb, j) for tb in range(tables) for j in range(bits)],
+        dtype=np.float64,
+    ).T  # (dim, tables*bits)
+    weights = np.tile(np.array([1 << j for j in range(bits)]), tables)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bkt", T.IntegerType()),
         ]
-        return sum(bts[1:], start=bts[0])
+    )
 
-    return emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(tbl).alias("tbl"), bucket(tbl).alias("bkt"))
-                    for tbl in range(tables)
-                ]
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            signs = (V @ planes) > 0  # (n, tables*bits), table-major
+            n = len(pdf)
+            bkts = (
+                (signs * weights).reshape(n, tables, bits).sum(axis=2).astype(np.int32)
             )
-        ).alias("k"),
-    ).select("vec_id", "k.tbl", "k.bkt")
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
+                    "tbl": np.tile(np.arange(tables, dtype=np.int32), n),
+                    "bkt": bkts.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(assign, out_schema)
 
 
 def lsh_candidate_pairs(
@@ -666,34 +667,99 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("cl"), "centroid")
     )
 
-    # Assignment scores go through the vectorized scorer too (raw,
-    # unrounded — it is an internal ordering, and rounding could flip a
-    # near-tie assignment); the N x nlist fan-out stays a broadcast
-    # crossJoin of the tiny codebook.
+    # Assignment scores go through the vectorized scorer (raw, unrounded —
+    # it is an internal ordering, and rounding could flip a near-tie
+    # assignment); the N x nlist fan-out stays a broadcast crossJoin of
+    # the tiny codebook, and the argmin window ranks an ID-ONLY frame —
+    # carrying the 64-float embedding through the per-vector window
+    # shuffle was half the query's bytes for no information.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     assigned = blas_pair_scores(
         emb.crossJoin(F.broadcast(cent)).select("vec_id", "embedding", "cl", "centroid"),
-        ["vec_id", "embedding", "cl"],
+        ["vec_id", "cl"],
         a_col="embedding",
         b_col="centroid",
         out_col="csim",
         decimals=None,
     )
     w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cl")
-    ranked = assigned.withColumn("crn", F.row_number().over(w))
-    ix = ranked.filter(F.col("crn") == 1).select(
-        F.col("cl").alias("bucket"),
-        F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("eb"),
+    choice = (
+        assigned.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= _IVF_NPROBE)
+        .select("vec_id", F.col("cl").alias("bucket"), "crn")
+        .cache()
     )
-    q = ranked.filter(F.col("crn") <= _IVF_NPROBE).select(
-        F.col("cl").alias("bucket"),
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("ea"),
+    # b_ix alias: both cogroup sides descend from `choice`, and Spark's
+    # ambiguous-self-join check needs the two key lineages told apart.
+    ixv = (
+        choice.filter(F.col("crn") == 1)
+        .join(emb, "vec_id")
+        .select(
+            F.col("bucket").alias("b_ix"),
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("eb"),
+        )
     )
-    scored = blas_pair_scores(
-        q.join(ix, "bucket").filter(F.col("qid") != F.col("nid")),
-        ["qid", "nid"],
-    ).distinct()
+    qv = choice.join(emb, "vec_id").select(
+        "bucket", F.col("vec_id").alias("qid"), F.col("embedding").alias("ea")
+    )
+
+    # Per-bucket cogrouped matmul: each task gets one bucket's query and
+    # index sub-matrices, scores them in ONE BLAS call, and emits only
+    # each query's in-bucket top-5 — the shuffle moves N + NPROBE*N
+    # vectors grouped by bucket, never the ~occ^2 scored-pair stream a
+    # bucket equi-join would materialize. A pair (qid, nid) occurs in
+    # exactly one bucket (nid indexes only under its argmin centroid), so
+    # no cross-bucket dedup exists; the global top-5 is a window over the
+    # <= NPROBE*5 in-bucket winners per query. In-bucket ordering uses
+    # the SAME (rounded cosine desc, nid) key as the final window, so
+    # the two-phase selection is exact.
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def bucket_topk(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "nid": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(qpdf) or not len(ipdf):
+            return empty
+        Q = np.array(list(qpdf["ea"]), dtype=np.float64)
+        X = np.array(list(ipdf["eb"]), dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = np.round(Qn @ Xn.T, 4)
+        qid = qpdf["qid"].to_numpy()
+        nid = ipdf["nid"].to_numpy()
+        sims[qid[:, None] == nid[None, :]] = -np.inf  # self-pairs out
+        k = min(5, sims.shape[1])
+        frames = []
+        for r in range(len(qid)):
+            order = np.lexsort((nid, -sims[r]))[:k]
+            keep = order[np.isfinite(sims[r][order])]
+            frames.append(
+                pd.DataFrame(
+                    {"qid": qid[r], "nid": nid[keep], "cosine": sims[r][keep]}
+                )
+            )
+        return pd.concat(frames) if frames else empty
+
+    scored = (
+        qv.groupBy("bucket")
+        .cogroup(ixv.groupBy("b_ix"))
+        .applyInPandas(bucket_topk, out_schema)
+    )
     w2 = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
         scored.withColumn("rn", F.row_number().over(w2))

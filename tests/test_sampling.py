@@ -85,3 +85,54 @@ def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
     for lang, n in got.items():
         if lang not in STRATA_FRACTIONS:
             assert n == 0
+
+
+def test_weighted_topn_shape_and_bias(spark, sf_dir):
+    """Per-source sample is exactly min(N, n_docs) rows, keys valid, and
+    the token-weighted draw favors long documents (mean est_tokens of
+    winners >= corpus mean — E-S keys are stochastically larger for
+    larger weights)."""
+    from pyspark.sql import functions as F
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.sampling import _WTOP_N
+
+    out = REGISTRY["sample_weighted_topn"].fn(spark, sf_dir)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_source = {r.source: r.n for r in docs.groupBy("source").count()
+                  .withColumnRenamed("count", "n").collect()}
+    got = {}
+    for r in rows:
+        got[r.source] = got.get(r.source, 0) + 1
+        assert 0.0 <= r.weight_key <= 1.0
+    for src, n in per_source.items():
+        assert got.get(src, 0) == min(_WTOP_N, n), (src, got.get(src), n)
+    mean_win = sum(r.est_tokens for r in rows) / len(rows)
+    mean_all = docs.select(
+        F.avg(F.ceil(F.col("n_chars") / 4.0))
+    ).first()[0]
+    assert mean_win >= mean_all, (mean_win, mean_all)
+
+
+def test_weighted_median_between_bounds(spark, sf_dir):
+    """The weighted median is an actual data value inside [min, max] and
+    at least half the group's weight sits at or below it."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    med = {r.flag: r.weighted_median
+           for r in REGISTRY["agg_weighted_median"].fn(spark, sf_dir).collect()}
+    for r in li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.sum("l_quantity").alias("tot"),
+    ).collect():
+        assert r.lo <= med[r.l_returnflag] <= r.hi
+    for flag, m in med.items():
+        below = li.filter(
+            (F.col("l_returnflag") == flag) & (F.col("l_extendedprice") <= m)
+        ).agg(F.sum("l_quantity")).first()[0]
+        tot = li.filter(F.col("l_returnflag") == flag).agg(
+            F.sum("l_quantity")
+        ).first()[0]
+        assert below >= tot / 2.0
