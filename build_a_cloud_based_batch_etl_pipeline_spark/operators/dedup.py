@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import cap_bucket_occupancy, seq1, t
+from .util import cache_once, cap_bucket_occupancy, seq1, spread_small_input, t
 
 # MinHash parameters: 32 hashes = 16 bands x 2 rows. Banding theory: the
 # probability a pair with Jaccard s shares >=1 band is 1-(1-s^rows)^bands;
@@ -49,12 +49,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, s): distinct word n-gram shingles per document.
 
     Built-in expressions only: split -> index-sequence -> transform ->
-    explode. The input is repartitioned first: a single small parquet file
-    is one input split, which would serialize the explode (the dominant
-    cost) onto one task; at real scale file splits provide this
-    parallelism natively and the repartition is a cheap no-op safeguard.
+    explode. A small fixture (one parquet file = one input split) is
+    spread across cores first; an already-split input at real scale is
+    left untouched (util.spread_small_input — the shuffle would move the
+    full text column for nothing).
     """
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_small_input(docs, "doc_id")
     w = F.split("text", " ")
     idx = seq1(F.size(w) - (n - 1))  # empty (not [1,0]!) for short docs
     grams = F.transform(
@@ -146,7 +146,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the self-join fans out quadratically on common shingles.
     """
     docs = t(spark, sf_dir, "documents")
-    sh = shingles(docs).cache()
+    sh = cache_once(spark, ("jaccard_shingles", sf_dir), lambda: shingles(docs))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -176,7 +176,7 @@ def gram_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
     aggregation shuffle at all (vs the classic explode -> groupBy-min,
     which shuffles every shingle row).
     """
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_small_input(docs, "doc_id")
     w = F.split("text", " ")
     wh = F.transform(w, lambda x: F.xxhash64(x))
     idx = seq1(F.size(w) - (n - 1))  # empty (not [1,0]!) for short docs
@@ -222,7 +222,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-doc int64 gram arrays; the verify step below intersects per-pair
     # arrays instead of re-joining an exploded shingle table (which fans
     # out one row per SHARED shingle — quadratic on near-identical docs).
-    sh = gram_hashes(docs).cache()
+    sh = cache_once(spark, ("mh_gram_hashes", sf_dir), lambda: gram_hashes(docs))
     sig = minhash_signatures(sh)
     bands = sig.select(
         "doc_id",
@@ -244,7 +244,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the cache the 32 signature folds would be computed twice.
     # Narrow rows (id + band + hash), so the cache is a few dozen bytes/doc.
     bands = cap_bucket_occupancy(
-        bands.cache(), ["band", "bh"], "doc_id", _MH_BAND_CAP
+        cache_once(spark, ("mh_bands", sf_dir), lambda: bands),
+        ["band", "bh"],
+        "doc_id",
+        _MH_BAND_CAP,
     )
     cand = (
         bands.alias("x")
@@ -279,7 +282,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     fold over the per-doc word-hash array accumulating the 64 bit-sums —
     a pure projection with ZERO shuffles (vs the classic explode ->
     64-column groupBy, which shuffles every word row)."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_small_input(docs, "doc_id")
     wh = F.transform(F.split("text", " "), lambda x: F.xxhash64(x))
 
     def contrib(h):
@@ -347,7 +350,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     ).select("doc_id", "simhash", "x.chunk", "x.ch")
     chunks = cap_bucket_occupancy(
-        chunks.cache(), ["chunk", "ch"], "doc_id", _MH_BAND_CAP
+        cache_once(spark, ("simhash_chunks", sf_dir), lambda: chunks),
+        ["chunk", "ch"],
+        "doc_id",
+        _MH_BAND_CAP,
     )
     pairs = (
         chunks.alias("a")
@@ -370,19 +376,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def propagate_min_label(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 5
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 15
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation:
-    (doc_id, label) x (doc_a, doc_b) -> converged (doc_id, label).
+    """Connected components by iterative min-label propagation, run to
+    CONVERGENCE: (doc_id, label) x (doc_a, doc_b) -> (doc_id, label).
 
     Each round every node takes the min of its own label and its
     neighbors' labels (edges used in both directions); a round is one
-    equi-join + one groupBy-min — all shuffles on doc_id. max_iters
-    bounds the chain length handled exactly; duplicate clusters are
-    near-cliques (diameter 1-2), so the default converges with slack.
-    Iterative algorithms are the one place the driver loops — each
-    iteration is still a fully distributed plan, and `localCheckpoint`
-    truncates lineage so the plan does not grow superlinearly at scale.
+    equi-join + one groupBy-min — all shuffles on doc_id. Rounds repeat
+    until a round changes no label (labels propagate one hop per round,
+    so the round count is the component diameter + 1); duplicate
+    clusters are near-cliques (diameter 1-2), so convergence lands in
+    2-3 rounds. `max_iters` is a hard cap: an adversarial long-chain
+    graph (diameter > cap — e.g. a path of documents each near-dup to
+    the next) raises rather than silently returning fragmented
+    components. For genuinely large-diameter graphs, raise the cap
+    (cost is linear in rounds) or use a pointer-doubling/GraphFrames
+    variant (O(log d) rounds); this engine targets dedup graphs, where
+    diameter is structurally small. Iterative algorithms are the one
+    place the driver loops — each round is still a fully distributed
+    plan, and the eager `localCheckpoint` both truncates lineage (the
+    plan cannot grow superlinearly) and materializes the round so the
+    convergence count never recomputes prior rounds.
     """
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -396,17 +411,29 @@ def propagate_min_label(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        stepped = (
             labels.join(neighbor, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("_prev"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-    return labels
+        labels = stepped.select("doc_id", "label")
+        # Converged when the round lowered no label. The scan is over the
+        # checkpointed round (narrow int rows) and short-circuits via
+        # limit(1); no prior round is recomputed.
+        if stepped.filter(F.col("label") < F.col("_prev")).limit(1).isEmpty():
+            return labels
+    raise RuntimeError(
+        f"propagate_min_label did not converge within {max_iters} rounds: "
+        "the duplicate graph has a component with diameter >= the cap "
+        "(e.g. a long chain of pairwise near-duplicates). Raise max_iters "
+        "or switch to a pointer-doubling variant for large-diameter graphs."
+    )
 
 
 _CLUSTERS_ORACLE = """
@@ -466,7 +493,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes partition the corpus) are ALSO property-tested in
     tests/test_dedup.py, independent of the fixture."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    edges = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    edges = cache_once(
+        spark,
+        ("mh_edges", sf_dir),
+        lambda: dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+    )
     # Iterate ONLY over nodes that touch an edge: in a deduplicated
     # corpus the overwhelming majority of documents are singletons, and
     # each propagation round over the full corpus would shuffle every

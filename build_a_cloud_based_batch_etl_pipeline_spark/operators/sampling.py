@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import seq1, t
+from .util import seq1, spread_small_input, t
 
 # md5-hex prefix thresholds: first byte < 0x0d -> ~5.1% valid,
 # < 0x1a -> next ~5.1% test, rest train.
@@ -135,9 +135,25 @@ STRATA_FRACTIONS = {"en": 0.2, "fr": 0.5, "de": 0.5}
 # salted hash prefix sorts below round(frac * 2^16) rendered as 4-digit
 # lowercase hex — lexicographic compare on fixed-width lowercase hex IS
 # the numeric compare, in both engines.
+
+
+def _strata_hex_lt(frac: float) -> str | None:
+    """Keep-threshold for one stratum, or None meaning keep-all.
+
+    frac >= 1.0 cannot be a strict-< hex threshold: unclamped,
+    round(frac * 65536) renders FIVE chars ('10000'), every 4-char
+    prefix exceeds it lexicographically, and the stratum silently
+    samples ~0 rows instead of all (ADVICE r3). It is special-cased to
+    keep-all; sub-1.0 fractions clamp to 'ffff' (a frac within
+    1/65536 of 1.0 keeps 65535/65536 of rows — the resolution floor of
+    a 16-bit threshold)."""
+    if frac >= 1.0:
+        return None
+    return format(min(round(frac * 65536), 65535), "04x")
+
+
 _STRATA_HEX_LT = {
-    lang: format(round(frac * 65536), "04x")
-    for lang, frac in STRATA_FRACTIONS.items()
+    lang: _strata_hex_lt(frac) for lang, frac in STRATA_FRACTIONS.items()
 }
 
 
@@ -147,7 +163,12 @@ _STRATA_HEX_LT = {
     SELECT doc_id, lang, source FROM documents
     WHERE CASE lang
           {" ".join(
-              f"WHEN '{lang}' THEN substring(md5('{lang}:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{lt}'"
+              f"WHEN '{lang}' THEN "
+              + (
+                  "TRUE"
+                  if lt is None
+                  else f"substring(md5('{lang}:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{lt}'"
+              )
               for lang, lt in _STRATA_HEX_LT.items()
           )}
           ELSE FALSE END
@@ -172,7 +193,8 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = F.lit(False)
     for lang, lt in _STRATA_HEX_LT.items():
-        keep = F.when(F.col("lang") == lang, h < F.lit(lt)).otherwise(keep)
+        cond = F.lit(True) if lt is None else (h < F.lit(lt))
+        keep = F.when(F.col("lang") == lang, cond).otherwise(keep)
     return docs.filter(keep).select("doc_id", "lang", "source")
 
 
@@ -276,15 +298,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere — far below the >=3-shared-grams decision margin.) Like
     the dedup shingle join, the 100 TB path pre-filters candidates with
     MinHash bands before the exact overlap count; the eval side is tiny
-    (the split fraction) and broadcasts under AQE. The input is
-    repartitioned first — the fixture is one parquet file = one input
-    split, which would serialize the gram hashing (the dominant cost)
-    onto a single task; at real scale file splits provide the
-    parallelism and this is a cheap rebalance."""
-    docs = t(spark, sf_dir, "documents")
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    (the split fraction) and broadcasts under AQE. A single-file fixture
+    is spread across cores first (gram hashing, the dominant cost, would
+    otherwise serialize onto one task); an already-split input at real
+    scale skips the shuffle entirely (util.spread_small_input)."""
+    docs = spread_small_input(t(spark, sf_dir, "documents"), "doc_id")
     is_eval = _split_bucket() < _VALID_LT
     w = F.split("text", " ")
     wh = F.transform(w, lambda x: F.xxhash64(x))
@@ -452,12 +470,12 @@ _WTOP_DOM = 1000003
     oracle=f"""
     WITH keyed AS (
         SELECT source, doc_id,
-               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens,
-               pow(
+               greatest(CAST(ceil(n_chars / 4.0) AS BIGINT), 1) AS est_tokens,
+               round(pow(
                    (((doc_id % {_WTOP_DOM}) * {_WTOP_MULT})
                      % 4294967296 + 0.5) / 4294967296.0,
-                   1.0 / CAST(ceil(n_chars / 4.0) AS BIGINT)
-               ) AS wkey
+                   1.0 / greatest(CAST(ceil(n_chars / 4.0) AS BIGINT), 1)
+               ), 6) AS wkey
         FROM documents
     ),
     ranked AS (
@@ -468,7 +486,7 @@ _WTOP_DOM = 1000003
                ) AS rn
         FROM keyed
     )
-    SELECT source, doc_id, est_tokens, round(wkey, 6) AS weight_key
+    SELECT source, doc_id, est_tokens, wkey AS weight_key
     FROM ranked WHERE rn <= {_WTOP_N}
     """,
 )
@@ -480,7 +498,13 @@ def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     often, and the draw is reproducible on any cluster size because u is
     pure arithmetic on the key, not RNG state (same property as the
     md5 train/valid/test split above; ref has no sampling surface —
-    BigQuery delegation per src/load/main.py:40).
+    BigQuery delegation per src/load/main.py:40). The rank key is the
+    6dp-ROUNDED u^(1/w): Java's Math.pow and DuckDB's libm pow are each
+    <= 1 ulp but not bit-identical, so ranking on full precision could
+    pick different rank-N-boundary rows engine-vs-oracle (ADVICE r3);
+    after rounding, ties are broken deterministically by doc_id. w is
+    floored at 1 token so an empty document (n_chars = 0) cannot produce
+    a 1/0 exponent.
 
     Scale: key assignment is a pure projection; selection is one
     row_number window partitioned by source — a single shuffle on the
@@ -489,7 +513,7 @@ def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition heap (TakeOrderedAndProject shape) — at N=25 the
     window is already the plan AQE picks."""
     docs = t(spark, sf_dir, "documents")
-    est = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    est = F.greatest(F.ceil(F.col("n_chars") / 4.0).cast("bigint"), F.lit(1))
     u = (
         (F.col("doc_id") % _WTOP_DOM) * _WTOP_MULT % F.lit(4294967296).cast("bigint")
         + 0.5
@@ -498,11 +522,11 @@ def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         est.alias("est_tokens"),
-        F.pow(u, 1.0 / est).alias("wkey"),
+        F.round(F.pow(u, 1.0 / est), 6).alias("wkey"),
     )
     w = W.partitionBy("source").orderBy(F.col("wkey").desc(), "doc_id")
     return (
         keyed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _WTOP_N)
-        .select("source", "doc_id", "est_tokens", F.round("wkey", 6).alias("weight_key"))
+        .select("source", "doc_id", "est_tokens", F.col("wkey").alias("weight_key"))
     )

@@ -34,18 +34,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects outright. Read the raw int64 nanos via the
-    legacy conf, then truncate to microseconds with *integer* division
-    (`div 1000`) — bit-exact with DuckDB's CAST(ts_ns AS TIMESTAMP)
-    truncation, whereas float division would round and drift by 1 µs on
-    sub-µs values.
+    """events.parquet's `ts` physical type varies by fixture generation:
+    TIMESTAMP(NANOS) (which Spark's vectorized parquet reader rejects
+    outright — read the raw int64 nanos via the legacy conf instead) or
+    plain TIMESTAMP(MICROS)/NTZ. Normalize BOTH to the session
+    TimestampType so every downstream query sees one `ts` type:
+
+    - int64 nanos: truncate to micros with *integer* division
+      (`div 1000`) — bit-exact with DuckDB's CAST(ts_ns AS TIMESTAMP)
+      truncation, whereas float division would round and drift 1 µs on
+      sub-µs values;
+    - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false): cast to
+      TimestampType — with the session timezone pinned to UTC the wall
+      time is preserved exactly, matching DuckDB's naive read.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampType):
+        return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -178,3 +178,59 @@ def test_minhash_band_cap_keeps_degenerate_corpus_connected(spark, monkeypatch):
     labels = dedup.propagate_min_label(nodes, pairs, max_iters=6)
     n_clusters = labels.select("label").distinct().count()
     assert n_clusters == 1, f"cap fragmented the duplicate cluster: {n_clusters}"
+
+
+def test_simhash_recall_is_exact_at_hamming_threshold(spark, sf_dir):
+    """Pigeonhole guarantee, checked against a brute-force numpy ground
+    truth: the fingerprint is banded into 4x16-bit chunks, and any pair
+    with hamming <= 3 differs in at most 3 chunks, so at least one chunk
+    matches and the pair MUST surface as a candidate. dedup_simhash must
+    therefore return EXACTLY the all-pairs hamming<=3 set — 100% recall,
+    not a sampled bound (and zero false positives, since candidates are
+    re-scored with the exact bit_count)."""
+    import numpy as np
+
+    fps = dedup.simhash_fingerprints(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).collect()
+    ids = np.array([r.doc_id for r in fps], dtype=np.int64)
+    sh = np.array([r.simhash for r in fps], dtype=np.int64).astype(np.uint64)
+    xor = sh[:, None] ^ sh[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for _ in range(64):  # popcount via shift-and-mask (no np.bit_count on u64)
+        ham += (xor & np.uint64(1)).astype(np.int64)
+        xor >>= np.uint64(1)
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if ham[i, j] <= 3
+    }
+    assert truth, "fixture should contain hamming<=3 fingerprint pairs"
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_simhash(spark, sf_dir).collect()
+    }
+    assert got == truth, (
+        f"missed {truth - got} / extra {got - truth} vs brute-force hamming"
+    )
+
+
+def test_propagate_min_label_converges_and_caps_long_chains(spark):
+    """A path graph propagates the min label one hop per round — depth
+    beyond max_iters must RAISE (silently-fragmented components were the
+    r3 failure mode this guards), while an adequate cap converges the
+    same chain to a single component."""
+    import pytest
+
+    n = 12  # path 0-1-2-...-11: diameter 11
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id: long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a: long, doc_b: long"
+    )
+    nodes = docs.select("doc_id", F.col("doc_id").alias("label"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.propagate_min_label(nodes, edges, max_iters=4)
+    labels = dedup.propagate_min_label(nodes, edges, max_iters=n + 1)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}

@@ -225,6 +225,42 @@ def test_incremental_stream_survives_checkpoint_loss(spark, tmp_path):
     assert ingest.read_table(spark, cfg).count() == 2
 
 
+def test_incremental_stream_crash_mid_batch_is_exactly_once(spark, tmp_path, monkeypatch):
+    """Kill the foreachBatch AFTER its parquet append but BEFORE the
+    checkpoint commit (the at-least-once crash window): restarting from
+    the checkpoint replays the epoch, and the table-level idempotent
+    append must swallow the replayed rows — final state exactly-once."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import ingest as ingest_mod
+
+    cfg = _cfg(tmp_path)
+    _drop_file(tmp_path, "r1", [
+        {"userId": 1, "id": 1, "title": "a", "body": ""},
+        {"userId": 1, "id": 2, "title": "b", "body": ""},
+    ])
+    real_append = ingest_mod.append_idempotent
+
+    def append_then_crash(spark_, df, table_path, key):
+        n = real_append(spark_, df, table_path, key=key)
+        raise RuntimeError("simulated crash after table commit")
+
+    monkeypatch.setattr(ingest_mod, "append_idempotent", append_then_crash)
+    with pytest.raises(StreamingQueryException):
+        ingest_stream.incremental_load(spark, cfg)
+    # rows hit the table, but the epoch was never checkpointed
+    assert ingest.read_table(spark, cfg).count() == 2
+
+    # restart with the fault cleared: the file source replays the epoch,
+    # the idempotent append must report 0 new rows and not duplicate
+    monkeypatch.setattr(ingest_mod, "append_idempotent", real_append)
+    assert ingest_stream.incremental_load(spark, cfg) == 0
+    got = ingest.read_table(spark, cfg)
+    assert got.count() == 2
+    assert got.select("id").distinct().count() == 2
+
+
 def test_continuous_aggregate_maintenance(spark, tmp_path):
     """The materialized per-user totals table accumulates correctly
     across micro-batches and new file drops."""
