@@ -234,3 +234,20 @@ def test_propagate_min_label_converges_and_caps_long_chains(spark):
     labels = dedup.propagate_min_label(nodes, edges, max_iters=n + 1)
     got = {r.doc_id: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_pointer_doubling_handles_large_diameter_in_log_rounds(spark):
+    """The doubling variant must converge a diameter-60 path within
+    O(log d) rounds (12 allowed here, vs 61 one-hop rounds) and still
+    label disconnected components independently."""
+    n = 60  # path 0-..-59 plus a separate triangle 100-101-102
+    docs = [(i,) for i in range(n)] + [(100,), (101,), (102,)]
+    es = [(i, i + 1) for i in range(n - 1)] + [(100, 101), (101, 102), (100, 102)]
+    nodes = spark.createDataFrame(docs, "doc_id: long").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    edges = spark.createDataFrame(es, "doc_a: long, doc_b: long")
+    labels = dedup.propagate_min_label_doubling(nodes, edges, max_iters=12)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    expect = {i: 0 for i in range(n)} | {100: 100, 101: 100, 102: 100}
+    assert got == expect
