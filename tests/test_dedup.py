@@ -236,6 +236,27 @@ def test_propagate_min_label_converges_and_caps_long_chains(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_cache_once_memoizes_per_key(spark):
+    """Repeat invocations with the same key must return the SAME cached
+    DataFrame handle (one cache entry, built once — bench runs each
+    query 3x; ADVICE r3), while a different key builds fresh."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import cache_once
+
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.range(5).toDF("doc_id")
+
+    a = cache_once(spark, ("cache_once_test", "k1"), build)
+    b = cache_once(spark, ("cache_once_test", "k1"), build)
+    c = cache_once(spark, ("cache_once_test", "k2"), build)
+    assert a is b, "same key must reuse the memoized DataFrame"
+    assert c is not a
+    assert builds["n"] == 2, "builder must run once per distinct key"
+    assert a.count() == 5 and c.count() == 5
+
+
 def test_pointer_doubling_handles_large_diameter_in_log_rounds(spark):
     """The doubling variant must converge a diameter-60 path within
     O(log d) rounds (12 allowed here, vs 61 one-hop rounds) and still
