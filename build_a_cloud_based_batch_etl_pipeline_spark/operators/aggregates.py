@@ -74,6 +74,34 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_hll_partial_merge")
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-event-type user sketches plus a
+    '__all__' row whose estimate comes from MERGING the per-group
+    sketches, never re-reading the data. This is the rollup capability a
+    100 TB warehouse actually needs: per-partition/day sketch columns
+    are stored once and unioned to any coarser grain (week, month,
+    all-time) in O(groups) — an exact distinct would re-shuffle every
+    raw row per grain. Rows-only: sketch estimates are engine-specific
+    by construction; tests/test_operators.py pins merge-consistency
+    (merged '__all__' equals the estimate of a direct global sketch
+    EXACTLY — same sketch state either way) and <=5% error vs the exact
+    count. Reference: no sketch surface (BigQuery delegation,
+    src/load/main.py:40 — BQ's HLL_COUNT.* is the delegated analogue)."""
+    events = t(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    out = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+    return out.unionByName(total)
+
+
 @query(
     "agg_rollup",
     oracle="""

@@ -10,7 +10,7 @@ zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..queries import query
@@ -595,6 +595,78 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("chunk_words"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
+    )
+
+
+# CDC boundary threshold on the word-hash prefix: 0x10/0x100 = 1/16
+# boundary probability => mean 16-word chunks.
+_CDC_BRK_LT = "10"
+
+
+@query(
+    "doc_chunk_cdc",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, w[CAST(i AS INT)] AS wd, CAST(i AS INT) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    flagged AS (
+        SELECT doc_id, wd, i,
+               CASE WHEN substring(md5(wd), 1, 2) < '{_CDC_BRK_LT}'
+                    THEN 1 ELSE 0 END AS brk
+        FROM words
+    ),
+    chunked AS (
+        SELECT doc_id, wd, i,
+               CAST(COALESCE(SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS INT) AS chunk_idx
+        FROM flagged
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_words,
+           md5(string_agg(wd, ' ' ORDER BY i)) AS chunk_digest
+    FROM chunked GROUP BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC): a word ENDS its chunk when its
+    md5 prefix falls below _CDC_BRK_LT — boundaries depend only on local
+    content, so edits re-chunk only the chunk they touch while every
+    later chunk's digest is unchanged (the property that makes
+    chunk-level dedup stable under document edits; the fixed-stride
+    doc_chunk_overlap shifts EVERY downstream chunk instead). The
+    rolling-hash CDC family is standard in dedup storage (LBFS/Venti
+    lineage); the word-hash threshold is its order-0 form, and md5 keeps
+    the oracle bit-identical in DuckDB. Reference has no chunking
+    surface (BigQuery delegation, src/load/main.py:40).
+
+    Scale shape: posexplode fans out one narrow (doc_id, pos, word) row
+    per word; boundary flags are a projection; the prefix-count window
+    and the per-chunk digest agg both key on doc_id, so the single word
+    shuffle is reused (the groupBy's partial agg collapses each chunk to
+    one row before the exchange). Mean chunk length is set by the
+    threshold (1/16 => 16 words), independent of document length."""
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "wd")
+    )
+    brk = F.when(F.substring(F.md5("wd"), 1, 2) < _CDC_BRK_LT, 1).otherwise(0)
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    chunked = words.select(
+        "doc_id",
+        "pos",
+        "wd",
+        F.coalesce(F.sum(brk).over(win), F.lit(0)).cast("int").alias("chunk_idx"),
+    )
+    in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "wd"))), lambda s: s.wd
+    )
+    return chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", in_order)).alias("chunk_digest"),
     )
 
 

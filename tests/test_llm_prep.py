@@ -79,3 +79,44 @@ def test_hashing_vectorizer_conserves_token_mass(spark, sf_dir):
     assert per_doc == truth, "sum of bucket tfs must equal the token count"
     buckets = {r.bucket for r in out.select("bucket").distinct().collect()}
     assert all(len(b) == 3 for b in buckets)
+
+
+def test_cdc_chunking_is_stable_under_suffix_edits(spark):
+    """THE content-defined-chunking property: appending words to a
+    document re-digests only the final chunk — every earlier chunk's
+    (idx, digest) survives identically (a fixed-stride chunker shifts
+    every downstream chunk instead). Also: chunk word counts must
+    partition the document."""
+    import build_a_cloud_based_batch_etl_pipeline_spark.operators.text as text_mod
+
+    base = "the quick brown fox jumps over a lazy dog " * 8
+    doc0 = base.strip()
+    doc1 = (base + "and then some entirely new trailing words appear").strip()
+    docs = spark.createDataFrame(
+        [(1, doc0, "en", "s", len(doc0)), (2, doc1, "en", "s", len(doc1))],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+
+    import build_a_cloud_based_batch_etl_pipeline_spark.operators.util as util_mod
+
+    orig_t = util_mod.t
+    try:
+        util_mod.t = lambda spark_, sf_dir_, name_: docs
+        text_mod.t = util_mod.t
+        out = {
+            (r.doc_id, r.chunk_idx): (r.n_words, r.chunk_digest)
+            for r in text_mod.doc_chunk_cdc(spark, "ignored").collect()
+        }
+    finally:
+        util_mod.t = orig_t
+        text_mod.t = orig_t
+
+    c0 = {k[1]: v for k, v in out.items() if k[0] == 1}
+    c1 = {k[1]: v for k, v in out.items() if k[0] == 2}
+    assert sum(n for n, _ in c0.values()) == len(doc0.split(" "))
+    assert sum(n for n, _ in c1.values()) == len(doc1.split(" "))
+    # every chunk of doc0 except its last reappears bit-identically in doc1
+    last0 = max(c0)
+    for idx, (n, digest) in c0.items():
+        if idx < last0:
+            assert c1[idx] == (n, digest), f"chunk {idx} not edit-stable"

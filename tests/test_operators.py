@@ -101,6 +101,27 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     assert abs(row.approx - row.exact) <= 0.05 * row.exact + 1
 
 
+def test_hll_partial_merge_consistency_and_accuracy(spark, sf_dir):
+    """The '__all__' row must equal the estimate of a directly-built
+    global sketch (merging per-group sketches loses nothing — the whole
+    point of storing sketch columns), and land within 5% of the exact
+    distinct count."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+    out = {
+        r.event_type: r.approx_users
+        for r in load_all()["agg_hll_partial_merge"].fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d")
+    ).first().d
+    assert out["__all__"] == direct, "merged sketches diverge from direct build"
+    exact = ev.select("user_id").distinct().count()
+    assert abs(out["__all__"] - exact) <= 0.05 * exact + 1
+    assert len(out) >= 3  # per-type rows plus the merged row
+
+
 def test_percentile_approx_accuracy(spark, sf_dir):
     """Approximate medians stay within 2% (relative) of the exact
     percentile at default accuracy."""
