@@ -598,6 +598,102 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry: 4 independent hash rows x 1024 counters =
+# 4096 cells regardless of corpus size; estimates are one-sided
+# (est >= true) with error <= e/width * total per row w.p. 1 - e^-depth.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_FRAC = 0.01  # report terms estimated at >= 1% of all occurrences
+
+
+def _cms_bucket_sql(d_expr: str, term_expr: str) -> str:
+    """DuckDB bucket expression — md5 prefix parsed as hex, mod width."""
+    return (
+        f"CAST(CAST('0x' || substring(md5(CAST({d_expr} AS VARCHAR) || ':' "
+        f"|| {term_expr}), 1, 8) AS UBIGINT) % {_CMS_WIDTH} AS BIGINT)"
+    )
+
+
+@query(
+    "text_heavy_hitters_cms",
+    oracle=f"""
+    WITH occ AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    buckets AS (
+        SELECT d, {_cms_bucket_sql('d', 'term')} AS bkt
+        FROM occ, UNNEST([0, 1, 2, 3]) AS t(d)
+    ),
+    counters AS (SELECT d, bkt, count(*) AS c FROM buckets GROUP BY 1, 2),
+    terms AS (SELECT DISTINCT term FROM occ),
+    tb AS (
+        SELECT term, d, {_cms_bucket_sql('d', 'term')} AS bkt
+        FROM terms, UNNEST([0, 1, 2, 3]) AS t(d)
+    ),
+    est AS (
+        SELECT term, CAST(min(c) AS BIGINT) AS est_count
+        FROM tb JOIN counters USING (d, bkt) GROUP BY term
+    ),
+    tot AS (SELECT count(*) AS n FROM occ)
+    SELECT term, est_count FROM est, tot
+    WHERE est_count >= ceil(n * {_CMS_FRAC})
+    """,
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter terms via a count-min sketch built entirely from
+    DataFrame ops (md5-derived bucket hashes, so the DuckDB oracle
+    reproduces every cell bit-for-bit — Spark's built-in
+    count_min_sketch agg returns an opaque binary with no SQL query
+    surface). Estimates are the classic one-sided CMS guarantee:
+    est >= true count always, over-estimate bounded by collisions in
+    ALL {_CMS_DEPTH} rows (tests/test_operators.py pins both sides).
+
+    Scale shape: the counter table is {_CMS_DEPTH}x{_CMS_WIDTH} cells
+    FOREVER — per-occurrence bucket rows collapse map-side (partial agg)
+    to at most 4096 rows per task before the one tiny shuffle, and the
+    counter table broadcasts to the estimation join. At 100 TB this is
+    the streaming-friendly frequency summary (mergeable by cell-wise
+    add, e.g. per-day sketches -> any window); querying every distinct
+    term, as the checkable form here does, is fixture-scale convenience
+    — production queries only candidate terms against the broadcast
+    cells. Reference: no frequency surface (BigQuery delegation,
+    src/load/main.py:40)."""
+    docs = t(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(F.split("text", " ")).alias("term"))
+
+    def bucket(d: int):
+        h = F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("term"))), 1, 8)
+        return (F.conv(h, 16, 10).cast("bigint") % _CMS_WIDTH).alias("bkt")
+
+    depth_fan = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(d).alias("d"), bucket(d))
+                for d in range(_CMS_DEPTH)
+            ]
+        )
+    ).alias("b")
+    counters = (
+        occ.select(depth_fan)
+        .select("b.d", "b.bkt")
+        .groupBy("d", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    terms = occ.distinct()
+    tb = terms.select("term", depth_fan).select("term", "b.d", "b.bkt")
+    est = (
+        tb.join(F.broadcast(counters), ["d", "bkt"])
+        .groupBy("term")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    total = occ.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") >= F.ceil(F.col("n") * _CMS_FRAC))
+        .select("term", "est_count")
+    )
+
+
 # CDC boundary threshold on the word-hash prefix: 0x10/0x100 = 1/16
 # boundary probability => mean 16-word chunks.
 _CDC_BRK_LT = "10"

@@ -122,6 +122,32 @@ def test_hll_partial_merge_consistency_and_accuracy(spark, sf_dir):
     assert len(out) >= 3  # per-type rows plus the merged row
 
 
+def test_cms_heavy_hitters_one_sided_guarantee(spark, sf_dir):
+    """Count-min estimates never under-count (est >= exact for every
+    reported term) and never miss a true heavy hitter (any term whose
+    exact count clears the threshold must be reported — the one-sided
+    CMS guarantee makes false negatives impossible)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+    got = {
+        r.term: r.est_count
+        for r in load_all()["text_heavy_hitters_cms"].fn(spark, sf_dir).collect()
+    }
+    assert got, "fixture should contain heavy-hitter terms"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    occ = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    exact = {r.term: r.c for r in occ.groupBy("term").agg(F.count("*").alias("c")).collect()}
+    total = sum(exact.values())
+    import math
+
+    threshold = math.ceil(total * 0.01)
+    for term, est in got.items():
+        assert est >= exact[term], f"CMS under-counted {term}"
+    for term, c in exact.items():
+        if c >= threshold:
+            assert term in got, f"true heavy hitter {term} missing"
+
+
 def test_percentile_approx_accuracy(spark, sf_dir):
     """Approximate medians stay within 2% (relative) of the exact
     percentile at default accuracy."""
