@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..queries import query
-from .util import t
+from .util import cache_once, cap_bucket_occupancy, t
 
 try:  # real decoder if an imaging library is ever present
     from PIL import Image  # noqa: F401
@@ -274,3 +274,100 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     bin_df = with_binary_payload(docs).select("doc_id", "payload")
     return bin_df.mapInPandas(resize_batch, THUMB_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("phash", T.LongType())]
+)
+
+_PHASH_HAMMING = 6  # pair threshold; identical payloads land at 0
+
+
+def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas average-hash: 8x8 thumbnail bytes -> 64-bit aHash
+    (bit j set when pixel j is brighter than the thumbnail mean — the
+    classic perceptual fingerprint; identical payloads hash identically,
+    small visual edits flip few bits). numpy-vectorized per Arrow batch;
+    works unchanged on real PIL thumbnails or the deterministic fake."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for buf in pdf["thumb"]:
+            b = np.frombuffer(bytes(buf), dtype=np.uint8)[: _THUMB_SIDE * _THUMB_SIDE]
+            if b.size == 0 or b.max() == b.min():
+                out.append(0)
+                continue
+            bits = (b > b.mean()).astype(np.uint8)
+            packed = np.packbits(bits, bitorder="little").tobytes().ljust(8, b"\0")
+            out.append(int.from_bytes(packed[:8], "little", signed=True))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": pd.Series(out, dtype="int64")})
+
+
+def phash_pairs(bin_df: DataFrame, cache_key: tuple | None = None) -> DataFrame:
+    """(doc_id, payload) -> near-duplicate (doc_a, doc_b, hamming) pairs
+    by perceptual hash: decode/resize -> aHash -> 4x16-bit banded
+    candidate join (pigeonhole: hamming <= 3 GUARANTEES a shared chunk;
+    up to the hamming-6 threshold recall stays high as flipped
+    bits rarely spread across all 4 chunks) -> exact bit_count(xor)
+    verification on candidates only. Same scale shape as dedup_simhash:
+    fingerprints are a projection, the only shuffles are the 4-rows/doc
+    band join (occupancy-capped) and the candidate verify."""
+    spark = bin_df.sparkSession
+    fp = bin_df.mapInPandas(resize_batch, THUMB_SCHEMA).select(
+        "doc_id", "thumb"
+    ).mapInPandas(phash_batch, PHASH_SCHEMA)
+    chunks = fp.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ch"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "phash", "x.chunk", "x.ch")
+    if cache_key is not None:
+        chunks = cache_once(spark, cache_key, lambda: chunks)
+    else:
+        chunks = chunks.cache()
+    chunks = cap_bucket_occupancy(chunks, ["chunk", "ch"], "doc_id", 10_000)
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "ch", "sub"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _PHASH_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query("multimodal_phash_dedup")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image/binary near-duplicate pairs by perceptual hash over the
+    decoded thumbnail (rows-only: the decode UDF is not SQL-expressible;
+    tests/test_multimodal.py plants byte-identical and lightly-perturbed
+    payloads and pins recall). This is the multimodal twin of
+    dedup_simhash — the standard first pass of image dedup in crawl
+    pipelines (byte-identical images after re-encode/resize differ in
+    md5 but collide in aHash)."""
+    docs = t(spark, sf_dir, "documents")
+    bin_df = with_binary_payload(docs).select("doc_id", "payload")
+    return phash_pairs(bin_df, cache_key=("phash_chunks", sf_dir))

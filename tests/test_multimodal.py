@@ -107,3 +107,36 @@ def test_frame_sample_counts(spark, sf_dir):
         assert len(got) == n_frames, (doc_id, n_chars, len(got), n_frames)
         for r in got:
             assert r.frame_bytes == 64 or r.frame_idx == max(g.frame_idx for g in got)
+
+
+def test_phash_dedup_finds_planted_payload_duplicates(spark):
+    """Byte-identical payloads must pair at hamming 0; a lightly
+    perturbed copy (thumbnail mostly unchanged) must pair within the
+    threshold; unrelated payloads must not flood the pair set."""
+    texts = {
+        1: "alpha beta gamma delta " * 40,
+        2: "alpha beta gamma delta " * 40,  # byte-identical to 1
+        3: "zz qq ww ee rr tt yy uu ii oo pp " * 31,
+        4: "totally different content with other bytes " * 23,
+    }
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in texts.items()], "doc_id: long, text: string"
+    )
+    bin_df = multimodal.with_binary_payload(docs).select("doc_id", "payload")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.phash_pairs(bin_df).collect()
+    }
+    assert pairs.get((1, 2)) == 0, f"identical payloads must pair at 0: {pairs}"
+    # self-pairs impossible by construction
+    assert all(a < b for a, b in pairs)
+
+
+def test_phash_batch_is_deterministic_and_bounded(spark, sf_dir):
+    """The aHash fingerprint is a stable function of the payload and the
+    full-query pair set is reproducible run-to-run."""
+    out1 = multimodal.multimodal_phash_dedup(spark, sf_dir).collect()
+    out2 = multimodal.multimodal_phash_dedup(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    for r in out1:
+        assert 0 <= r.hamming <= 6
