@@ -79,6 +79,86 @@ def incremental_load(
     return appended["n"]
 
 
+def _atomic_swap_in(spark: SparkSession, merged: DataFrame, table_path: str, epoch_id) -> None:
+    """Write `merged` to a staging dir and rename over the table path —
+    the local-FS stand-in for a transactional table commit (one rename,
+    readers see old or new, never partial)."""
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(fs_conf)
+    staging = table_path + f".epoch-{epoch_id}.staging"
+    merged.write.mode("overwrite").parquet(staging)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    fs.rename(spath, hpath)
+
+
+def maintain_distinct_sketch(
+    spark: SparkSession,
+    events_path: str,
+    sketch_table_path: str,
+    checkpoint_path: str,
+    events_schema,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> None:
+    """Streaming distinct-count maintenance with MERGEABLE HLL sketch
+    columns: keep one DataSketches HLL sketch per key current as event
+    files arrive; readers get approx-distinct at any time via
+    hll_sketch_estimate, and coarser grains via hll_union_agg over the
+    stored sketches (never re-reading raw events — the batch twin is
+    agg_hll_partial_merge).
+
+    The decisive property vs the count/sum aggregate above: HLL union is
+    register-wise max, so it is IDEMPOTENT — re-merging a replayed epoch
+    (crash between table rename and checkpoint commit, or a lost
+    checkpoint re-reading every file) cannot change the state. The
+    epoch-marker machinery maintain_running_aggregate needs is simply
+    unnecessary here; sketch-valued state is how streaming distinct
+    stays exactly-once-equivalent at 100 TB with none of the marker's
+    crash window. tests/test_streaming.py replays the whole input from
+    scratch and asserts the table is bit-stable.
+    """
+    stream = spark.readStream.schema(events_schema).json(events_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        delta = batch.groupBy(key_col).agg(F.hll_sketch_agg(id_col).alias("sk"))
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(sketch_table_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            current = spark.read.parquet(sketch_table_path)
+            merged = (
+                current.unionByName(delta)
+                .groupBy(key_col)
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        else:
+            merged = delta
+        _atomic_swap_in(spark, merged, sketch_table_path, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_distinct_estimates(spark: SparkSession, sketch_table_path: str, key_col: str = "event_type") -> DataFrame:
+    """Query side of maintain_distinct_sketch: per-key estimates plus a
+    merged '__all__' row unioned from the stored sketches."""
+    sk = spark.read.parquet(sketch_table_path)
+    per = sk.select(key_col, F.hll_sketch_estimate("sk").alias("approx_distinct"))
+    total = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct")
+    ).select(F.lit("__all__").alias(key_col), "approx_distinct")
+    return per.unionByName(total)
+
+
 def maintain_running_aggregate(
     spark: SparkSession,
     events_path: str,
@@ -140,12 +220,7 @@ def maintain_running_aggregate(
             )
         else:
             merged = delta
-        staging = agg_table_path + f".epoch-{epoch_id}.staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spath = jvm.org.apache.hadoop.fs.Path(staging)
-        if fs.exists(hpath):
-            fs.delete(hpath, True)
-        fs.rename(spath, hpath)
+        _atomic_swap_in(spark, merged, agg_table_path, epoch_id)
         mfs.mkdirs(marker)
 
     q = (

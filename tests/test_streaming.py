@@ -292,3 +292,49 @@ def test_continuous_aggregate_maintenance(spark, tmp_path):
     got = {r.user_id: (r.n_events, r.total_value)
            for r in spark.read.parquet(agg_path).collect()}
     assert got == {7: (3, 13.0), 8: (1, 5.0), 9: (1, 0.5)}
+
+
+def test_distinct_sketch_maintenance_is_replay_idempotent(spark, tmp_path):
+    """Per-key HLL sketches accumulate across file drops, estimates track
+    the exact distinct counts, and — the property that removes the epoch
+    marker — replaying the ENTIRE input from a lost checkpoint leaves the
+    stored sketch table bit-identical (HLL union is register-wise max)."""
+    import shutil
+
+    evdir = tmp_path / "sk_events"
+    evdir.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def drop(name, rows):
+        with open(evdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    sk_path = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "sk_ckpt")
+    drop("f1.json", [
+        {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": i % 5,
+         "event_type": "click", "value": 1.0}
+        for i in range(20)
+    ])
+    ingest_stream.maintain_distinct_sketch(spark, str(evdir), sk_path, ckpt, schema)
+    est = {r.event_type: r.approx_distinct
+           for r in ingest_stream.read_distinct_estimates(spark, sk_path).collect()}
+    assert est["click"] == 5 and est["__all__"] == 5
+
+    drop("f2.json", [
+        {"event_id": 100 + i, "ts": "2024-01-01T01:00:00", "user_id": 10 + i,
+         "event_type": "view", "value": 1.0}
+        for i in range(7)
+    ])
+    ingest_stream.maintain_distinct_sketch(spark, str(evdir), sk_path, ckpt, schema)
+    est = {r.event_type: r.approx_distinct
+           for r in ingest_stream.read_distinct_estimates(spark, sk_path).collect()}
+    assert est == {"click": 5, "view": 7, "__all__": 12}
+
+    # lose the checkpoint: every file replays; sketch state must not move
+    before = {(r.event_type, bytes(r.sk)) for r in spark.read.parquet(sk_path).collect()}
+    shutil.rmtree(ckpt)
+    ingest_stream.maintain_distinct_sketch(spark, str(evdir), sk_path, ckpt, schema)
+    after = {(r.event_type, bytes(r.sk)) for r in spark.read.parquet(sk_path).collect()}
+    assert after == before, "replay must be a no-op on sketch state"
