@@ -234,24 +234,34 @@ def asof_join(
     value_col: str,
     out_col: str,
     strict: bool = True,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Generic as-of join builder: for every target row, attach
-    `value_col` from the latest source row of the same `key` with source
-    time < target time (strict) or <= (non-strict).
+    `value_col` from the nearest source row of the same `key` —
+    `backward` (latest source with time < target time; <= when
+    non-strict) or `forward` (earliest source with time > target; >=
+    when non-strict), optionally nulled when the matched source lies
+    further than `tolerance_seconds` away (pandas merge_asof parity).
 
     Spark has no native ASOF JOIN; the scalable composition is
     union-the-streams + one window sorted by time with
-    last(value, ignorenulls=True): a single shuffle on the partition key,
-    linear scan per partition — no correlated per-row lookup, no range
-    explosion. (SURVEY.md §2.2 / §7 "what's hard".) Property-tested
-    against a brute-force reference on random inputs in
-    tests/test_properties.py.
+    last/first(value, ignorenulls=True): a single shuffle on the
+    partition key, linear scan per partition — no correlated per-row
+    lookup, no range explosion, and tolerance is a post-hoc null-out of
+    the carried match timestamp, not a join-condition blowup.
+    (SURVEY.md §2.2 / §7 "what's hard".) Property-tested against a
+    brute-force reference on random inputs in tests/test_properties.py
+    (both directions, with and without tolerance).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     tgt_cols = targets.columns
     src = sources.select(
         key,
         F.col(time_col),
         F.col(value_col).alias("__asof_val"),
+        F.col(time_col).alias("__asof_ts"),
         F.lit(0).alias("__is_target"),
         *[F.lit(None).cast(targets.schema[c].dataType).alias(c)
           for c in tgt_cols if c not in (key, time_col)],
@@ -260,25 +270,41 @@ def asof_join(
         key,
         F.col(time_col),
         F.lit(None).cast(sources.schema[value_col].dataType).alias("__asof_val"),
+        F.lit(None).cast(sources.schema[time_col].dataType).alias("__asof_ts"),
         F.lit(1).alias("__is_target"),
         *[c for c in tgt_cols if c not in (key, time_col)],
     )
-    # Strict `source.time < target.time` semantics: at equal time the
-    # target must sort BEFORE the source so the (unboundedPreceding, -1)
-    # frame cannot see an equal-time source. Hence __is_target descending
-    # tie-break; non-strict flips it.
-    order_tgt = F.col("__is_target").desc() if strict else F.col("__is_target").asc()
+    # Tie-break places the target so an equal-time source is excluded
+    # (strict) or included (non-strict) by the frame. Backward frame
+    # looks at strictly-earlier rows, so the target sorts BEFORE an
+    # equal-time source under strict; forward mirrors it.
+    if direction == "backward":
+        order_tgt = F.col("__is_target").desc() if strict else F.col("__is_target").asc()
+        frame = (W.unboundedPreceding, -1)
+        pick = F.last
+    else:
+        order_tgt = F.col("__is_target").asc() if strict else F.col("__is_target").desc()
+        frame = (1, W.unboundedFollowing)
+        pick = F.first
     w = (
         W.partitionBy(key)
         .orderBy(F.col(time_col), order_tgt)
-        .rowsBetween(W.unboundedPreceding, -1)
+        .rowsBetween(*frame)
     )
-    return (
+    joined = (
         src.unionByName(tgt)
-        .withColumn(out_col, F.last("__asof_val", ignorenulls=True).over(w))
+        .withColumn(out_col, pick("__asof_val", ignorenulls=True).over(w))
+        .withColumn("__match_ts", pick("__asof_ts", ignorenulls=True).over(w))
         .filter(F.col("__is_target") == 1)
-        .select(*tgt_cols, out_col)
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(time_col).cast("double") - F.col("__match_ts").cast("double")
+        )
+        joined = joined.withColumn(
+            out_col, F.when(gap <= float(tolerance_seconds), F.col(out_col))
+        )
+    return joined.select(*tgt_cols, out_col)
 
 
 @query(
@@ -309,6 +335,71 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, key="user_id", time_col="ts",
         value_col="click_ts", out_col="last_click_ts", strict=True,
     ).select("event_id", "user_id", "ts", "last_click_ts")
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT min(c.ts) FROM ev c
+            WHERE c.user_id = e.user_id AND c.event_type = 'purchase'
+              AND c.ts > e.ts
+           ) AS next_purchase_ts
+    FROM ev e
+    WHERE e.event_type = 'click'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each click, the user's NEXT purchase
+    (strict) — time-to-conversion attribution. Same single-shuffle
+    union+window plan as the backward form, mirrored frame."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", time_col="ts",
+        value_col="purchase_ts", out_col="next_purchase_ts",
+        strict=True, direction="forward",
+    ).select("event_id", "user_id", "ts", "next_purchase_ts")
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(c.ts) FROM ev c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts < e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+           ) AS last_click_1h
+    FROM ev e
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback as-of join: last prior click only if within one
+    hour (pandas merge_asof `tolerance` parity). The bound is a post-hoc
+    null-out of the carried match timestamp — the window plan is
+    unchanged, no range-join explosion."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", time_col="ts",
+        value_col="click_ts", out_col="last_click_1h",
+        strict=True, tolerance_seconds=3600,
+    ).select("event_id", "user_id", "ts", "last_click_1h")
 
 
 @query(

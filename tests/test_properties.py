@@ -104,3 +104,62 @@ def test_asof_join_nonstrict_includes_equal_ts(spark, sources, targets):
     got = {r.tgt_id: r.asof_val for r in out}
     for k, ts, tid in tgt_rows:
         assert got[tid] in expected(k, ts), (k, ts, tid)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sources=events_strategy, targets=events_strategy)
+def test_asof_join_forward_and_tolerance_match_bruteforce(spark, sources, targets):
+    """Forward direction picks the earliest strictly-later source; a
+    tolerance nulls any match farther than the bound — both checked
+    against brute force on adversarial tied/colliding streams."""
+    from datetime import timedelta
+
+    src_rows = [
+        (k, BASE + timedelta(minutes=m), float(i))
+        for i, (k, m) in enumerate(sources)
+    ]
+    tgt_rows = [
+        (k, BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(targets)
+    ]
+    schema_s = "key: long, ts: timestamp, src_val: double"
+    schema_t = "key: long, ts: timestamp, tgt_id: long"
+    src_df = spark.createDataFrame(src_rows, schema_s) if src_rows else spark.createDataFrame([], schema_s)
+    tgt_df = spark.createDataFrame(tgt_rows, schema_t) if tgt_rows else spark.createDataFrame([], schema_t)
+
+    fwd = {
+        r.tgt_id: r.asof_val
+        for r in asof_join(
+            tgt_df, src_df, key="key", time_col="ts", value_col="src_val",
+            out_col="asof_val", strict=True, direction="forward",
+        ).collect()
+    }
+    tol = {
+        r.tgt_id: r.asof_val
+        for r in asof_join(
+            tgt_df, src_df, key="key", time_col="ts", value_col="src_val",
+            out_col="asof_val", strict=True, tolerance_seconds=600,
+        ).collect()
+    }
+    assert len(fwd) == len(tgt_rows) and len(tol) == len(tgt_rows)
+
+    for k, ts, tid in tgt_rows:
+        later = [(s_ts, v) for (sk, s_ts, v) in src_rows if sk == k and s_ts > ts]
+        if not later:
+            assert fwd[tid] is None
+        else:
+            best = min(c[0] for c in later)
+            assert fwd[tid] in {v for (s_ts, v) in later if s_ts == best}
+
+        earlier = [(s_ts, v) for (sk, s_ts, v) in src_rows if sk == k and s_ts < ts]
+        if not earlier:
+            assert tol[tid] is None
+        else:
+            best = max(c[0] for c in earlier)
+            if (ts - best).total_seconds() <= 600:
+                assert tol[tid] in {v for (s_ts, v) in earlier if s_ts == best}
+            else:
+                assert tol[tid] is None
