@@ -766,6 +766,72 @@ def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_MIN_DOCS = 3
+
+
+@query(
+    "doc_boilerplate_chunks",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, w[CAST(i AS INT)] AS wd, CAST(i AS INT) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    flagged AS (
+        SELECT doc_id, wd, i,
+               CASE WHEN substring(md5(wd), 1, 2) < '{_CDC_BRK_LT}'
+                    THEN 1 ELSE 0 END AS brk
+        FROM words
+    ),
+    chunked AS (
+        SELECT doc_id, wd, i,
+               CAST(COALESCE(SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS INT) AS chunk_idx
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_idx,
+               CAST(count(*) AS BIGINT) AS n_words,
+               md5(string_agg(wd, ' ' ORDER BY i)) AS chunk_digest
+        FROM chunked GROUP BY doc_id, chunk_idx
+    )
+    SELECT chunk_digest,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)               AS n_occurrences,
+           CAST(min(n_words) AS BIGINT)           AS n_words
+    FROM chunks
+    GROUP BY chunk_digest
+    HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    """,
+)
+def doc_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: CDC chunks whose digest recurs across
+    _BOILER_MIN_DOCS+ distinct documents — headers, footers, navigation
+    and license blocks that repeat across a crawl (the chunk-level
+    complement of document-level dedup: the DOCUMENTS are unique, the
+    boilerplate inside them is not). Because chunk boundaries are
+    content-defined, the same boilerplate chunks align identically
+    regardless of where they sit in each document — a fixed-stride
+    chunker would split them differently per document and find nothing.
+
+    Scale shape: doc_chunk_cdc's single doc-keyed shuffle, then one
+    digest-keyed count (map-side partial agg; one row per distinct
+    chunk). The HAVING prunes to the tiny boilerplate set before any
+    downstream join back to documents."""
+    chunks = doc_chunk_cdc(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("n_words").alias("n_words"),
+        )
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+    )
+
+
 @query(
     "text_hashing_vectorizer",
     oracle="""

@@ -85,6 +85,7 @@ INTENTIONAL_CROSS = {
     "sample_domain_mix",
     "sample_temperature_mix",
     "text_unigram_logprob",
+    "text_heavy_hitters_cms",
 }
 
 
@@ -99,3 +100,29 @@ def test_no_query_plans_cartesian(spark, sf_dir):
         if plans.has_cartesian_or_bnlj(df):
             offenders.append(name)
     assert not offenders, f"cartesian/BNLJ in: {offenders}"
+
+
+def test_cms_counter_join_broadcasts(spark, sf_dir):
+    """The CMS estimation join must broadcast the constant-size counter
+    table (4x1024 cells) — shuffling distinct terms against it would
+    defeat the sketch's point."""
+    df = _df(spark, sf_dir, "text_heavy_hitters_cms")
+    assert plans.uses_broadcast_join(df)
+
+
+def test_cdc_chunking_single_shuffle_key(spark, sf_dir):
+    """CDC chunking keys every exchange on doc_id (window + chunk agg
+    reuse the same partitioning family); there must be no join and no
+    cartesian anywhere in the plan."""
+    df = _df(spark, sf_dir, "doc_chunk_cdc")
+    assert not plans.has_cartesian_or_bnlj(df)
+    assert plans.count_shuffles(df) <= 2
+
+
+def test_asof_variants_single_shuffle(spark, sf_dir):
+    """Both as-of variants keep the union+window shape: at most one real
+    shuffle on the partition key (plus AQE read), never a join node."""
+    for name in ("join_asof_forward", "join_asof_tolerance"):
+        df = _df(spark, sf_dir, name)
+        assert not plans.has_cartesian_or_bnlj(df), name
+        assert plans.count_shuffles(df) <= 2, name
