@@ -591,3 +591,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.join(sizes, "label")
         .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
     )
+
+
+@query("dedup_clusters_doubling", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters computed through the pointer-doubling variant —
+    identical output contract and oracle (components are components),
+    exercising the O(log diameter) path end-to-end against the same
+    DuckDB recursive-CTE ground truth. At 100 TB choose per graph
+    family: near-clique dup graphs -> plain propagation (cheaper
+    rounds); chain-heavy graphs -> this."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    edges = cache_once(
+        spark,
+        ("mh_edges", sf_dir),
+        lambda: dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+    )
+    members = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    nodes = members.select("doc_id", F.col("doc_id").alias("label"))
+    linked = propagate_min_label_doubling(nodes, edges)
+    labels = docs.join(linked, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+    )
