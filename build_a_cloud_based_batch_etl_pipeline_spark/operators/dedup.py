@@ -165,6 +165,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                                 || ' ' || w[CAST(i AS INT) + 2] AS s
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_small, doc_big,
+           round(common * 1.0 / x.n, 4) AS containment
+    FROM pairs
+    JOIN sz x ON doc_small = x.doc_id
+    JOIN sz y ON doc_big = y.doc_id
+    WHERE common * 1.0 / x.n >= 0.8 AND x.n <= y.n
+"""
+
+
+@query("dedup_ngram_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT:
+    |A ∩ B| / |A| >= 0.8 with |A| <= |B| — catches quotation, excerpt
+    and subset duplication that symmetric Jaccard misses (a 100-word
+    excerpt inside a 10k-word page has Jaccard ~0.01 but containment
+    ~1.0). The standard second threshold in crawl dedup
+    (Broder's resemblance vs containment distinction). Same plan family
+    as dedup_ngram_jaccard — shingle equi-join + per-pair intersection
+    count; at corpus scale the join runs on MinHash candidates only."""
+    docs = t(spark, sf_dir, "documents")
+    sh = cache_once(spark, ("jaccard_shingles", sf_dir), lambda: shingles(docs))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_small"), F.col("b.doc_id").alias("doc_big")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    containment = F.col("common") * 1.0 / F.col("x.n")
+    return (
+        pairs.join(sz.alias("x"), F.col("doc_small") == F.col("x.doc_id"))
+        .join(sz.alias("y"), F.col("doc_big") == F.col("y.doc_id"))
+        .filter((containment >= 0.8) & (F.col("x.n") <= F.col("y.n")))
+        .select("doc_small", "doc_big", F.round(containment, 4).alias("containment"))
+    )
+
+
 def gram_hashes(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, grams): word n-gram shingles as an int64-hash ARRAY per
     document — no shingle strings, no explode.

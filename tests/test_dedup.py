@@ -272,3 +272,29 @@ def test_pointer_doubling_handles_large_diameter_in_log_rounds(spark):
     got = {r.doc_id: r.label for r in labels.collect()}
     expect = {i: 0 for i in range(n)} | {100: 100, 101: 100, 102: 100}
     assert got == expect
+
+
+def test_containment_catches_excerpt_that_jaccard_misses(spark):
+    """A short excerpt embedded in a much longer document has near-1
+    containment but tiny Jaccard — the asymmetric threshold must flag
+    it and the symmetric one must not."""
+    rng_words = [f"w{i}" for i in range(400)]
+    big = " ".join(rng_words)
+    excerpt = " ".join(rng_words[100:140])  # 40 contiguous words
+    docs = spark.createDataFrame(
+        [(1, excerpt), (2, big)], "doc_id: long, text: string"
+    )
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dedup import shingles
+
+    sh = shingles(docs)
+    sz = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    common = (
+        sh.alias("a").join(sh.alias("b"), "s")
+        .filter((F.col("a.doc_id") == 1) & (F.col("b.doc_id") == 2))
+        .count()
+    )
+    containment = common / sz[1]
+    jaccard = common / (sz[1] + sz[2] - common)
+    assert containment >= 0.99, containment
+    assert jaccard < 0.15, jaccard
