@@ -40,6 +40,10 @@ HEADLINE = [
     # becomes their anchor).
     "text_tfidf",
     "decontaminate_ngram_overlap",
+    # r4 additions: content-defined chunking (window + agg on one key)
+    # and the count-min frequency sketch (broadcast counter join).
+    "doc_chunk_cdc",
+    "text_heavy_hitters_cms",
 ]
 
 

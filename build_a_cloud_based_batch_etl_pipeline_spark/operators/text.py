@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import r4, seq1, t
+from .util import cache_once, r4, seq1, t
 
 # Deterministic stopword lists for the language-ID heuristic.
 _LANG_STOPWORDS = {
@@ -660,6 +660,15 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/load/main.py:40)."""
     docs = t(spark, sf_dir, "documents")
     occ = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    # ONE wide pass: per-term occurrence counts (map-side partial agg
+    # collapses the word stream before the term shuffle). Counters, the
+    # per-term bucket rows, and the corpus total all derive from this
+    # distinct-term table, so the word stream is exploded exactly once.
+    term_counts = cache_once(
+        spark,
+        ("cms_term_counts", sf_dir),
+        lambda: occ.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")),
+    )
 
     def bucket(d: int):
         h = F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("term"))), 1, 8)
@@ -673,20 +682,16 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("b")
-    counters = (
-        occ.select(depth_fan)
-        .select("b.d", "b.bkt")
-        .groupBy("d", "bkt")
-        .agg(F.count(F.lit(1)).alias("c"))
+    tb = term_counts.select("term", "cnt", depth_fan).select(
+        "term", "cnt", "b.d", "b.bkt"
     )
-    terms = occ.distinct()
-    tb = terms.select("term", depth_fan).select("term", "b.d", "b.bkt")
+    counters = tb.groupBy("d", "bkt").agg(F.sum("cnt").alias("c"))
     est = (
         tb.join(F.broadcast(counters), ["d", "bkt"])
         .groupBy("term")
         .agg(F.min("c").cast("bigint").alias("est_count"))
     )
-    total = occ.agg(F.count(F.lit(1)).alias("n"))
+    total = term_counts.agg(F.sum("cnt").alias("n"))
     return (
         est.crossJoin(F.broadcast(total))
         .filter(F.col("est_count") >= F.ceil(F.col("n") * _CMS_FRAC))

@@ -136,3 +136,19 @@ def test_weighted_median_between_bounds(spark, sf_dir):
             F.sum("l_quantity")
         ).first()[0]
         assert below >= tot / 2.0
+
+
+def test_strata_threshold_clamps_and_keeps_all_at_full_fraction():
+    """ADVICE r3: frac near/at 1.0 must not render a 5-char threshold
+    that excludes every 4-char md5 prefix (sampling ~0 rows). >=1.0 is
+    keep-all (None); just-below clamps to 'ffff'."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.sampling import (
+        _strata_hex_lt,
+    )
+
+    assert _strata_hex_lt(1.0) is None
+    assert _strata_hex_lt(1.5) is None
+    assert _strata_hex_lt(0.999999) == "ffff"
+    assert _strata_hex_lt(0.5) == "8000"
+    assert _strata_hex_lt(0.2) == "3333"
+    assert _strata_hex_lt(0.0) == "0000"

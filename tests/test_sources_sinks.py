@@ -195,3 +195,46 @@ def test_expire_partitions_drops_only_unkept(spark, tmp_path):
     assert sinks.expire_partitions(
         spark, path, "ingest_date", keep=["2024-01-02", "2024-01-03"]
     ) == 0
+
+
+def test_load_events_normalizes_all_ts_physical_types(spark, tmp_path):
+    """The events loader must yield session-TimestampType `ts` whether
+    the parquet stores TIMESTAMP(NANOS) (legacy fixtures, read as int64
+    via the nanos conf), TIMESTAMP_NTZ(us) (current fixtures), or a
+    Spark-written TIMESTAMP_LTZ — the r4 fixture regeneration flipped
+    nanos->micros and broke 29 queries until this normalization."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+    from build_a_cloud_based_batch_etl_pipeline_spark.sources import load_table
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    rows = {
+        "event_id": [1], "user_id": [7], "event_type": ["click"],
+        "value": [1.0], "props": ["{}"],
+    }
+    expect = base
+
+    for unit in ("ns", "us"):
+        d = tmp_path / f"ev_{unit}"
+        d.mkdir()
+        tbl = pa.table({**rows, "ts": pa.array([base], type=pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        out = load_table(spark, str(d), "events")
+        assert isinstance(out.schema["ts"].dataType, T.TimestampType), unit
+        got = out.collect()[0].ts
+        assert got == expect, (unit, got)
+
+    # Spark-written LTZ round-trip
+    d = tmp_path / "ev_ltz"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, base, 7, "click", 1.0, "{}")],
+        "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string",
+    ).write.parquet(str(d / "events.parquet"))
+    out = load_table(spark, str(d), "events")
+    assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+    assert out.collect()[0].ts == expect
