@@ -104,6 +104,26 @@ def run_pipeline(
     }
 
 
+def run_compact(spark: SparkSession, cfg: IngestConfig) -> dict[str, Any]:
+    """Scheduled table maintenance: compact the warehouse table's small
+    files (the reference has no maintenance surface at all — BigQuery
+    does this invisibly; on plain parquet it is an explicit cron step,
+    same 6-hour-tick shape as extract)."""
+    from . import sinks
+
+    try:
+        files = sinks.compact_table(
+            spark, cfg.table_path(), target_rows_per_file=1_000_000
+        )
+        return {
+            "success": True,
+            "message": f"compacted {cfg.table_path()} to {files} file(s)",
+            "files": files,
+        }
+    except Exception as exc:  # surfaced as the envelope, exit 1
+        return {"success": False, "error": f"compact failed: {exc}"}
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI entry point:
     ``spark-submit path/to/build_a_cloud_based_batch_etl_pipeline_spark/job.py <step>`` or
@@ -113,7 +133,9 @@ def main(argv: list[str] | None = None) -> int:
     failure (the cron/scheduler-visible error signal, standing in for the
     reference handlers' HTTP 500)."""
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("step", choices=["extract", "load", "pipeline", "stream"])
+    ap.add_argument(
+        "step", choices=["extract", "load", "pipeline", "stream", "compact"]
+    )
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -125,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
         "load": run_load,
         "pipeline": run_pipeline,
         "stream": run_stream,
+        "compact": run_compact,
     }[args.step]
     envelope = step(spark, cfg)
     print(json.dumps(envelope))

@@ -76,3 +76,40 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").applyInPandas(
         per_group, schema="c_custkey long, c_mktsegment string, z double"
     )
+
+
+@F.pandas_udf(T.DoubleType())
+def _weighted_avg_udf(value: pd.Series, weight: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (series -> scalar per group): Arrow ships
+    each group's columns once, numpy reduces them. The third UDF flavor
+    next to scalar (_charge_udf) and grouped-map (udf_grouped_zscore)."""
+    return float((value * weight).sum() / weight.sum())
+
+
+@query(
+    "udf_grouped_agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF: quantity-weighted mean price per
+    return flag, checked against the pure-SQL ratio-of-sums. The UDF
+    computes sum(v*w)/sum(w) per group in one numpy pass; rounding
+    happens JVM-side (pandas half-even vs SQL half-up would flip ties).
+
+    Scale note: a grouped-agg UDF ships every group member row to
+    Python — fine for genuinely custom reductions, but anything
+    expressible as built-in aggregates (like this reference formulation)
+    should stay JVM-side in production; the query exists to prove the
+    escape hatch computes exactly what the declarative path does."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            _weighted_avg_udf(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("wavg_price")
+    )

@@ -66,3 +66,28 @@ def test_stream_step_envelope(spark, tmp_path):
     env2 = job.run_stream(spark, cfg)
     assert env2["success"] is True
     assert env2["rows_appended"] == 0
+
+
+def test_job_compact_step(spark, tmp_path, monkeypatch):
+    """The compact step returns a success envelope after a real load and
+    a failure envelope (exit-1 signal) when the table doesn't exist."""
+    from build_a_cloud_based_batch_etl_pipeline_spark import job
+    from build_a_cloud_based_batch_etl_pipeline_spark.config import IngestConfig
+
+    cfg = IngestConfig(
+        source_url="fake://posts",
+        landing_uri=str(tmp_path / "landing"),
+        warehouse_uri=str(tmp_path / "warehouse"),
+        checkpoint_uri=str(tmp_path / "ckpt"),
+    )
+    missing = job.run_compact(spark, cfg)
+    assert missing["success"] is False
+
+    payload = json.dumps(
+        [{"userId": 1, "id": i, "title": f"t{i}", "body": ""} for i in range(50)]
+    ).encode()
+    assert job.run_pipeline(spark, cfg, fetcher=lambda url: payload)["success"]
+    out = job.run_compact(spark, cfg)
+    assert out["success"] is True and out["files"] >= 1
+    from build_a_cloud_based_batch_etl_pipeline_spark import ingest
+    assert ingest.read_table(spark, cfg).count() == 50
