@@ -221,3 +221,32 @@ def test_ivf_nprobe_sweep_vs_numpy_exact(spark, sf_dir, monkeypatch):
     )
     # measured 0.53 at sf0.001 with nprobe=3 (deterministic fixture)
     assert recalls[3] >= 0.45, f"ivf default-nprobe recall {recalls[3]:.2f}"
+
+
+def test_pq_reconstruction_and_determinism(spark, sf_dir):
+    """8x256 product quantization must reconstruct the fixture vectors
+    at high cosine (measured 0.945 mean / 0.852 min) and encode
+    deterministically (fixed k-means init, no RNG)."""
+    out1 = REGISTRY["embed_pq_codes"].fn(spark, sf_dir).collect()
+    rc = [r.recon_cos for r in out1]
+    assert sum(rc) / len(rc) >= 0.9, sum(rc) / len(rc)
+    assert min(rc) >= 0.8, min(rc)
+    assert all(len(r.codes) == 8 and all(0 <= c < 256 for c in r.codes) for r in out1)
+    out2 = REGISTRY["embed_pq_codes"].fn(spark, sf_dir).collect()
+    assert sorted((r.vec_id, tuple(r.codes)) for r in out1) == sorted(
+        (r.vec_id, tuple(r.codes)) for r in out2
+    )
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir, exact):
+    """ADC over 8-byte codes must recover a substantial share of the
+    exact top-5 (measured 0.61 on the fixture — the moderate-similarity
+    regime where neighbors sit barely above background)."""
+    pq = {(r.qid, r.nid) for r in REGISTRY["embed_ann_pq"].fn(spark, sf_dir).collect()}
+    recall = len(set(exact) & pq) / len(exact)
+    assert recall >= 0.5, f"pq recall {recall:.2f}"
+    per_q: dict[int, int] = {}
+    for q, n in pq:
+        assert q != n
+        per_q[q] = per_q.get(q, 0) + 1
+    assert max(per_q.values()) <= 5
