@@ -148,6 +148,117 @@ def maintain_distinct_sketch(
     q.awaitTermination()
 
 
+def maintain_frequency_sketch(
+    spark: SparkSession,
+    events_path: str,
+    cms_table_path: str,
+    checkpoint_path: str,
+    events_schema,
+    key_col: str = "user_id",
+) -> None:
+    """Streaming frequency (count-min) sketch maintenance: keep a
+    4x1024-cell CMS of `key_col` occurrences current as event files
+    arrive; any key's frequency is then estimable in O(depth) lookups
+    without scanning events (batch twin: text_heavy_hitters_cms).
+
+    Merge semantics contrast with the HLL sketch above and drive the
+    design: CMS cells merge by ADDITION — commutative and associative
+    (per-day sketches sum into any window) but NOT idempotent, so a
+    replayed epoch would double-count. The epoch-marker guard from
+    maintain_running_aggregate therefore returns here. (Markers are
+    scoped to one checkpoint lineage: wiping the checkpoint without
+    wiping markers+table strands the state — reset all three together.)
+    """
+    from ..operators.text import _CMS_DEPTH, _CMS_WIDTH
+
+    stream = spark.readStream.schema(events_schema).json(events_path)
+    marker_dir = checkpoint_path + ".merged-epochs"
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        jvm = spark._jvm
+        fs_conf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(marker_dir, f"epoch-{epoch_id}")
+        )
+        mfs = marker.getFileSystem(fs_conf)
+        if mfs.exists(marker):
+            return  # replayed epoch: cell addition is NOT idempotent
+        key_str = F.col(key_col).cast("string")
+        fan = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{d}:"), key_str)), 1, 8
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % _CMS_WIDTH
+                        ).alias("bkt"),
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("b")
+        delta = (
+            batch.select(fan)
+            .select("b.d", "b.bkt")
+            .groupBy("d", "bkt")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        hpath = jvm.org.apache.hadoop.fs.Path(cms_table_path)
+        fs = hpath.getFileSystem(fs_conf)
+        if fs.exists(hpath):
+            current = spark.read.parquet(cms_table_path)
+            merged = (
+                current.unionByName(delta)
+                .groupBy("d", "bkt")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = delta
+        _atomic_swap_in(spark, merged, cms_table_path, epoch_id)
+        mfs.mkdirs(marker)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def estimate_frequencies(
+    spark: SparkSession, cms_table_path: str, keys: list
+) -> dict:
+    """Query side of maintain_frequency_sketch: CMS estimates for the
+    given keys, driver-side — hashlib md5 computes the same buckets the
+    Spark expression wrote (md5 is md5), so the sketch is queryable by
+    ANY client that can read the 4096-row cell table, no Spark job
+    needed. Returns {key: est}; one-sided (est >= true count)."""
+    import hashlib
+
+    from ..operators.text import _CMS_DEPTH, _CMS_WIDTH
+
+    cells = {
+        (r.d, r.bkt): r.c for r in spark.read.parquet(cms_table_path).collect()
+    }
+    out = {}
+    for key in keys:
+        ests = []
+        for d in range(_CMS_DEPTH):
+            h = hashlib.md5(f"{d}:{key}".encode()).hexdigest()[:8]
+            bkt = int(h, 16) % _CMS_WIDTH
+            ests.append(cells.get((d, bkt), 0))
+        out[key] = min(ests)
+    return out
+
+
 def read_distinct_estimates(spark: SparkSession, sketch_table_path: str, key_col: str = "event_type") -> DataFrame:
     """Query side of maintain_distinct_sketch: per-key estimates plus a
     merged '__all__' row unioned from the stored sketches."""

@@ -338,3 +338,47 @@ def test_distinct_sketch_maintenance_is_replay_idempotent(spark, tmp_path):
     ingest_stream.maintain_distinct_sketch(spark, str(evdir), sk_path, ckpt, schema)
     after = {(r.event_type, bytes(r.sk)) for r in spark.read.parquet(sk_path).collect()}
     assert after == before, "replay must be a no-op on sketch state"
+
+
+def test_frequency_sketch_maintenance_one_sided_and_replay_guarded(spark, tmp_path):
+    """CMS cells accumulate across drops; estimates never under-count
+    the exact per-user frequencies; re-running with no new files leaves
+    cells unchanged (epoch markers guard the non-idempotent addition)."""
+    evdir = tmp_path / "cms_events"
+    evdir.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def drop(name, rows):
+        with open(evdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    cms_path = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "cms_ckpt")
+    exact = {7: 12, 8: 5, 9: 1}
+    rows = []
+    i = 0
+    for uid, n in exact.items():
+        for _ in range(n):
+            rows.append({"event_id": i, "ts": "2024-01-01T00:00:00",
+                         "user_id": uid, "event_type": "click", "value": 1.0})
+            i += 1
+    drop("f1.json", rows)
+    ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms_path, ckpt, schema)
+    est = ingest_stream.estimate_frequencies(spark, cms_path, [7, 8, 9, 777])
+    for uid, n in exact.items():
+        assert est[uid] >= n, (uid, est[uid], n)
+    # total cell mass equals total fanned occurrences (no double count)
+    total = sum(r.c for r in spark.read.parquet(cms_path).collect())
+    assert total == 4 * sum(exact.values())
+
+    # no new files -> no new epochs -> cells unchanged
+    ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms_path, ckpt, schema)
+    assert sum(r.c for r in spark.read.parquet(cms_path).collect()) == total
+
+    # a second drop accumulates
+    drop("f2.json", [{"event_id": 999, "ts": "2024-01-01T01:00:00",
+                      "user_id": 7, "event_type": "view", "value": 1.0}])
+    ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms_path, ckpt, schema)
+    est2 = ingest_stream.estimate_frequencies(spark, cms_path, [7])
+    assert est2[7] >= 13
