@@ -132,6 +132,8 @@ def main() -> None:
             "decontaminate_ngram_overlap",
             "dedup_minhash_pairs",
             "text_tfidf",
+            "doc_chunk_cdc",
+            "text_heavy_hitters_cms",
         ]
         for name in doc_queries:
             fn = reg[name].fn
