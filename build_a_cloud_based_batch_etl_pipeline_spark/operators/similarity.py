@@ -1096,3 +1096,97 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInPandas(score, out_schema)
+
+
+_IVFPQ_NLIST = 16
+_IVFPQ_NPROBE = 3
+
+
+def _ivfpq_fit(spark: SparkSession, sf_dir: str):
+    """PQ fit + a coarse quantizer: deterministic k-means (nlist
+    centroids, fixed init) over the normalized vectors, plus each index
+    vector's bucket assignment. Everything broadcastable."""
+    import numpy as np
+
+    books, ids, codes, mat = _pq_fit(spark, sf_dir)
+    coarse = mat[:_IVFPQ_NLIST].copy()
+    for _ in range(_PQ_KMEANS_ITERS):
+        assign = _pq_assign(mat, coarse)
+        for k in range(_IVFPQ_NLIST):
+            members = mat[assign == k]
+            if len(members):
+                coarse[k] = members.mean(axis=0)
+    assign = _pq_assign(mat, coarse)
+    return books, ids, codes, coarse, assign
+
+
+@query("embed_ann_ivf_pq")
+def embed_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the FAISS-style memory-bound ANN recipe
+    end-to-end (rows-only; recall vs exact pinned in
+    tests/test_similarity.py): a coarse quantizer routes each query to
+    its NPROBE nearest inverted lists, and only vectors in those lists
+    are scored, via the same 8-byte-code ADC lookup tables as
+    embed_ann_pq. Candidate volume per query drops to ~NPROBE/NLIST of
+    the corpus while the per-candidate cost is 8 table adds.
+
+    Scale shape: the flat-ADC caveat on embed_ann_pq is exactly what
+    this fixes — at corpus scale the inverted lists shard across
+    executors (bucket -> partition), each holding only its lists' codes;
+    here, fixture-scale, the lists live in one broadcast with bucket
+    masks. Training (PQ codebooks + coarse centroids) stays the bounded
+    driver-side step; scoring streams queries through mapInPandas."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books, ids, codes, coarse, assign = _ivfpq_fit(spark, sf_dir)
+    b_all = spark.sparkContext.broadcast((books, ids, codes, coarse, assign))
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("adc_score", T.DoubleType()),
+        ]
+    )
+    k = 5
+
+    def score(batches):
+        import pandas as pd
+
+        bk, index_ids, index_codes, cents, bucket_of = b_all.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            qids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            qsim = q @ cents.T  # (B, nlist) coarse routing scores
+            lut = np.einsum(
+                "bms,mks->bmk", q.reshape(len(q), _PQ_M, _PQ_SUB), bk
+            )
+            out_q, out_n, out_s = [], [], []
+            for bi in range(len(q)):
+                probe = np.argsort(-qsim[bi])[:_IVFPQ_NPROBE]
+                cand = np.flatnonzero(np.isin(bucket_of, probe))
+                cand = cand[index_ids[cand] != qids[bi]]
+                if not len(cand):
+                    continue
+                s = np.zeros(len(cand))
+                for m in range(_PQ_M):
+                    s += lut[bi, m, index_codes[cand, m]]
+                kk = min(k, len(cand))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                top = top[np.lexsort((index_ids[cand[top]], -s[top]))]
+                out_q.extend([qids[bi]] * kk)
+                out_n.extend(index_ids[cand[top]])
+                out_s.extend(np.round(s[top], 4))
+            yield pd.DataFrame(
+                {
+                    "qid": np.array(out_q, dtype=np.int64),
+                    "nid": np.array(out_n, dtype=np.int64),
+                    "adc_score": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInPandas(score, out_schema)

@@ -250,3 +250,21 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir, exact):
         assert q != n
         per_q[q] = per_q.get(q, 0) + 1
     assert max(per_q.values()) <= 5
+
+
+def test_ivf_pq_composition_recall(spark, sf_dir, exact):
+    """The composed IVF+PQ path (coarse routing, then ADC inside probed
+    lists) must still recover a meaningful share of the exact top-5
+    (measured 0.42 — ~the product of IVF's 0.53 routing recall and ADC's
+    0.61 scoring recall) with at most 5 well-formed rows per query."""
+    got = {
+        (r.qid, r.nid)
+        for r in REGISTRY["embed_ann_ivf_pq"].fn(spark, sf_dir).collect()
+    }
+    recall = len(set(exact) & got) / len(exact)
+    assert recall >= 0.35, f"ivf_pq recall {recall:.2f}"
+    per_q: dict[int, int] = {}
+    for q, n in got:
+        assert q != n
+        per_q[q] = per_q.get(q, 0) + 1
+    assert max(per_q.values()) <= 5
