@@ -611,3 +611,109 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         r2(F.sum("value")).alias("volume"),
     )
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    ),
+    anchored AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor,
+               CAST(count(*) AS BIGINT) AS len,
+               min(d) AS streak_start
+        FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id, len AS longest_streak_days, streak_start
+    FROM (
+        SELECT user_id, len, streak_start,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY len DESC, streak_start) AS rn
+        FROM streaks
+    ) WHERE rn = 1
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    islands-and-gaps pattern: distinct active days, each day minus its
+    per-user row_number is CONSTANT within a consecutive run (the island
+    anchor), so a plain groupBy on the anchor recovers every streak with
+    no self-join and no iteration. Earliest streak wins length ties.
+
+    Scale shape: one distinct over (user, day) — map-side combined, so
+    the shuffle carries active days, not raw events — then one window
+    and one groupBy, all partitioned on user_id (cardinality grows with
+    the data; no global ordering anywhere)."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    anchored = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start")
+    )
+    w2 = W.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov-chain summary
+    behind next-action models and funnel diagnostics): lead() pairs each
+    event with the SAME user's next event — ordered by (ts, event_id) so
+    simultaneous events have a deterministic successor — then one
+    group-by over the (from, to) pairs.
+
+    Scale shape: one shuffle on user_id for the lead window; the
+    transition aggregate is tiny (|event_types|^2 groups) and collapses
+    map-side."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
