@@ -717,3 +717,52 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "events_inter_arrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(ts AS TIMESTAMP) AS ts,
+               epoch(CAST(ts AS TIMESTAMP)
+                     - lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                   AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT)   AS n_gaps,
+           round(avg(gap_s), 4)           AS avg_gap_s,
+           round(stddev_samp(gap_s), 4)   AS sd_gap_s,
+           CAST(floor(max(gap_s)) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time statistics per event type (per user-and-type
+    stream): lag() yields each event's gap to the same user's previous
+    event of that type; the aggregate summarizes burstiness — the metric
+    behind rate-limit tuning and session-gap selection. Deterministic
+    successor order via (ts, event_id).
+
+    Scale shape: one shuffle on (user_id, event_type) for the lag
+    window, then a tiny per-type aggregate with map-side combine."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        r4(F.avg("gap_s")).alias("avg_gap_s"),
+        r4(F.stddev_samp("gap_s")).alias("sd_gap_s"),
+        # explicit floor: Spark's double->bigint cast truncates while
+        # DuckDB's rounds — floor on both sides pins one semantics
+        F.floor(F.max("gap_s")).cast("bigint").alias("max_gap_s"),
+    )

@@ -928,3 +928,71 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(_NGRAM_TOPK)
     )
+
+
+_VOCAB_KS = [100, 1000, 5000]
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+        SELECT term, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) GROUP BY term
+    ),
+    ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c DESC, term) AS rk,
+               sum(c) OVER (ORDER BY c DESC, term
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM counts
+    ),
+    tot AS (SELECT sum(c) AS n, count(*) AS n_terms FROM counts)
+    SELECT k,
+           round(max(CASE WHEN rk <= k THEN cum ELSE 0 END) * 1.0 / any_value(n), 4)
+               AS coverage,
+           CAST(any_value(n_terms) AS BIGINT) AS vocab_size
+    FROM ranked, tot, UNNEST([{", ".join(map(str, _VOCAB_KS))}]) AS u(k)
+    GROUP BY k
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all token occurrences
+    covered by the top-K most frequent terms (K in {{100, 1000, 5000}})
+    — the tokenizer/vocab-budget design metric (how much of the corpus
+    a K-entry word table explains). Deterministic rank order:
+    (count desc, term).
+
+    Scale shape: one term-count shuffle (map-side combined), then a
+    global window over the DISTINCT-TERM table — bounded by vocabulary
+    size, not corpus size; vocabularies are millions of rows at web
+    scale, fine for a single sort, and the K-membership aggregate
+    collapses to |K| rows."""
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.orderBy(F.col("c").desc(), "term")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_terms")
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k")
+    fanned = ranked.crossJoin(F.broadcast(tot)).select("rk", "cum", "n", "n_terms", ks)
+    return fanned.groupBy("k").agg(
+        F.round(
+            F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum")).otherwise(0))
+            * 1.0
+            / F.first("n"),
+            4,
+        ).alias("coverage"),
+        F.first("n_terms").cast("bigint").alias("vocab_size"),
+    )
