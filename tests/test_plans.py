@@ -86,6 +86,7 @@ INTENTIONAL_CROSS = {
     "sample_temperature_mix",
     "text_unigram_logprob",
     "text_heavy_hitters_cms",
+    "text_vocab_coverage",
 }
 
 
