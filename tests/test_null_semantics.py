@@ -67,3 +67,36 @@ def test_window_ignorenulls_vs_respect(spark):
         F.last("v", ignorenulls=True).over(w).alias("last_nn"),
     ).collect()}
     assert out[3] == (None, 20.0)          # respect-nulls sees the null, ignore skips
+
+
+def test_r4_operators_handle_empty_inputs(spark, monkeypatch):
+    """Every r4 operator must return an EMPTY result (not crash) on an
+    empty corpus — windows, sketches, chunking and streak logic all have
+    degenerate-input paths (empty arrays, sum-over-nothing, 1/0)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        dedup as dedup_mod,
+        events as events_mod,
+        text as text_mod,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.schemas import DOCUMENTS, EVENTS
+
+    empty_docs = spark.createDataFrame([], schema=DOCUMENTS)
+    empty_events = spark.createDataFrame([], schema=EVENTS)
+
+    def fake_t(spark_, sf_dir_, name_):
+        return empty_docs if name_ == "documents" else empty_events
+
+    for mod in (dedup_mod, events_mod, text_mod):
+        monkeypatch.setattr(mod, "t", fake_t)
+
+    for fn in (
+        text_mod.doc_chunk_cdc,
+        text_mod.doc_boilerplate_chunks,
+        text_mod.text_heavy_hitters_cms,
+        text_mod.text_vocab_coverage,
+        dedup_mod.dedup_ngram_containment,
+        events_mod.events_activity_streaks,
+        events_mod.events_transition_matrix,
+        events_mod.events_inter_arrival,
+    ):
+        assert fn(spark, "ignored").count() == 0, fn.__name__
