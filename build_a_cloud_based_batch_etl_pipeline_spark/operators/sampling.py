@@ -530,3 +530,47 @@ def sample_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _WTOP_N)
         .select("source", "doc_id", "est_tokens", F.col("wkey").alias("weight_key"))
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH sizes AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    floor_n AS (SELECT min(n) AS m FROM sizes),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked, floor_n WHERE rk <= m
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: every language keeps exactly
+    min-class-size documents, chosen by a deterministic salted-hash rank
+    (reproducible on any cluster size, stable under reruns — same
+    RNG-free discipline as the hash split). The balancing step before
+    training on skewed multilingual corpora when temperature resampling
+    (sample_temperature_mix) is too soft.
+
+    Scale shape: one tiny per-class count (map-side combined, broadcast
+    scalar min), one rank window per class — the same single shuffle a
+    per-class top-N needs; only floor-count rows survive the rank
+    filter."""
+    docs = t(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = sizes.agg(F.min("n").alias("m"))
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang")
+    )

@@ -996,3 +996,52 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage"),
         F.first("n_terms").cast("bigint").alias("vocab_size"),
     )
+
+
+@query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document (rows-only: DEFLATE is not
+    SQL-expressible; determinism and the monotonicity property —
+    repetitive text compresses harder than diverse text — are pinned in
+    tests/test_llm_prep.py). Compression ratio is a standard cheap crawl
+    filter (CCNet/RedPajama lineage): highly compressible documents are
+    boilerplate/spam/repetition, incompressible ones are often binary
+    junk; both tails get cut.
+
+    Scale shape: Arrow-batched pandas UDF (zlib is C-speed per batch),
+    pure projection, zero shuffles. Level pinned at 6 so the ratio is
+    reproducible across runs and platforms."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_bytes", T.LongType()),
+            T.StructField("zlib_bytes", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def measure(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            rb = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": rb,
+                    "zlib_bytes": comp,
+                    "compression_ratio": [
+                        round(c / r, 4) if r else 0.0 for c, r in zip(comp, rb)
+                    ],
+                }
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(measure, out_schema)

@@ -120,3 +120,48 @@ def test_cdc_chunking_is_stable_under_suffix_edits(spark):
     for idx, (n, digest) in c0.items():
         if idx < last0:
             assert c1[idx] == (n, digest), f"chunk {idx} not edit-stable"
+
+
+def test_compression_ratio_separates_repetitive_from_diverse(spark):
+    """The zlib signal must rank repetitive text as far more compressible
+    than diverse text, and be deterministic run-to-run."""
+    import build_a_cloud_based_batch_etl_pipeline_spark.operators.text as text_mod
+    import build_a_cloud_based_batch_etl_pipeline_spark.operators.util as util_mod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam " * 100, "en", "s", 2000),
+            (2, " ".join(f"w{i}x{i * 7 % 97}" for i in range(400)), "en", "s", 2000),
+        ],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    orig_t = util_mod.t
+    try:
+        text_mod.t = lambda s_, d_, n_: docs
+        out1 = {r.doc_id: r.compression_ratio
+                for r in text_mod.text_compression_ratio(spark, "x").collect()}
+        out2 = {r.doc_id: r.compression_ratio
+                for r in text_mod.text_compression_ratio(spark, "x").collect()}
+    finally:
+        text_mod.t = orig_t
+    assert out1 == out2
+    assert out1[1] < 0.1 < out1[2], out1
+
+
+def test_balanced_classes_equalizes_and_is_stable(spark, sf_dir):
+    """Every language keeps exactly min-class-size docs, and the draw is
+    reproducible (hash-ranked, no RNG)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+    REG = load_all()
+    out1 = REG["sample_balanced_classes"].fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    by_lang = Counter(r.lang for r in out1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    true_sizes = Counter(r.lang for r in docs.select("lang").collect())
+    floor = min(true_sizes.values())
+    assert set(by_lang) == set(true_sizes)
+    assert all(n == floor for n in by_lang.values()), by_lang
+    out2 = REG["sample_balanced_classes"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))

@@ -87,6 +87,7 @@ INTENTIONAL_CROSS = {
     "text_unigram_logprob",
     "text_heavy_hitters_cms",
     "text_vocab_coverage",
+    "sample_balanced_classes",
 }
 
 
