@@ -766,3 +766,42 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB's rounds — floor on both sides pins one semantics
         F.floor(F.max("gap_s")).cast("bigint").alias("max_gap_s"),
     )
+
+
+@query(
+    "events_latency_percentiles",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)                   AS n,
+           round(quantile_cont(value, 0.5), 4)        AS p50,
+           round(quantile_cont(value, 0.95), 4)       AS p95,
+           round(max(value), 4)                       AS p100
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly P50/P95/max bands per event type — the standard
+    observability rollup (latency/size SLO dashboards). Exact linear
+    interpolation (Spark `percentile` == DuckDB `quantile_cont`,
+    verified by the hash oracle) at test scale; at 100 TB swap in
+    percentile_approx, whose t-digest-style sketch merges map-side
+    (agg_percentile_approx ships that path).
+
+    Scale shape: one group-by on (hour, type) — exact percentiles hold
+    each group's values, so group cardinality (hours x types), not row
+    count, bounds memory; the approx variant removes even that."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.expr("percentile(value, 0.5)")).alias("p50"),
+            r4(F.expr("percentile(value, 0.95)")).alias("p95"),
+            r4(F.max("value")).alias("p100"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "p50", "p95", "p100"
+        )
+    )
