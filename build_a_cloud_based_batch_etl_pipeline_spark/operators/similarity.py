@@ -910,6 +910,10 @@ _PQ_SUB = _DIM // _PQ_M
 _PQ_K = 256
 _PQ_KMEANS_ITERS = 10
 _PQ_TRAIN_ROWS = 4096
+# ADC scores the index in columns of this many vectors so scratch memory
+# is (arrow_batch x _ADC_CHUNK) doubles (~2.5 GB worst case at the 10k
+# default batch), bounded independently of index size.
+_ADC_CHUNK = 32_768
 
 
 def _pq_assign(sub, cent):
@@ -979,9 +983,12 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
 @query("embed_pq_codes")
 def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding: every vector compressed to 8
-    8-bit codewords (rows-only; reconstruction quality is pinned in
-    tests/test_similarity.py: PQ-reconstructed cosine vs the true vector
-    must stay high, and encoding must be deterministic).
+    8-bit codewords, emitted as a 16-char hex string (one sortable
+    scalar per row — array columns are kept to intermediate stages so
+    downstream canonicalizers can sort/hash the result). Rows-only;
+    reconstruction quality is pinned in tests/test_similarity.py:
+    PQ-reconstructed cosine vs the true vector must stay high, and
+    encoding must be deterministic.
 
     Scale shape: codebook training is a bounded driver-side step (same
     guard discipline as the exact-topk index); encoding is a pure
@@ -997,7 +1004,7 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("codes", T.StringType()),
             T.StructField("recon_cos", T.DoubleType()),
         ]
     )
@@ -1022,13 +1029,41 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "codes": [list(map(int, c)) for c in codes],
+                    "codes": ["".join("%02x" % c for c in row) for row in codes],
                     "recon_cos": rcos,
                 }
             )
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInPandas(encode, out_schema)
+
+
+@query(
+    "embed_pq_coverage",
+    oracle="""
+    SELECT vec_id,
+           CAST(8 AS INT)        AS n_codes,
+           CAST(TRUE AS BOOLEAN) AS recon_ok
+    FROM embeddings
+    """,
+)
+def embed_pq_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled projection of the PQ encode pipeline: the codes
+    themselves come from driver-trained k-means (not SQL-expressible,
+    so embed_pq_codes stays rows-only), but THESE invariants are
+    derivable and hash-checked against DuckDB — exactly one output row
+    per embeddings row (no drops, no dupes through mapInPandas), every
+    code string is 8 codewords (16 hex chars) wide, and every vector
+    reconstructs at cosine >= 0.5 (measured min 0.85 at sf0.001; the
+    floor is deliberately loose so it pins 'reconstruction did not
+    collapse', not a fixture-specific constant). The tight recall /
+    reconstruction bounds live in tests/test_similarity.py."""
+    out = embed_pq_codes(spark, sf_dir)
+    return out.select(
+        "vec_id",
+        (F.length("codes") / F.lit(2)).cast("int").alias("n_codes"),
+        (F.col("recon_cos") >= F.lit(0.5)).alias("recon_ok"),
+    )
 
 
 @query("embed_ann_pq")
@@ -1043,9 +1078,12 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: queries stream through mapInPandas in Arrow batches;
     each executor holds the broadcast codes matrix (8 bytes/vector — a
     billion-vector index is ~8 GB, exactly why PQ exists) and scores
-    with two numpy gathers per subspace. The fixture-scale flat ADC scan
-    becomes IVF-bucketed ADC at corpus scale (probe nprobe buckets,
-    same lookup-table math per bucket)."""
+    with two numpy gathers per subspace. The index is scored in
+    fixed-size column chunks with a running per-chunk top-k merge, so
+    peak scratch memory is (batch x _ADC_CHUNK) floats regardless of
+    index size — the dense (batch x index) matrix never materializes.
+    The fixture-scale flat ADC scan becomes IVF-bucketed ADC at corpus
+    scale (probe nprobe buckets, same lookup-table math per bucket)."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -1076,18 +1114,33 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.reshape(len(q), _PQ_M, _PQ_SUB),
                 bk,
             )
-            # scores[b, n] = sum_m LUT[b, m, codes[n, m]]
-            scores = np.zeros((len(q), len(index_ids)))
-            for m in range(_PQ_M):
-                scores += lut[:, m, index_codes[:, m]]
+            # scores[b, n] = sum_m LUT[b, m, codes[n, m]], computed per
+            # index chunk: a global top-k element is inside its own
+            # chunk's top-(k+1) (k+1 so the self row can be dropped
+            # later), so merging per-chunk winners loses nothing.
+            cand_pos, cand_sc = [], []
+            for lo in range(0, len(index_ids), _ADC_CHUNK):
+                hi = min(lo + _ADC_CHUNK, len(index_ids))
+                chunk = np.zeros((len(q), hi - lo))
+                for m in range(_PQ_M):
+                    chunk += lut[:, m, index_codes[lo:hi, m]]
+                kk = min(k + 1, hi - lo)
+                top = np.argpartition(-chunk, kk - 1, axis=1)[:, :kk]
+                cand_pos.append(top + lo)
+                cand_sc.append(np.take_along_axis(chunk, top, axis=1))
+            pos = np.concatenate(cand_pos, axis=1)
+            sc = np.concatenate(cand_sc, axis=1)
             out_q, out_n, out_s = [], [], []
             for bi in range(len(q)):
-                s = scores[bi].copy()
-                s[index_ids == qids[bi]] = -np.inf
-                top = np.argpartition(-s, k)[:k]
-                top = top[np.lexsort((index_ids[top], -s[top]))]
-                out_q.extend([qids[bi]] * k)
-                out_n.extend(index_ids[top])
+                s = sc[bi].copy()
+                nids = index_ids[pos[bi]]
+                s[nids == qids[bi]] = -np.inf
+                kk = min(k, s.size)
+                top = np.argpartition(-s, kk - 1)[:kk]
+                top = top[np.lexsort((nids[top], -s[top]))]
+                top = top[s[top] > -np.inf]
+                out_q.extend([qids[bi]] * len(top))
+                out_n.extend(nids[top])
                 out_s.extend(np.round(s[top], 4))
             yield pd.DataFrame(
                 {"qid": out_q, "nid": np.array(out_n, dtype=np.int64),

@@ -226,15 +226,17 @@ def test_ivf_nprobe_sweep_vs_numpy_exact(spark, sf_dir, monkeypatch):
 def test_pq_reconstruction_and_determinism(spark, sf_dir):
     """8x256 product quantization must reconstruct the fixture vectors
     at high cosine (measured 0.945 mean / 0.852 min) and encode
-    deterministically (fixed k-means init, no RNG)."""
+    deterministically (fixed k-means init, no RNG). Codes are a 16-char
+    hex string (8 uint8 codewords) so the column is a sortable scalar."""
     out1 = REGISTRY["embed_pq_codes"].fn(spark, sf_dir).collect()
     rc = [r.recon_cos for r in out1]
     assert sum(rc) / len(rc) >= 0.9, sum(rc) / len(rc)
     assert min(rc) >= 0.8, min(rc)
-    assert all(len(r.codes) == 8 and all(0 <= c < 256 for c in r.codes) for r in out1)
+    hexdigits = set("0123456789abcdef")
+    assert all(len(r.codes) == 16 and set(r.codes) <= hexdigits for r in out1)
     out2 = REGISTRY["embed_pq_codes"].fn(spark, sf_dir).collect()
-    assert sorted((r.vec_id, tuple(r.codes)) for r in out1) == sorted(
-        (r.vec_id, tuple(r.codes)) for r in out2
+    assert sorted((r.vec_id, r.codes) for r in out1) == sorted(
+        (r.vec_id, r.codes) for r in out2
     )
 
 
@@ -268,3 +270,46 @@ def test_ivf_pq_composition_recall(spark, sf_dir, exact):
         assert q != n
         per_q[q] = per_q.get(q, 0) + 1
     assert max(per_q.values()) <= 5
+
+
+def test_pq_adc_chunked_merge_matches_single_chunk(spark, sf_dir, monkeypatch):
+    """ADC scores the index in fixed-size chunks with a per-chunk top-k
+    merge (bounded scratch memory). Forcing many tiny chunks must yield
+    exactly the same neighbor set and scores as the one-chunk default —
+    the merge may never lose a global top-k element."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import similarity
+
+    base = {
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_pq"].fn(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(similarity, "_ADC_CHUNK", 97)
+    chunked = {
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_pq"].fn(spark, sf_dir).collect()
+    }
+    assert base == chunked
+
+
+def test_pq_adc_tiny_index_under_k(spark, tmp_path):
+    """An index with fewer than k vectors must not crash the top-k
+    selection (argpartition kth bound): each query gets all non-self
+    neighbors, scores finite."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(4, 64).astype("float32")
+    df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in vecs[i]], int(i % 2))
+            for i in range(4)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    out = REGISTRY["embed_ann_pq"].fn(spark, sf).collect()
+    assert len(out) == 4 * 3
+    for r in out:
+        assert r.qid != r.nid
+        assert np.isfinite(r.adc_score)
