@@ -44,6 +44,14 @@ HEADLINE = [
     # and the count-min frequency sketch (broadcast counter join).
     "doc_chunk_cdc",
     "text_heavy_hitters_cms",
+    # r5 additions (VERDICT r4 item 4): the operators that landed in r4
+    # get headline visibility — composed IVF+PQ vector search, the
+    # vocabulary-coverage curve, asymmetric containment dedup, and the
+    # latency percentile bands.
+    "embed_ann_ivf_pq",
+    "text_vocab_coverage",
+    "dedup_ngram_containment",
+    "events_latency_percentiles",
 ]
 
 
@@ -142,6 +150,12 @@ def main() -> None:
         "ingest_e2e_10k": 3.410,  # r2: first warm-best ingest row
         "text_tfidf": 1.016,  # r3: first round benched
         "decontaminate_ngram_overlap": 3.047,  # r3: first round benched
+        "doc_chunk_cdc": 0.450,  # r4: first round benched
+        "text_heavy_hitters_cms": 0.385,  # r4: first round benched
+        # r5 first-benched rows anchor to themselves next round (r6 adds
+        # their BENCH_r05 values here): embed_ann_ivf_pq,
+        # text_vocab_coverage, dedup_ngram_containment,
+        # events_latency_percentiles.
     }
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
     if os.path.exists(anchor_path):

@@ -141,13 +141,36 @@ def cache_once(spark: SparkSession, key: tuple, build) -> DataFrame:
     (ADVICE r3). Keyed by (applicationId, *key) so a restarted session
     never reuses a dead plan; entries are handles, not data — executor
     memory still holds exactly one copy per key.
+
+    Entries for dead applications are dropped on insert (their plans are
+    unusable and their executors are gone, so eviction is free), keeping
+    the dict bounded to the live application in long-lived driver
+    processes (ADVICE r4). `cache_once_clear()` additionally unpersists
+    live entries for harnesses that finish a query family early.
     """
-    full = (spark.sparkContext.applicationId, *key)
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _CACHE_ONCE if k[0] != app]:
+        del _CACHE_ONCE[stale]
+    full = (app, *key)
     df = _CACHE_ONCE.get(full)
     if df is None:
         df = build().cache()
         _CACHE_ONCE[full] = df
     return df
+
+
+def cache_once_clear(spark: SparkSession | None = None) -> None:
+    """Unpersist and forget every cache_once entry (current application
+    only when `spark` is given, else all). For bench/test harnesses that
+    want executor storage back before the application ends."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for k in list(_CACHE_ONCE):
+        if app is None or k[0] == app:
+            df = _CACHE_ONCE.pop(k)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # application already stopped; nothing to release
 
 
 def seq1(stop: Column) -> Column:

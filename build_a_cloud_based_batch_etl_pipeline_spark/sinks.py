@@ -111,9 +111,15 @@ def compact_table(
     (partitionBy) so partition pruning still works after compaction;
     rows are repartitioned on the partition column first so each output
     partition is written by as few tasks as possible (fewer files).
-    Readers racing the swap see the old or the new listing, never a mix
-    (single rename). Exactly the tradeoff a 100 TB deployment wants:
-    pay one bounded rewrite of hot partitions, save every later scan.
+
+    Swap ordering (ADVICE r4): live dir renamed aside (path -> path.old),
+    staging renamed in, THEN the old dir deleted — never delete-first.
+    The reader race window shrinks from an O(files) recursive delete to
+    two directory renames, and a crash mid-swap leaves the previous
+    table intact under a recoverable name (`path.old` or the original)
+    instead of destroying it; `swap_recover` puts it back. Exactly the
+    tradeoff a 100 TB deployment wants: pay one bounded rewrite of hot
+    partitions, save every later scan.
     """
     import math
 
@@ -130,14 +136,51 @@ def compact_table(
         writer = out.write
     staging = path + ".compact.staging"
     writer.mode("overwrite").parquet(staging)
+    swap_dir(spark, staging, path)
+    return files
+
+
+def swap_dir(spark, staging: str, path: str) -> None:
+    """Swap a fully-written staging directory into place:
+    path -> path.old, staging -> path, delete path.old.
+
+    Plain-FS rename is not transactional, so this narrows rather than
+    closes the race: a reader can still catch the instant between the
+    two renames (missing-table error — retryable), but never a
+    half-deleted listing, and no crash point loses data. Recovery after
+    a crash is mechanical (see swap_recover); a lakehouse table format
+    (Delta/Iceberg) is the real fix once its jars are available
+    (SURVEY.md §2.3)."""
     jvm = spark._jvm
     fs_conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     spath = jvm.org.apache.hadoop.fs.Path(staging)
+    opath = jvm.org.apache.hadoop.fs.Path(path + ".old")
     fs = hpath.getFileSystem(fs_conf)
-    fs.delete(hpath, True)
+    if fs.exists(opath):
+        fs.delete(opath, True)  # leftover from a crashed earlier swap
+    had_live = fs.exists(hpath)
+    if had_live:
+        fs.rename(hpath, opath)
     fs.rename(spath, hpath)
-    return files
+    if had_live:
+        fs.delete(opath, True)
+
+
+def swap_recover(spark, path: str) -> bool:
+    """Recover from a crash inside swap_dir: if the live dir is missing
+    but `path.old` survives, rename it back. Returns True if a recovery
+    happened. Idempotent; safe to call before any read of a swapped
+    table."""
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    opath = jvm.org.apache.hadoop.fs.Path(path + ".old")
+    fs = hpath.getFileSystem(fs_conf)
+    if not fs.exists(hpath) and fs.exists(opath):
+        fs.rename(opath, hpath)
+        return True
+    return False
 
 
 def expire_partitions(spark, path: str, partition_col: str, keep: list[str]) -> int:

@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 from ..config import IngestConfig
 from ..schemas import POSTS, POSTS_RAW
 
+# CMS sentinel row key: real depths are 0..=_CMS_DEPTH-1, so d = -1 is
+# out-of-domain by construction and carries the merged-epoch high-water
+# mark inside the same atomically-swapped table as the cells.
+_EPOCH_SENTINEL_D = -1
+
 
 def incremental_load(
     spark: SparkSession,
@@ -80,19 +85,17 @@ def incremental_load(
 
 
 def _atomic_swap_in(spark: SparkSession, merged: DataFrame, table_path: str, epoch_id) -> None:
-    """Write `merged` to a staging dir and rename over the table path —
-    the local-FS stand-in for a transactional table commit (one rename,
-    readers see old or new, never partial)."""
-    jvm = spark._jvm
-    fs_conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = hpath.getFileSystem(fs_conf)
+    """Write `merged` to a staging dir and swap it over the table path —
+    the local-FS stand-in for a transactional table commit. The swap is
+    rename-aside (old table parked at `.old`, staging renamed in, park
+    deleted — sinks.swap_dir), so no crash point destroys the previous
+    state and the reader race window is two renames, not an O(files)
+    delete."""
+    from ..sinks import swap_dir
+
     staging = table_path + f".epoch-{epoch_id}.staging"
     merged.write.mode("overwrite").parquet(staging)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
-    fs.rename(spath, hpath)
+    swap_dir(spark, staging, table_path)
 
 
 def maintain_distinct_sketch(
@@ -164,25 +167,35 @@ def maintain_frequency_sketch(
     Merge semantics contrast with the HLL sketch above and drive the
     design: CMS cells merge by ADDITION — commutative and associative
     (per-day sketches sum into any window) but NOT idempotent, so a
-    replayed epoch would double-count. The epoch-marker guard from
-    maintain_running_aggregate therefore returns here. (Markers are
+    replayed epoch would double-count. Unlike the side-channel epoch
+    marker maintain_running_aggregate uses, the guard here is committed
+    IN the swapped table itself: a sentinel row (d = -1) carries the
+    merged-epoch high-water mark, so cells and marker land in one
+    rename — there is no crash point where the table is merged but the
+    epoch unrecorded (or vice versa). Epochs at or below the stored
+    high-water mark are skipped on replay. (The high-water mark is
     scoped to one checkpoint lineage: wiping the checkpoint without
-    wiping markers+table strands the state — reset all three together.)
+    wiping the table strands the state — reset both together.)
     """
     from ..operators.text import _CMS_DEPTH, _CMS_WIDTH
 
     stream = spark.readStream.schema(events_schema).json(events_path)
-    marker_dir = checkpoint_path + ".merged-epochs"
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         jvm = spark._jvm
         fs_conf = spark._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(marker_dir, f"epoch-{epoch_id}")
-        )
-        mfs = marker.getFileSystem(fs_conf)
-        if mfs.exists(marker):
-            return  # replayed epoch: cell addition is NOT idempotent
+        hpath = jvm.org.apache.hadoop.fs.Path(cms_table_path)
+        fs = hpath.getFileSystem(fs_conf)
+        current = None
+        if fs.exists(hpath):
+            current = spark.read.parquet(cms_table_path)
+            hwm = (
+                current.filter(F.col("d") == _EPOCH_SENTINEL_D)
+                .agg(F.max("c"))
+                .first()[0]
+            )
+            if hwm is not None and epoch_id <= hwm:
+                return  # replayed epoch: cell addition is NOT idempotent
         key_str = F.col(key_col).cast("string")
         fan = F.explode(
             F.array(
@@ -210,19 +223,24 @@ def maintain_frequency_sketch(
             .groupBy("d", "bkt")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        hpath = jvm.org.apache.hadoop.fs.Path(cms_table_path)
-        fs = hpath.getFileSystem(fs_conf)
-        if fs.exists(hpath):
-            current = spark.read.parquet(cms_table_path)
+        if current is not None:
             merged = (
-                current.unionByName(delta)
+                current.filter(F.col("d") != _EPOCH_SENTINEL_D)
+                .unionByName(delta)
                 .groupBy("d", "bkt")
                 .agg(F.sum("c").alias("c"))
             )
         else:
             merged = delta
+        sentinel = spark.range(1).select(
+            F.lit(_EPOCH_SENTINEL_D).alias("d"),
+            F.lit(0).cast("bigint").alias("bkt"),
+            F.lit(int(epoch_id)).cast("bigint").alias("c"),
+        )
+        merged = merged.withColumn("d", F.col("d").cast("int")).unionByName(
+            sentinel
+        )
         _atomic_swap_in(spark, merged, cms_table_path, epoch_id)
-        mfs.mkdirs(marker)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -246,7 +264,9 @@ def estimate_frequencies(
     from ..operators.text import _CMS_DEPTH, _CMS_WIDTH
 
     cells = {
-        (r.d, r.bkt): r.c for r in spark.read.parquet(cms_table_path).collect()
+        (r.d, r.bkt): r.c
+        for r in spark.read.parquet(cms_table_path).collect()
+        if r.d != _EPOCH_SENTINEL_D
     }
     out = {}
     for key in keys:

@@ -298,3 +298,22 @@ def test_containment_catches_excerpt_that_jaccard_misses(spark):
     jaccard = common / (sz[1] + sz[2] - common)
     assert containment >= 0.99, containment
     assert jaccard < 0.15, jaccard
+
+
+def test_cache_once_evicts_dead_applications_and_clears(spark):
+    """Entries keyed to a dead applicationId are dropped on the next
+    insert (their plans are unusable), and cache_once_clear unpersists
+    and forgets live entries (ADVICE r4)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import util
+
+    util._CACHE_ONCE[("dead-app-id", "stale")] = spark.range(1)
+    live = util.cache_once(
+        spark, ("cache_once_evict_test",), lambda: spark.range(3)
+    )
+    assert ("dead-app-id", "stale") not in util._CACHE_ONCE
+    assert live.count() == 3
+
+    util.cache_once_clear(spark)
+    app = spark.sparkContext.applicationId
+    assert not any(k[0] == app for k in util._CACHE_ONCE)
+    assert not live.storageLevel.useMemory, "clear must unpersist"

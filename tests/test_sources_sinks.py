@@ -238,3 +238,43 @@ def test_load_events_normalizes_all_ts_physical_types(spark, tmp_path):
     out = load_table(spark, str(d), "events")
     assert isinstance(out.schema["ts"].dataType, T.TimestampType)
     assert out.collect()[0].ts == expect
+
+
+def test_swap_dir_crash_states_are_recoverable(spark, tmp_path):
+    """swap_dir parks the live dir at `.old` before renaming staging in,
+    so no crash point loses data: the mid-swap state (live missing,
+    `.old` present) is mechanically restored by swap_recover, and a
+    leftover `.old` from a crash after the second rename is swept by the
+    next swap."""
+    import os
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import sinks
+
+    path = str(tmp_path / "tbl")
+    spark.range(5).write.parquet(path)
+    spark.range(10).write.parquet(path + ".staging1")
+
+    # normal swap: new data in, no .old residue
+    sinks.swap_dir(spark, path + ".staging1", path)
+    assert spark.read.parquet(path).count() == 10
+    assert not os.path.exists(path + ".old")
+
+    # crash state (a): live renamed aside, staging never moved
+    os.rename(path, path + ".old")
+    assert sinks.swap_recover(spark, path) is True
+    assert spark.read.parquet(path).count() == 10
+    # idempotent / no-op when healthy
+    assert sinks.swap_recover(spark, path) is False
+
+    # crash state (b): .old residue left behind -> next swap sweeps it
+    spark.range(3).write.parquet(path + ".old")
+    spark.range(7).write.parquet(path + ".staging2")
+    sinks.swap_dir(spark, path + ".staging2", path)
+    assert spark.read.parquet(path).count() == 7
+    assert not os.path.exists(path + ".old")
+
+    # first-ever swap (no live dir yet)
+    fresh = str(tmp_path / "fresh")
+    spark.range(4).write.parquet(fresh + ".staging")
+    sinks.swap_dir(spark, fresh + ".staging", fresh)
+    assert spark.read.parquet(fresh).count() == 4

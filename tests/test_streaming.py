@@ -343,7 +343,8 @@ def test_distinct_sketch_maintenance_is_replay_idempotent(spark, tmp_path):
 def test_frequency_sketch_maintenance_one_sided_and_replay_guarded(spark, tmp_path):
     """CMS cells accumulate across drops; estimates never under-count
     the exact per-user frequencies; re-running with no new files leaves
-    cells unchanged (epoch markers guard the non-idempotent addition)."""
+    cells unchanged (the in-table epoch high-water mark guards the
+    non-idempotent addition)."""
     evdir = tmp_path / "cms_events"
     evdir.mkdir()
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
@@ -368,13 +369,19 @@ def test_frequency_sketch_maintenance_one_sided_and_replay_guarded(spark, tmp_pa
     est = ingest_stream.estimate_frequencies(spark, cms_path, [7, 8, 9, 777])
     for uid, n in exact.items():
         assert est[uid] >= n, (uid, est[uid], n)
-    # total cell mass equals total fanned occurrences (no double count)
-    total = sum(r.c for r in spark.read.parquet(cms_path).collect())
+    # total cell mass equals total fanned occurrences (no double count);
+    # exactly one sentinel row (d=-1) carries the epoch high-water mark
+    rows_all = spark.read.parquet(cms_path).collect()
+    total = sum(r.c for r in rows_all if r.d >= 0)
     assert total == 4 * sum(exact.values())
+    assert sum(1 for r in rows_all if r.d == -1) == 1
 
     # no new files -> no new epochs -> cells unchanged
     ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms_path, ckpt, schema)
-    assert sum(r.c for r in spark.read.parquet(cms_path).collect()) == total
+    assert (
+        sum(r.c for r in spark.read.parquet(cms_path).collect() if r.d >= 0)
+        == total
+    )
 
     # a second drop accumulates
     drop("f2.json", [{"event_id": 999, "ts": "2024-01-01T01:00:00",
@@ -382,3 +389,65 @@ def test_frequency_sketch_maintenance_one_sided_and_replay_guarded(spark, tmp_pa
     ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms_path, ckpt, schema)
     est2 = ingest_stream.estimate_frequencies(spark, cms_path, [7])
     assert est2[7] >= 13
+
+
+def test_frequency_sketch_crash_replay_is_exactly_once(spark, tmp_path, monkeypatch):
+    """Kill the CMS merge at BOTH sides of its commit point and replay:
+
+    (a) crash after the staging write, before the swap — the live table
+        still holds the previous cells AND the previous high-water mark,
+        so the replayed epoch merges exactly once;
+    (b) crash after the swap, before the checkpoint commit — the swapped
+        table already carries the epoch in its sentinel row, so the
+        replayed epoch is skipped.
+
+    Either way the final cells must be bit-identical to a crash-free
+    run. The half-committed marker state (cells merged, epoch
+    unrecorded, or vice versa) is impossible by construction: one
+    directory rename commits both."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": 7 if i < 9 else 8,
+         "event_type": "click", "value": 1.0}
+        for i in range(12)
+    ]
+
+    def run(name, swap_impl=None):
+        evdir = tmp_path / f"{name}_events"
+        evdir.mkdir(exist_ok=True)
+        with open(evdir / "f1.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        cms = str(tmp_path / f"{name}_cms")
+        ckpt = str(tmp_path / f"{name}_ckpt")
+        if swap_impl is not None:
+            real = ingest_stream._atomic_swap_in
+            monkeypatch.setattr(
+                ingest_stream, "_atomic_swap_in",
+                lambda *a, **k: swap_impl(real, *a, **k),
+            )
+            with pytest.raises((StreamingQueryException, Exception)):
+                ingest_stream.maintain_frequency_sketch(
+                    spark, str(evdir), cms, ckpt, schema
+                )
+            monkeypatch.setattr(ingest_stream, "_atomic_swap_in", real)
+        ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms, ckpt, schema)
+        return sorted((r.d, r.bkt, r.c) for r in spark.read.parquet(cms).collect())
+
+    expected = run("clean")
+
+    def crash_before_swap(real, spark_, merged, table_path, epoch_id):
+        merged.write.mode("overwrite").parquet(
+            table_path + f".epoch-{epoch_id}.staging"
+        )
+        raise RuntimeError("injected crash: staging written, swap not run")
+
+    def crash_after_swap(real, spark_, merged, table_path, epoch_id):
+        real(spark_, merged, table_path, epoch_id)
+        raise RuntimeError("injected crash: swapped, checkpoint not committed")
+
+    assert run("preswap", crash_before_swap) == expected
+    assert run("postswap", crash_after_swap) == expected
