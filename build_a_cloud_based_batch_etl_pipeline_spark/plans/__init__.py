@@ -62,3 +62,40 @@ def count_shuffles(df: DataFrame) -> int:
     import re
 
     return len(re.findall(r"^\(\d+\) Exchange", physical_plan(df), re.MULTILINE))
+
+
+_GLOBAL_WSPEC = None
+
+
+def global_window_subtrees(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """(window_line, child_subtree_lines) for every Window node whose
+    spec has NO partition columns — a global window funnels every row
+    through one task, so it is only scale-safe over a bounded input.
+
+    Detection: in the executed plan's tree string, a partitioned spec
+    prints `windowspecdefinition(<part_col>, <order_col> ASC ...)` while
+    a global one starts directly with an ordered column or the frame —
+    `windowspecdefinition(<col> ASC NULLS ...` or
+    `windowspecdefinition(specifiedwindowframe(...)`."""
+    import re
+
+    global _GLOBAL_WSPEC
+    if _GLOBAL_WSPEC is None:
+        _GLOBAL_WSPEC = re.compile(
+            r"windowspecdefinition\("
+            r"(?:specifiedwindowframe|[^,()]+ (?:ASC|DESC) NULLS)"
+        )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "Window [" not in ln or not _GLOBAL_WSPEC.search(ln):
+            continue
+        depth = len(ln) - len(ln.lstrip(" :+-"))
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if len(nxt) - len(nxt.lstrip(" :+-")) <= depth:
+                break
+            sub.append(nxt)
+        out.append((ln, sub))
+    return out

@@ -128,3 +128,50 @@ def test_asof_variants_single_shuffle(spark, sf_dir):
         df = _df(spark, sf_dir, name)
         assert not plans.has_cartesian_or_bnlj(df), name
         assert plans.count_shuffles(df) <= 2, name
+
+
+# Queries allowed to plan a GLOBAL window (Window without partitionBy):
+# each must consume a bounded input — an aggregate over a constant-bound
+# key domain, or a dimension-table scan — never raw fact rows. SCALE.md
+# "Windows" documents each case.
+GLOBAL_WINDOW_BOUNDED = {
+    # cumulative coverage over the distinct-term vocabulary (aggregate
+    # below the window; bounded by vocabulary size, not corpus size)
+    "text_vocab_coverage",
+    # range frame over the supplier dim (bounded dim scan, stated in its
+    # docstring)
+    "window_range_frame",
+    # ratio-to-report grand total over nation-level aggregates (<= 25
+    # rows below the window)
+    "window_ratio_to_report",
+}
+
+_BOUNDED_DIM_SCANS = ("supplier", "nation", "region")
+
+
+def test_global_windows_only_over_bounded_inputs(spark, sf_dir):
+    """Mechanical sweep (VERDICT r4 item 8): every Window-without-
+    partition in the registry must be allow-listed AND its child subtree
+    must contain an aggregate or scan only bounded dim tables — so a
+    future query cannot silently add an unbounded global sort over fact
+    data."""
+    offenders, unbounded = [], []
+    for name, spec in REGISTRY.items():
+        gw = plans.global_window_subtrees(spec.fn(spark, sf_dir))
+        if not gw:
+            continue
+        if name not in GLOBAL_WINDOW_BOUNDED:
+            offenders.append(name)
+            continue
+        for ln, sub in gw:
+            has_agg = any("Aggregate" in s for s in sub)
+            scans = [
+                s for s in sub if "FileScan" in s or "Scan parquet" in s
+            ]
+            dims_only = scans and all(
+                any(d in s for d in _BOUNDED_DIM_SCANS) for s in scans
+            )
+            if not (has_agg or dims_only):
+                unbounded.append((name, ln.strip()[:100]))
+    assert not offenders, f"unlisted global windows in: {offenders}"
+    assert not unbounded, f"global window over unbounded input: {unbounded}"
