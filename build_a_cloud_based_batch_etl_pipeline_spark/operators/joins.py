@@ -403,6 +403,70 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, event_type,
+                       CAST(ts AS TIMESTAMP) AS ts FROM events),
+    p AS (SELECT event_id, user_id, ts FROM ev
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+    cand AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(c.ts) FROM c
+                WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS prev_ts,
+               (SELECT min(c.ts) FROM c
+                WHERE c.user_id = p.user_id AND c.ts >= p.ts) AS next_ts
+        FROM p
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN prev_ts IS NULL THEN next_ts
+                WHEN next_ts IS NULL THEN prev_ts
+                WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+                ELSE next_ts END AS nearest_click_ts
+    FROM cand
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'
+    parity): for each purchase, the click closest in time in EITHER
+    direction, ties preferring the earlier (backward) click. Composed
+    from the two directed as-of passes — backward non-strict carries
+    prev_ts, forward non-strict carries next_ts, a null-safe CASE picks
+    the smaller gap. Two union+window passes, both partitioned on the
+    same key (user_id), so the plan stays linear-scan-per-partition
+    with no range-join explosion — the same scale shape as each
+    directed variant."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    prev = asof_join(
+        purchases, clicks, key="user_id", time_col="ts",
+        value_col="click_ts", out_col="prev_ts",
+        strict=False, direction="backward",
+    )
+    both = asof_join(
+        prev, clicks, key="user_id", time_col="ts",
+        value_col="click_ts", out_col="next_ts",
+        strict=False, direction="forward",
+    )
+    d_prev = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+    d_next = F.col("next_ts").cast("double") - F.col("ts").cast("double")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(d_prev <= d_next, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return both.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
+    )
+
+
+@query(
     "join_broadcast_dims",
     oracle="""
     SELECT r_name,

@@ -163,3 +163,63 @@ def test_asof_join_forward_and_tolerance_match_bruteforce(spark, sources, target
                 assert tol[tid] in {v for (s_ts, v) in earlier if s_ts == best}
             else:
                 assert tol[tid] is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sources=events_strategy, targets=events_strategy)
+def test_asof_nearest_composition_matches_bruteforce(spark, sources, targets):
+    """The nearest-direction composition (backward non-strict +
+    forward non-strict + smaller-gap CASE, as join_asof_nearest builds
+    it) must pick the source ts with minimum |gap|, ties going backward
+    — verified against brute force on tied/colliding streams."""
+    from pyspark.sql import functions as F
+
+    src_rows = [
+        (k, BASE + timedelta(minutes=m)) for (k, m) in set(sources)
+    ]
+    tgt_rows = [
+        (k, BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(targets)
+    ]
+    schema_s = "key: long, ts: timestamp"
+    schema_t = "key: long, ts: timestamp, tgt_id: long"
+    src_df = (
+        spark.createDataFrame(src_rows, schema_s)
+        if src_rows
+        else spark.createDataFrame([], schema_s)
+    ).withColumn("src_ts", F.col("ts"))
+    tgt_df = spark.createDataFrame(tgt_rows, schema_t) if tgt_rows else spark.createDataFrame([], schema_t)
+
+    prev = asof_join(
+        tgt_df, src_df, key="key", time_col="ts", value_col="src_ts",
+        out_col="prev_ts", strict=False, direction="backward",
+    )
+    both = asof_join(
+        prev, src_df, key="key", time_col="ts", value_col="src_ts",
+        out_col="next_ts", strict=False, direction="forward",
+    )
+    d_prev = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+    d_next = F.col("next_ts").cast("double") - F.col("ts").cast("double")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(d_prev <= d_next, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    got = {
+        r.tgt_id: r.nearest
+        for r in both.select("tgt_id", nearest.alias("nearest")).collect()
+    }
+
+    assert len(got) == len(tgt_rows)
+    for k, ts, tid in tgt_rows:
+        cands = [s_ts for (sk, s_ts) in src_rows if sk == k]
+        if not cands:
+            assert got[tid] is None
+            continue
+        best = min(abs((s_ts - ts).total_seconds()) for s_ts in cands)
+        tied = [s_ts for s_ts in cands if abs((s_ts - ts).total_seconds()) == best]
+        assert got[tid] == min(tied), (k, ts, got[tid], tied)

@@ -1,40 +1,51 @@
 #!/usr/bin/env python
-"""Two-point scale sweep for the hottest pipeline operators (VERDICT r3
-item 2): run each at sf0.1 and at a synthetic 10x fixture and assert
-wall-time grows at most ~linearly. The sf0.1 bench alone cannot see a
-super-linear term; two points bound the exponent.
+"""Three-point scale sweep for the hottest pipeline operators (VERDICT r3
+item 2; third point + measured exponent per VERDICT r4 item 5): run each
+at sf0.1 and at synthetic 3x and 10x fixtures, and fit the growth
+exponent e in t ~ scale^e by least-squares on log t vs log scale. The
+sf0.1 bench alone cannot see a super-linear term; two points bound the
+ratio; THREE points show whether the parameter rules (bits~log2 N,
+nlist~N, occupancy caps) actually bend the curve or just move it.
 
 Fixture construction (built in a temp dir, nothing outside the repo or
 /tmp is touched):
 
-- documents x10: copy k of each doc gets every word suffixed with _k and
-  doc_id shifted by k*10^7. Per-doc shingle/gram volume (the CPU driver)
+- documents x k: copy j of each doc gets every word suffixed with _j and
+  doc_id shifted by j*10^7. Per-doc shingle/gram volume (the CPU driver)
   is identical to the original, within-copy near-dup structure replicates
   exactly, and CROSS-copy similarity is zero — so the true output (dup
-  pairs, contaminated docs) scales exactly 10x and a fair linearity
-  measurement is possible. A naive byte-duplicate would plant 10-clique
-  duplicates whose PAIR count grows 45x — superlinear in the answer
-  itself, not in the engine.
-- embeddings x10: copy 0 is the original; copies 1..9 are fresh seeded
-  gaussians (same row count/dim). LSH bucket geometry: at 10x rows the
-  operating rule is bits += log2(scale) (bucket count tracks corpus
-  size, keeping per-bucket occupancy — and thus per-bucket compare cost —
-  constant); the sweep times ann_lsh_topk with bits=4 at 1x vs bits=7 at
-  10x, i.e. the configuration a 10x deployment would actually run.
-  Holding bits fixed while the corpus grows is definitionally quadratic
-  for ANY LSH (occupancy doubles => compares quadruple) and measures the
+  pairs, contaminated docs) scales exactly k-fold and a fair linearity
+  measurement is possible. A naive byte-duplicate would plant k-clique
+  duplicates whose PAIR count grows ~k^2/2-fold — superlinear in the
+  answer itself, not in the engine.
+- embeddings x k: copy 0 is the original; copies 1..k-1 are fresh seeded
+  gaussians (same row count/dim) with LABELS SHIFTED per copy
+  (label + j*100). The shift makes the per-label IVF codebook grow with
+  the corpus — nlist ~ N, constant vectors per inverted list — which is
+  the configuration a k-fold deployment would actually run (the IVF
+  analog of the LSH bits rule; holding nlist fixed while N grows makes
+  the candidate join definitionally quadratic for ANY inverted-file
+  index). LSH bucket geometry: bits(scale) = 4 + round(log2 scale), so
+  bucket count tracks corpus size and per-bucket occupancy — and thus
+  per-bucket compare cost — stays constant. Holding bits fixed while the
+  corpus grows is definitionally quadratic for ANY LSH and measures the
   parameter mistake, not the engine.
-- ingest: the e2e batch is synthetic already; 10k posts vs 100k posts.
+- ingest: the e2e batch is synthetic already; 10k / 30k / 100k posts.
 
-Usage: python tools/scale_sweep.py [--runs 2]
-Prints one JSON line: {"queries": {name: {"t1": s, "t10": s,
-"ratio": r}}, ...}; ratio is t10/t1 (10.0 == perfectly linear).
+Usage: python tools/scale_sweep.py [--runs 2] [--points 1,3,10]
+Prints one JSON line: {"queries": {name: {"t": {"1": s, "3": s,
+"10": s}, "exponent": e}}, ...}; e == 1.0 is perfectly linear. The
+log-log fit attributes fixed per-query overhead (Spark's ~0.3-1 s
+scheduling floor) to the workload, so measured exponents UNDER-state
+asymptotic growth at these sizes for the fast operators; they are an
+upper-confidence check for super-linearity, not a throughput model.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import shutil
 import sys
@@ -44,21 +55,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF1 = "/root/testdata/sf0.1"
-SCALE = 10
 
 
-def build_fixture(workdir: str) -> str:
+def build_fixture(workdir: str, scale: int) -> str:
     import numpy as np
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join(workdir, "sf1x10")
+    out = os.path.join(workdir, f"sf1x{scale}")
     os.makedirs(out, exist_ok=True)
 
     docs = pq.read_table(os.path.join(SF1, "documents.parquet"))
     pdf = docs.to_pandas()
     parts = []
-    for k in range(SCALE):
+    for k in range(scale):
         cp = pdf.copy()
         if k:
             sfx = f"_{k}"
@@ -68,8 +79,6 @@ def build_fixture(workdir: str) -> str:
             cp["doc_id"] = cp["doc_id"] + k * 10_000_000
             cp["n_chars"] = cp["text"].str.len()
         parts.append(cp)
-    import pandas as pd
-
     big = pd.concat(parts, ignore_index=True)
     pq.write_table(
         pa.Table.from_pandas(big, preserve_index=False),
@@ -79,13 +88,15 @@ def build_fixture(workdir: str) -> str:
     emb = pq.read_table(os.path.join(SF1, "embeddings.parquet")).to_pandas()
     dim = len(emb["embedding"].iloc[0])
     eparts = [emb]
-    for k in range(1, SCALE):
+    for k in range(1, scale):
         rng = np.random.RandomState(1000 + k)
         cp = emb.copy()
         cp["vec_id"] = cp["vec_id"] + k * 10_000_000
+        # shifted labels => the per-label IVF codebook (nlist) tracks the
+        # corpus size, holding vectors-per-inverted-list constant
+        cp["label"] = cp["label"] + k * 100
         cp["embedding"] = [
-            row.astype(np.float32)
-            for row in rng.randn(len(emb), dim)
+            row.astype(np.float32) for row in rng.randn(len(emb), dim)
         ]
         eparts.append(cp)
     bige = pd.concat(eparts, ignore_index=True)
@@ -105,10 +116,23 @@ def timed(fn, runs: int) -> float:
     return round(best, 3)
 
 
+def fit_exponent(points: list[int], times: dict[str, float]) -> float:
+    """Least-squares slope of log t on log scale — the measured growth
+    exponent (1.0 == linear, 2.0 == quadratic)."""
+    xs = [math.log(p) for p in points]
+    ys = [math.log(times[str(p)]) for p in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--points", default="1,3,10")
     args = ap.parse_args()
+    points = sorted({int(p) for p in args.points.split(",")} | {1})
 
     from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
     from build_a_cloud_based_batch_etl_pipeline_spark.session import get_spark
@@ -124,22 +148,29 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
 
     workdir = tempfile.mkdtemp(prefix="scale_sweep_")
-    results: dict[str, dict[str, float]] = {}
+    results: dict[str, dict] = {}
     try:
-        big_dir = build_fixture(workdir)
+        fixture = {1: SF1}
+        for p in points:
+            if p != 1:
+                fixture[p] = build_fixture(workdir, p)
 
-        doc_queries = [
+        sweep_queries = [
             "decontaminate_ngram_overlap",
             "dedup_minhash_pairs",
             "text_tfidf",
             "doc_chunk_cdc",
             "text_heavy_hitters_cms",
+            # nlist tracks corpus size via the label shift above
+            "embed_ann_ivf",
         ]
-        for name in doc_queries:
+        for name in sweep_queries:
             fn = reg[name].fn
-            t1 = timed(lambda: materialize(fn(spark, SF1)), args.runs)
-            t10 = timed(lambda: materialize(fn(spark, big_dir)), args.runs)
-            results[name] = {"t1": t1, "t10": t10, "ratio": round(t10 / t1, 2)}
+            ts = {
+                str(p): timed(lambda: materialize(fn(spark, fixture[p])), args.runs)
+                for p in points
+            }
+            results[name] = {"t": ts, "exponent": fit_exponent(points, ts)}
 
         # ann_lsh: bits tracks corpus size (see module docstring).
         def ann(sf_dir: str, bits: int):
@@ -148,13 +179,17 @@ def main() -> None:
                 ann_lsh_topk(emb, bits=bits, tables=8, cache_key=("sweep", sf_dir, bits))
             )
 
-        t1 = timed(lambda: ann(SF1, 4), args.runs)
-        t10 = timed(lambda: ann(big_dir, 7), args.runs)
+        ts = {
+            str(p): timed(
+                lambda: ann(fixture[p], 4 + round(math.log2(p))), args.runs
+            )
+            for p in points
+        }
         results["embed_ann_lsh(bits~log N)"] = {
-            "t1": t1, "t10": t10, "ratio": round(t10 / t1, 2)
+            "t": ts, "exponent": fit_exponent(points, ts)
         }
 
-        # ingest e2e: 10k vs 100k posts through extract -> landing -> load.
+        # ingest e2e: 10k -> 100k posts through extract -> landing -> load.
         import json as _json
 
         from build_a_cloud_based_batch_etl_pipeline_spark import ingest
@@ -177,13 +212,15 @@ def main() -> None:
             ingest.extract_to_landing(spark, cfg, fetcher=lambda url: payload)
             assert ingest.load_landing_to_table(spark, cfg) == n_posts
 
-        t1 = timed(lambda: ingest_run(10_000), args.runs)
-        t10 = timed(lambda: ingest_run(100_000), args.runs)
-        results["ingest_e2e"] = {"t1": t1, "t10": t10, "ratio": round(t10 / t1, 2)}
+        ts = {
+            str(p): timed(lambda: ingest_run(10_000 * p), args.runs)
+            for p in points
+        }
+        results["ingest_e2e"] = {"t": ts, "exponent": fit_exponent(points, ts)}
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
-    print(json.dumps({"scale": SCALE, "runs": args.runs, "queries": results}))
+    print(json.dumps({"points": points, "runs": args.runs, "queries": results}))
 
 
 if __name__ == "__main__":
