@@ -484,3 +484,54 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.min("tot")).alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH bucketed AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS bucket
+        FROM customer
+    )
+    SELECT c_mktsegment, bucket,
+           count(*)                 AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi,
+           round(avg(c_acctbal), 4) AS bucket_avg
+    FROM bucketed
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of account balances per
+    market segment — the optimizer-statistics shape: 4 buckets holding
+    equal row counts with observed [lo, hi] bounds, where skewed value
+    ranges get narrow buckets instead of the empty/overfull bins a
+    fixed-width histogram produces (contrast agg_value_histogram).
+
+    ntile ties are pinned by the (value, c_custkey) order, so bucket
+    assignment — and therefore every per-bucket stat — is deterministic
+    and engine-portable. Scale shape: the window partitions on the
+    segment key (never global — the guard in tests/test_plans.py), and
+    only bucket rows survive the final hash aggregate. At true 100 TB
+    per-segment cardinality the same statistic comes from
+    approx_percentile boundaries instead of a per-row ntile; this is the
+    exact small-dimension form."""
+    from pyspark.sql import Window as W
+
+    cust = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("bucket")
+        )
+        .groupBy("c_mktsegment", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            r2(F.min("c_acctbal")).alias("lo"),
+            r2(F.max("c_acctbal")).alias("hi"),
+            r4(F.avg("c_acctbal")).alias("bucket_avg"),
+        )
+    )

@@ -947,11 +947,29 @@ def _pq_train_codebooks(mat):
     return np.stack(books)
 
 
+_PQ_FIT_CACHE: dict = {}
+
+
 def _pq_fit(spark: SparkSession, sf_dir: str):
     """Broadcastable (codebooks, ids, codes) trained+encoded from the
     embeddings table, L2-normalized so ADC inner product approximates
-    cosine. Bounded by the same footer guard as embed_cosine_topk."""
+    cosine. Bounded by the same footer guard as embed_cosine_topk.
+
+    Memoized per (applicationId, sf_dir) — codebooks are a trained
+    artifact, deterministic given the corpus (fixed k-means init, no
+    RNG), and the four PQ queries share them in a warm session instead
+    of re-running driver k-means per invocation. Same lifecycle
+    discipline as cache_once: entries for dead applications are dropped
+    on insert."""
     import numpy as np
+
+    app = spark.sparkContext.applicationId
+    ck = (app, sf_dir, _PQ_M, _PQ_K, _PQ_TRAIN_ROWS)
+    hit = _PQ_FIT_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _PQ_FIT_CACHE if k[0] != app]:
+        del _PQ_FIT_CACHE[stale]
 
     n_index = _parquet_num_rows(table_path(sf_dir, "embeddings"))
     if n_index is not None and n_index > _MAX_INDEX_ROWS:
@@ -977,7 +995,8 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     for m in range(_PQ_M):
         sub = mat[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
         codes[:, m] = _pq_assign(sub, books[m]).astype(np.uint8)
-    return books, ids, codes, mat
+    _PQ_FIT_CACHE[ck] = (books, ids, codes, mat)
+    return _PQ_FIT_CACHE[ck]
 
 
 @query("embed_pq_codes")
