@@ -1262,3 +1262,109 @@ def embed_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInPandas(score, out_schema)
+
+
+@query(
+    "dedup_semantic_keep_best",
+    oracle="""
+    WITH RECURSIVE u AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+        FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT id_a, id_b
+        FROM dots
+        JOIN norms x ON id_a = x.vec_id
+        JOIN norms y ON id_b = y.vec_id
+        WHERE round(dp / (x.nrm * y.nrm), 4) >= 0.42
+    ),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+    ),
+    reach(vec_id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN und e ON e.src = r.vec_id
+    ),
+    labels AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id),
+    q AS (
+        SELECT l.vec_id, l.cluster_id, d.n_chars
+        FROM labels l JOIN documents d ON d.doc_id = l.vec_id
+    ),
+    mx AS (
+        SELECT cluster_id, max(n_chars) AS best_chars
+        FROM q GROUP BY cluster_id
+    ),
+    keepers AS (
+        SELECT q.cluster_id, min(q.vec_id) AS keep_id
+        FROM q JOIN mx ON q.cluster_id = mx.cluster_id
+                      AND q.n_chars = mx.best_chars
+        GROUP BY q.cluster_id
+    )
+    SELECT q.vec_id, q.cluster_id, q.n_chars,
+           q.vec_id = k.keep_id AS keep
+    FROM q JOIN keepers k ON q.cluster_id = k.cluster_id
+    """,
+)
+def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup with canonical selection: the exact
+    embedding-cosine near-dup pairs (dedup_embedding_cosine, >= 0.42)
+    become edges, min-label propagation assigns every vector a
+    component, and within each component exactly ONE document survives —
+    the longest (n_chars as the quality proxy), ties to the smallest id.
+    Singletons keep themselves. Output (vec_id, cluster_id, n_chars,
+    keep) is the drop-list a training pipeline applies before packing.
+
+    Scale shape: the pair graph comes from the sub-quadratic LSH
+    candidate path at corpus scale (dedup_embedding_lsh — same edge
+    semantics, documented recall); components iterate only over
+    edge-participant nodes (|E|-bounded, like dedup_clusters); the
+    keep-choice is one windowed argmax per cluster, partitioned on
+    cluster_id. DuckDB oracle recomputes the whole chain (exact dots ->
+    recursive-CTE components -> per-cluster argmax) independently."""
+    from pyspark.sql import Window as W
+
+    from .dedup import propagate_min_label
+
+    edges = cache_once(
+        spark,
+        ("semantic_edges", sf_dir),
+        lambda: dedup_embedding_cosine(spark, sf_dir).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+    )
+    members = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    nodes = members.select("doc_id", F.col("doc_id").alias("label"))
+    linked = propagate_min_label(nodes, edges)
+    vecs = t(spark, sf_dir, "embeddings").select("vec_id")
+    labels = (
+        vecs.join(linked, vecs.vec_id == linked.doc_id, "left")
+        .select("vec_id", F.coalesce("label", "vec_id").alias("cluster_id"))
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    q = labels.join(docs, "vec_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "vec_id")
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .select(
+            "vec_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep")
+        )
+    )

@@ -313,3 +313,24 @@ def test_pq_adc_tiny_index_under_k(spark, tmp_path):
     for r in out:
         assert r.qid != r.nid
         assert np.isfinite(r.adc_score)
+
+
+def test_semantic_keep_best_invariants(spark, sf_dir):
+    """Exactly one survivor per semantic cluster; the survivor is the
+    longest document (ties to smallest id); cluster labels are the
+    component minimum — the drop-list contract a training pipeline
+    relies on."""
+    rows = REGISTRY["dedup_semantic_keep_best"].fn(spark, sf_dir).collect()
+    clusters: dict[int, list] = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    assert sum(len(v) for v in clusters.values()) == len(rows)
+    for cid, members in clusters.items():
+        assert min(r.vec_id for r in members) == cid, "label != component min"
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1, f"cluster {cid}: {len(keeps)} keepers"
+        best = max(r.n_chars for r in members)
+        assert keeps[0].n_chars == best
+        assert keeps[0].vec_id == min(
+            r.vec_id for r in members if r.n_chars == best
+        )
