@@ -1045,3 +1045,79 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(measure, out_schema)
+
+
+_ZIPF_TOPN = 100
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH counts AS (
+        SELECT term, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) GROUP BY term
+    ),
+    ranked AS (
+        SELECT ln(row_number() OVER (ORDER BY c DESC, term)) AS x,
+               ln(c) AS y
+        FROM counts
+        QUALIFY row_number() OVER (ORDER BY c DESC, term) <= {_ZIPF_TOPN}
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms_fit,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               AS zipf_intercept
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-100 terms: least-squares
+    slope of ln(freq) on ln(rank) — natural language sits near -1, and
+    corpora that deviate hard (flat: template/boilerplate spam; steep:
+    degenerate repetition) fail the distributional sanity check that
+    complements per-document quality filters. The explicit closed-form
+    sums (not a regression builtin) keep the arithmetic identical in
+    both engines; slope/intercept rounded 4dp.
+
+    Scale shape: one term-count shuffle (map-side combined), a global
+    rank over the DISTINCT-TERM table (bounded by vocabulary size —
+    allow-listed with the same justification as text_vocab_coverage),
+    then a 100-row aggregate. Deterministic (count desc, term) order."""
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.orderBy(F.col("c").desc(), "term")
+    ranked = (
+        counts.select("c", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _ZIPF_TOPN)
+        .select(
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms_fit"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "zipf_intercept"
+        ),
+    )

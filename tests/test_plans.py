@@ -144,6 +144,9 @@ GLOBAL_WINDOW_BOUNDED = {
     # ratio-to-report grand total over nation-level aggregates (<= 25
     # rows below the window)
     "window_ratio_to_report",
+    # Zipf rank over the distinct-term vocabulary (aggregate below the
+    # window; same boundedness argument as text_vocab_coverage)
+    "text_zipf_slope",
 }
 
 _BOUNDED_DIM_SCANS = ("supplier", "nation", "region")
