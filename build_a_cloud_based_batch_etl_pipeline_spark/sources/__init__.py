@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TABLES
 
@@ -98,3 +99,30 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str, target_schema) -> DataFrame:
+    """Parquet scan across schema GENERATIONS (add-only evolution — the
+    common lakehouse case: new pipeline versions append files with new
+    columns into the same table directory).
+
+    mergeSchema unions the per-file footers (per-file cost at planning
+    time, which is why it is not Spark's default — pay it only on
+    evolved tables), then the projection normalizes to `target_schema`:
+    columns a generation never wrote come back as typed NULLs, casts pin
+    declared types, and column ORDER follows the target, so downstream
+    code sees one stable schema regardless of which files survive
+    retention. Incompatible type rewrites (int -> string) are NOT
+    papered over: mergeSchema fails fast on irreconcilable footers,
+    which is the correct behavior — that case needs a rewrite migration,
+    not a reader workaround."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    present = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in present
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )

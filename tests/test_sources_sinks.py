@@ -278,3 +278,41 @@ def test_swap_dir_crash_states_are_recoverable(spark, tmp_path):
     spark.range(4).write.parquet(fresh + ".staging")
     sinks.swap_dir(spark, fresh + ".staging", fresh)
     assert spark.read.parquet(fresh).count() == 4
+
+
+def test_read_parquet_evolving_normalizes_generations(spark, tmp_path):
+    """Files from three schema generations (base, +quality column,
+    +lang column) read back as ONE stable target schema: missing
+    columns are typed NULLs, order follows the target, values survive."""
+    from pyspark.sql import types as T
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import sources
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id: long, text: string"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "doc_id: long, text: string, quality: double"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 0.9, "en")],
+        "doc_id: long, text: string, quality: double, lang: string",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    target = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("quality", T.DoubleType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    out = sources.read_parquet_evolving(spark, path, target)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "text", "quality", "lang"]
+    got = {r.doc_id: (r.text, r.quality, r.lang) for r in out.collect()}
+    assert got == {
+        1: ("a", None, None),
+        2: ("b", 0.5, None),
+        3: ("c", 0.9, "en"),
+    }
