@@ -30,10 +30,6 @@ from pyspark.sql import functions as F
 from ..config import IngestConfig
 from ..schemas import POSTS, POSTS_RAW
 
-# CMS sentinel row key: real depths are 0..=_CMS_DEPTH-1, so d = -1 is
-# out-of-domain by construction and carries the merged-epoch high-water
-# mark inside the same atomically-swapped table as the cells.
-_EPOCH_SENTINEL_D = -1
 
 
 def incremental_load(
@@ -84,18 +80,56 @@ def incremental_load(
     return appended["n"]
 
 
-def _atomic_swap_in(spark: SparkSession, merged: DataFrame, table_path: str, epoch_id) -> None:
+def _atomic_swap_in(
+    spark: SparkSession,
+    merged: DataFrame,
+    table_path: str,
+    epoch_id,
+    stamp_epoch: bool = False,
+) -> None:
     """Write `merged` to a staging dir and swap it over the table path —
     the local-FS stand-in for a transactional table commit. The swap is
     rename-aside (old table parked at `.old`, staging renamed in, park
     deleted — sinks.swap_dir), so no crash point destroys the previous
     state and the reader race window is two renames, not an O(files)
-    delete."""
+    delete.
+
+    With `stamp_epoch`, an empty `_epoch_hwm-<id>` marker file is
+    created INSIDE the staging dir before the swap: parquet readers
+    skip `_`-prefixed paths (the `_SUCCESS` convention), and the one
+    directory rename then commits data and merged-epoch watermark
+    together — there is no crash point where a non-idempotent merge is
+    applied but unrecorded, or recorded but unapplied. Schema-agnostic,
+    unlike a sentinel row."""
     from ..sinks import swap_dir
 
     staging = table_path + f".epoch-{epoch_id}.staging"
     merged.write.mode("overwrite").parquet(staging)
+    if stamp_epoch:
+        jvm = spark._jvm
+        mpath = jvm.org.apache.hadoop.fs.Path(
+            staging + f"/_epoch_hwm-{int(epoch_id)}"
+        )
+        fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.create(mpath, True).close()
     swap_dir(spark, staging, table_path)
+
+
+def _table_epoch_hwm(spark: SparkSession, table_path: str) -> int | None:
+    """The merged-epoch high-water mark committed with the table by
+    `_atomic_swap_in(..., stamp_epoch=True)`, or None for a missing /
+    never-stamped table."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    marks = [
+        int(st.getPath().getName().split("-", 1)[1])
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().startswith("_epoch_hwm-")
+    ]
+    return max(marks) if marks else None
 
 
 def maintain_distinct_sketch(
@@ -167,12 +201,13 @@ def maintain_frequency_sketch(
     Merge semantics contrast with the HLL sketch above and drive the
     design: CMS cells merge by ADDITION — commutative and associative
     (per-day sketches sum into any window) but NOT idempotent, so a
-    replayed epoch would double-count. Unlike the side-channel epoch
-    marker maintain_running_aggregate uses, the guard here is committed
-    IN the swapped table itself: a sentinel row (d = -1) carries the
-    merged-epoch high-water mark, so cells and marker land in one
-    rename — there is no crash point where the table is merged but the
-    epoch unrecorded (or vice versa). Epochs at or below the stored
+    replayed epoch would double-count. The guard is committed WITH the
+    swapped table itself: `_atomic_swap_in(stamp_epoch=True)` places an
+    `_epoch_hwm-<id>` marker file inside the staging dir, so cells and
+    merged-epoch watermark land in one rename — there is no crash point
+    where the table is merged but the epoch unrecorded (or vice versa);
+    tests/test_streaming.py injects a crash on both sides of the swap
+    and pins bit-identical cells. Epochs at or below the stored
     high-water mark are skipped on replay. (The high-water mark is
     scoped to one checkpoint lineage: wiping the checkpoint without
     wiping the table strands the state — reset both together.)
@@ -188,14 +223,10 @@ def maintain_frequency_sketch(
         fs = hpath.getFileSystem(fs_conf)
         current = None
         if fs.exists(hpath):
-            current = spark.read.parquet(cms_table_path)
-            hwm = (
-                current.filter(F.col("d") == _EPOCH_SENTINEL_D)
-                .agg(F.max("c"))
-                .first()[0]
-            )
+            hwm = _table_epoch_hwm(spark, cms_table_path)
             if hwm is not None and epoch_id <= hwm:
                 return  # replayed epoch: cell addition is NOT idempotent
+            current = spark.read.parquet(cms_table_path)
         key_str = F.col(key_col).cast("string")
         fan = F.explode(
             F.array(
@@ -225,22 +256,15 @@ def maintain_frequency_sketch(
         )
         if current is not None:
             merged = (
-                current.filter(F.col("d") != _EPOCH_SENTINEL_D)
-                .unionByName(delta)
+                current.unionByName(delta)
                 .groupBy("d", "bkt")
                 .agg(F.sum("c").alias("c"))
             )
         else:
             merged = delta
-        sentinel = spark.range(1).select(
-            F.lit(_EPOCH_SENTINEL_D).alias("d"),
-            F.lit(0).cast("bigint").alias("bkt"),
-            F.lit(int(epoch_id)).cast("bigint").alias("c"),
+        _atomic_swap_in(
+            spark, merged, cms_table_path, epoch_id, stamp_epoch=True
         )
-        merged = merged.withColumn("d", F.col("d").cast("int")).unionByName(
-            sentinel
-        )
-        _atomic_swap_in(spark, merged, cms_table_path, epoch_id)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -264,9 +288,7 @@ def estimate_frequencies(
     from ..operators.text import _CMS_DEPTH, _CMS_WIDTH
 
     cells = {
-        (r.d, r.bkt): r.c
-        for r in spark.read.parquet(cms_table_path).collect()
-        if r.d != _EPOCH_SENTINEL_D
+        (r.d, r.bkt): r.c for r in spark.read.parquet(cms_table_path).collect()
     }
     out = {}
     for key in keys:
@@ -312,27 +334,23 @@ def maintain_running_aggregate(
     mid-stream by any other session.
 
     Replay guard: a merge is NOT naturally idempotent (re-merging a
-    replayed epoch double-counts), so each merged epoch leaves a marker
-    and replayed epochs are skipped. The crash window between the table
-    rename and the marker write remains at-least-once — closing it needs
-    a transactional table format (Delta/Iceberg MERGE), which is exactly
-    what those formats exist for; the marker bounds the exposure to one
-    epoch.
+    replayed epoch double-counts), so replayed epochs are skipped via
+    the merged-epoch high-water mark that `_atomic_swap_in(
+    stamp_epoch=True)` commits INSIDE the swapped table directory (an
+    `_epoch_hwm-<id>` marker file; parquet readers skip `_`-prefixed
+    paths). Data and watermark land in one rename, so the r4-era crash
+    window between table rename and marker write no longer exists — the
+    only residual difference from a transactional format (Delta/Iceberg
+    MERGE) is the swap's two-rename reader race, not a correctness
+    window.
     """
     from pyspark.sql import functions as F
 
     stream = spark.readStream.schema(events_schema).json(events_path)
-    marker_dir = checkpoint_path + ".merged-epochs"
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         jvm = spark._jvm
         fs_conf = spark._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(marker_dir, f"epoch-{epoch_id}")
-        )
-        mfs = marker.getFileSystem(fs_conf)
-        if mfs.exists(marker):
-            return  # replayed epoch, already merged
         delta = batch.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             F.sum("value").alias("total_value"),
@@ -340,6 +358,9 @@ def maintain_running_aggregate(
         hpath = jvm.org.apache.hadoop.fs.Path(agg_table_path)
         fs = hpath.getFileSystem(fs_conf)
         if fs.exists(hpath):
+            hwm = _table_epoch_hwm(spark, agg_table_path)
+            if hwm is not None and epoch_id <= hwm:
+                return  # replayed epoch, already merged
             current = spark.read.parquet(agg_table_path)
             merged = (
                 current.unionByName(delta)
@@ -351,8 +372,9 @@ def maintain_running_aggregate(
             )
         else:
             merged = delta
-        _atomic_swap_in(spark, merged, agg_table_path, epoch_id)
-        mfs.mkdirs(marker)
+        _atomic_swap_in(
+            spark, merged, agg_table_path, epoch_id, stamp_epoch=True
+        )
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -293,6 +293,18 @@ def test_continuous_aggregate_maintenance(spark, tmp_path):
            for r in spark.read.parquet(agg_path).collect()}
     assert got == {7: (3, 13.0), 8: (1, 5.0), 9: (1, 0.5)}
 
+    # the swapped dir carries the merged-epoch watermark; a crash after
+    # the swap but before the checkpoint commit replays the epoch, which
+    # the watermark skips — totals must not double-count
+    import shutil
+
+    assert ingest_stream._table_epoch_hwm(spark, agg_path) is not None
+    shutil.rmtree(ckpt)  # lost checkpoint: full replay from scratch
+    ingest_stream.maintain_running_aggregate(spark, str(evdir), agg_path, ckpt, schema)
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in spark.read.parquet(agg_path).collect()}
+    assert got == {7: (3, 13.0), 8: (1, 5.0), 9: (1, 0.5)}
+
 
 def test_distinct_sketch_maintenance_is_replay_idempotent(spark, tmp_path):
     """Per-key HLL sketches accumulate across file drops, estimates track
@@ -343,8 +355,9 @@ def test_distinct_sketch_maintenance_is_replay_idempotent(spark, tmp_path):
 def test_frequency_sketch_maintenance_one_sided_and_replay_guarded(spark, tmp_path):
     """CMS cells accumulate across drops; estimates never under-count
     the exact per-user frequencies; re-running with no new files leaves
-    cells unchanged (the in-table epoch high-water mark guards the
-    non-idempotent addition)."""
+    cells unchanged (the epoch high-water mark committed with the table
+    — the _epoch_hwm marker file — guards the non-idempotent
+    addition)."""
     evdir = tmp_path / "cms_events"
     evdir.mkdir()
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
@@ -370,18 +383,18 @@ def test_frequency_sketch_maintenance_one_sided_and_replay_guarded(spark, tmp_pa
     for uid, n in exact.items():
         assert est[uid] >= n, (uid, est[uid], n)
     # total cell mass equals total fanned occurrences (no double count);
-    # exactly one sentinel row (d=-1) carries the epoch high-water mark
-    rows_all = spark.read.parquet(cms_path).collect()
-    total = sum(r.c for r in rows_all if r.d >= 0)
+    # the swapped dir carries the merged-epoch watermark as a
+    # parquet-invisible _epoch_hwm marker file
+    import glob
+
+    total = sum(r.c for r in spark.read.parquet(cms_path).collect())
     assert total == 4 * sum(exact.values())
-    assert sum(1 for r in rows_all if r.d == -1) == 1
+    assert glob.glob(f"{cms_path}/_epoch_hwm-*")
+    assert ingest_stream._table_epoch_hwm(spark, cms_path) == 0
 
     # no new files -> no new epochs -> cells unchanged
     ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms_path, ckpt, schema)
-    assert (
-        sum(r.c for r in spark.read.parquet(cms_path).collect() if r.d >= 0)
-        == total
-    )
+    assert sum(r.c for r in spark.read.parquet(cms_path).collect()) == total
 
     # a second drop accumulates
     drop("f2.json", [{"event_id": 999, "ts": "2024-01-01T01:00:00",
