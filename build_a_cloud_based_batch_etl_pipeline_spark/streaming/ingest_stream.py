@@ -383,3 +383,78 @@ def maintain_running_aggregate(
         .start()
     )
     q.awaitTermination()
+
+
+def maintain_term_counts(
+    spark: SparkSession,
+    docs_path: str,
+    counts_table_path: str,
+    checkpoint_path: str,
+    docs_schema,
+    text_col: str = "text",
+) -> None:
+    """Streaming vocabulary maintenance: keep a corpus-wide term-count
+    table current as document files arrive — the streaming twin of the
+    batch term-count family (text_ngram_topk / text_vocab_coverage /
+    text_zipf_slope read their statistics from exactly this aggregate).
+
+    Each micro-batch explodes its documents to terms and pre-aggregates
+    (map-side combine: one row per distinct term in the batch — the
+    minimum shuffle), then merges into the stored counts by addition.
+    Addition is NOT idempotent, so the merge is guarded by the same
+    merged-epoch watermark as the CMS/running-aggregate maintainers:
+    `_atomic_swap_in(stamp_epoch=True)` commits counts and epoch in one
+    rename; replayed epochs are skipped. At 100 TB the stored table is
+    vocabulary-sized (millions of rows), not corpus-sized — the reason
+    this is maintainable at all.
+    """
+    stream = spark.readStream.schema(docs_schema).json(docs_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(counts_table_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        current = None
+        if fs.exists(hpath):
+            hwm = _table_epoch_hwm(spark, counts_table_path)
+            if hwm is not None and epoch_id <= hwm:
+                return  # replayed epoch: count addition is NOT idempotent
+            current = spark.read.parquet(counts_table_path)
+        delta = (
+            batch.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if current is not None:
+            merged = (
+                current.unionByName(delta)
+                .groupBy("term")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = delta
+        _atomic_swap_in(
+            spark, merged, counts_table_path, epoch_id, stamp_epoch=True
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_top_terms(
+    spark: SparkSession, counts_table_path: str, k: int = 10
+) -> DataFrame:
+    """Query side of maintain_term_counts: corpus top-k terms by count
+    (ties broken by term) — TakeOrderedAndProject over the
+    vocabulary-sized table, no full sort."""
+    return (
+        spark.read.parquet(counts_table_path)
+        .orderBy(F.col("c").desc(), "term")
+        .limit(k)
+    )

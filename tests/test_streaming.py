@@ -464,3 +464,49 @@ def test_frequency_sketch_crash_replay_is_exactly_once(spark, tmp_path, monkeypa
 
     assert run("preswap", crash_before_swap) == expected
     assert run("postswap", crash_after_swap) == expected
+
+
+def test_term_count_maintenance_accumulates_and_guards_replay(spark, tmp_path):
+    """Streaming vocabulary maintenance: term counts accumulate across
+    document drops and match a batch recount exactly; a lost checkpoint
+    replays every file, which the in-table epoch watermark turns into a
+    no-op; top-k reads come back in (count desc, term) order."""
+    import shutil
+    from collections import Counter
+
+    docsdir = tmp_path / "tc_docs"
+    docsdir.mkdir()
+    schema = "doc_id long, text string"
+
+    def drop(name, rows):
+        with open(docsdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    counts_path = str(tmp_path / "term_counts")
+    ckpt = str(tmp_path / "tc_ckpt")
+    d1 = [
+        {"doc_id": 1, "text": "spark scales spark joins"},
+        {"doc_id": 2, "text": "duck checks spark"},
+    ]
+    drop("f1.json", d1)
+    ingest_stream.maintain_term_counts(spark, str(docsdir), counts_path, ckpt, schema)
+    exact = Counter(w for r in d1 for w in r["text"].split())
+    got = {r.term: r.c for r in spark.read.parquet(counts_path).collect()}
+    assert got == dict(exact)
+
+    d2 = [{"doc_id": 3, "text": "spark again"}]
+    drop("f2.json", d2)
+    ingest_stream.maintain_term_counts(spark, str(docsdir), counts_path, ckpt, schema)
+    exact.update(w for r in d2 for w in r["text"].split())
+    got = {r.term: r.c for r in spark.read.parquet(counts_path).collect()}
+    assert got == dict(exact)
+
+    # lost checkpoint: full replay; watermark must refuse the re-merge
+    shutil.rmtree(ckpt)
+    ingest_stream.maintain_term_counts(spark, str(docsdir), counts_path, ckpt, schema)
+    got = {r.term: r.c for r in spark.read.parquet(counts_path).collect()}
+    assert got == dict(exact), "replayed epochs must not double-count"
+
+    top = ingest_stream.read_top_terms(spark, counts_path, k=2).collect()
+    assert [(r.term, r.c) for r in top] == [("spark", 4), ("again", 1)]
