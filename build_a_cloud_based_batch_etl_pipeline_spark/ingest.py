@@ -206,18 +206,17 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
 
 
 def _atomic_swap_rewrite(spark: SparkSession, table_path: str, new_df: DataFrame) -> None:
-    """Write `new_df` to a staging dir, then atomically swap it into
-    `table_path` (delete + rename — single-writer atomicity, the plain-
-    parquet stand-in for a transactional format's metadata commit)."""
+    """Write `new_df` to a staging dir, then swap it into `table_path`
+    via the rename-aside swap (sinks.swap_dir: park the live dir at
+    `.old`, rename staging in, delete the park) — the plain-parquet
+    stand-in for a transactional format's metadata commit. No crash
+    point destroys the previous table; sinks.swap_recover restores the
+    mid-swap state."""
+    from .sinks import swap_dir
+
     staging = table_path + ".staging"
     new_df.write.mode("overwrite").parquet(staging)
-    jvm = spark._jvm
-    fs_conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = hpath.getFileSystem(fs_conf)
-    fs.delete(hpath, True)
-    fs.rename(spath, hpath)
+    swap_dir(spark, staging, table_path)
 
 
 def merge_upsert(
