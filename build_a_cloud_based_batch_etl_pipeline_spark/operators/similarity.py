@@ -986,6 +986,11 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     )
     if len(rows) > _MAX_INDEX_ROWS:
         raise ValueError("embed_ann_pq: unreadable footers and over-cap corpus")
+    if not rows:
+        raise ValueError(
+            "PQ training needs a non-empty embeddings table "
+            f"(nothing at {table_path(sf_dir, 'embeddings')})"
+        )
     rows.sort(key=lambda r: r.vec_id)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)

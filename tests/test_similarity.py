@@ -334,3 +334,16 @@ def test_semantic_keep_best_invariants(spark, sf_dir):
         assert keeps[0].vec_id == min(
             r.vec_id for r in members if r.n_chars == best
         )
+
+
+def test_pq_fit_empty_table_fails_clearly(spark, tmp_path):
+    """An empty embeddings table must raise a labeled error, not a numpy
+    shape crash mid-kmeans."""
+    import pytest as _pytest
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="non-empty embeddings"):
+        REGISTRY["embed_pq_codes"].fn(spark, sf)
