@@ -193,11 +193,20 @@ def load_landing_to_table(
 
 
 def read_table(spark: SparkSession, cfg: IngestConfig) -> DataFrame:
+    from .sinks import swap_recover
+
+    swap_recover(spark, cfg.table_path())
     return spark.read.parquet(cfg.table_path())
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
-    # works for any Hadoop FS URI, not just local files
+    # works for any Hadoop FS URI, not just local files; restores a
+    # mid-swap crash artifact first, so a parked-but-unswapped table is
+    # never mistaken for a missing one (a merge would then silently
+    # restart its state from the current batch alone)
+    from .sinks import swap_recover
+
+    swap_recover(spark, path)
     jvm = spark._jvm
     jsc = spark._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -284,6 +293,9 @@ def purge_keys(
     same. The key list is the bounded side and is broadcast; the table
     streams through.
     """
+    from .sinks import swap_recover
+
+    swap_recover(spark, table_path)
     current = spark.read.parquet(table_path)
     kept = current.join(F.broadcast(keys.select(key).distinct()), key, "left_anti")
     kept = kept.cache()

@@ -948,6 +948,10 @@ def _pq_train_codebooks(mat):
 
 
 _PQ_FIT_CACHE: dict = {}
+# Each entry retains the full float64 matrix (up to _MAX_INDEX_ROWS x
+# _DIM ~ 51 MiB); bound the count so a long test session touching many
+# sf_dirs cannot grow driver RSS without limit (FIFO eviction).
+_PQ_FIT_CACHE_MAX = 4
 
 
 def _pq_fit(spark: SparkSession, sf_dir: str):
@@ -1000,6 +1004,8 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     for m in range(_PQ_M):
         sub = mat[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
         codes[:, m] = _pq_assign(sub, books[m]).astype(np.uint8)
+    while len(_PQ_FIT_CACHE) >= _PQ_FIT_CACHE_MAX:
+        _PQ_FIT_CACHE.pop(next(iter(_PQ_FIT_CACHE)))
     _PQ_FIT_CACHE[ck] = (books, ids, codes, mat)
     return _PQ_FIT_CACHE[ck]
 
@@ -1139,9 +1145,15 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bk,
             )
             # scores[b, n] = sum_m LUT[b, m, codes[n, m]], computed per
-            # index chunk: a global top-k element is inside its own
-            # chunk's top-(k+1) (k+1 so the self row can be dropped
-            # later), so merging per-chunk winners loses nothing.
+            # index chunk: under the (-score, nid) total order, a global
+            # top-k element is inside its own chunk's top-(k+1) (k+1 so
+            # the self row can be dropped later), so merging per-chunk
+            # winners loses nothing. Selection is a STABLE argsort of
+            # -score — positions ascend with nid (ids are sorted at fit
+            # time), so score ties resolve to the smallest nid in every
+            # chunk, and the output is identical for every _ADC_CHUNK
+            # setting (argpartition would keep an arbitrary tied subset
+            # at the boundary).
             cand_pos, cand_sc = [], []
             for lo in range(0, len(index_ids), _ADC_CHUNK):
                 hi = min(lo + _ADC_CHUNK, len(index_ids))
@@ -1149,7 +1161,7 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for m in range(_PQ_M):
                     chunk += lut[:, m, index_codes[lo:hi, m]]
                 kk = min(k + 1, hi - lo)
-                top = np.argpartition(-chunk, kk - 1, axis=1)[:, :kk]
+                top = np.argsort(-chunk, axis=1, kind="stable")[:, :kk]
                 cand_pos.append(top + lo)
                 cand_sc.append(np.take_along_axis(chunk, top, axis=1))
             pos = np.concatenate(cand_pos, axis=1)
@@ -1159,13 +1171,13 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s = sc[bi].copy()
                 nids = index_ids[pos[bi]]
                 s[nids == qids[bi]] = -np.inf
-                kk = min(k, s.size)
-                top = np.argpartition(-s, kk - 1)[:kk]
-                top = top[np.lexsort((nids[top], -s[top]))]
-                top = top[s[top] > -np.inf]
-                out_q.extend([qids[bi]] * len(top))
-                out_n.extend(nids[top])
-                out_s.extend(np.round(s[top], 4))
+                # candidates are few (nchunks * (k+1)); full (-score,
+                # nid) order, then take k — same tie contract as above
+                order = np.lexsort((nids, -s))[: min(k, s.size)]
+                order = order[s[order] > -np.inf]
+                out_q.extend([qids[bi]] * len(order))
+                out_n.extend(nids[order])
+                out_s.extend(np.round(s[order], 4))
             yield pd.DataFrame(
                 {"qid": out_q, "nid": np.array(out_n, dtype=np.int64),
                  "adc_score": out_s}

@@ -64,7 +64,15 @@ def count_shuffles(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange", physical_plan(df), re.MULTILINE))
 
 
-_GLOBAL_WSPEC = None
+import re as _re
+
+# A partitioned spec prints `windowspecdefinition(<part_col>, <order_col>
+# ASC ...)`; a global one starts directly with an ordered column or the
+# frame.
+_GLOBAL_WSPEC = _re.compile(
+    r"windowspecdefinition\("
+    r"(?:specifiedwindowframe|[^,()]+ (?:ASC|DESC) NULLS)"
+)
 
 
 def global_window_subtrees(df: DataFrame) -> list[tuple[str, list[str]]]:
@@ -77,14 +85,6 @@ def global_window_subtrees(df: DataFrame) -> list[tuple[str, list[str]]]:
     a global one starts directly with an ordered column or the frame —
     `windowspecdefinition(<col> ASC NULLS ...` or
     `windowspecdefinition(specifiedwindowframe(...)`."""
-    import re
-
-    global _GLOBAL_WSPEC
-    if _GLOBAL_WSPEC is None:
-        _GLOBAL_WSPEC = re.compile(
-            r"windowspecdefinition\("
-            r"(?:specifiedwindowframe|[^,()]+ (?:ASC|DESC) NULLS)"
-        )
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     out = []

@@ -125,6 +125,7 @@ def compact_table(
 
     from pyspark.sql import functions as F  # noqa: F401
 
+    swap_recover(spark, path)
     df = spark.read.parquet(path)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
@@ -140,6 +141,14 @@ def compact_table(
     return files
 
 
+def _must(ok: bool, action: str) -> None:
+    # Hadoop FileSystem.rename/delete signal failure by returning false,
+    # not raising; an unchecked false would let the swap continue into
+    # the delete that destroys the only surviving copy.
+    if not ok:
+        raise IOError(f"table swap: {action} failed")
+
+
 def swap_dir(spark, staging: str, path: str) -> None:
     """Swap a fully-written staging directory into place:
     path -> path.old, staging -> path, delete path.old.
@@ -147,10 +156,14 @@ def swap_dir(spark, staging: str, path: str) -> None:
     Plain-FS rename is not transactional, so this narrows rather than
     closes the race: a reader can still catch the instant between the
     two renames (missing-table error — retryable), but never a
-    half-deleted listing, and no crash point loses data. Recovery after
-    a crash is mechanical (see swap_recover); a lakehouse table format
-    (Delta/Iceberg) is the real fix once its jars are available
-    (SURVEY.md §2.3)."""
+    half-deleted listing, and no crash point loses data: a leftover
+    `.old` with the live dir MISSING is a mid-swap crash artifact and is
+    restored first (same logic as swap_recover — every writer path runs
+    it via this function; reader paths call swap_recover explicitly);
+    a leftover `.old` WITH a live dir is post-swap debris and is swept.
+    Every rename/delete result is checked — Hadoop FS signals failure by
+    returning false. A lakehouse table format (Delta/Iceberg) is the
+    real fix once its jars are available (SURVEY.md §2.3)."""
     jvm = spark._jvm
     fs_conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -158,27 +171,34 @@ def swap_dir(spark, staging: str, path: str) -> None:
     opath = jvm.org.apache.hadoop.fs.Path(path + ".old")
     fs = hpath.getFileSystem(fs_conf)
     if fs.exists(opath):
-        fs.delete(opath, True)  # leftover from a crashed earlier swap
+        if not fs.exists(hpath):
+            # mid-swap crash artifact: .old IS the table — restore, so
+            # the delete below can never destroy the only copy
+            _must(fs.rename(opath, hpath), f"restore {path}.old")
+        else:
+            _must(fs.delete(opath, True), f"sweep leftover {path}.old")
     had_live = fs.exists(hpath)
     if had_live:
-        fs.rename(hpath, opath)
-    fs.rename(spath, hpath)
+        _must(fs.rename(hpath, opath), f"park {path}")
+    _must(fs.rename(spath, hpath), f"swap in {staging}")
     if had_live:
-        fs.delete(opath, True)
+        _must(fs.delete(opath, True), f"drop parked {path}.old")
 
 
 def swap_recover(spark, path: str) -> bool:
     """Recover from a crash inside swap_dir: if the live dir is missing
     but `path.old` survives, rename it back. Returns True if a recovery
-    happened. Idempotent; safe to call before any read of a swapped
-    table."""
+    happened. Idempotent; called at the head of every read-modify-write
+    and reader path that consumes a swapped table (a merge that read a
+    'missing' table would otherwise silently restart its state from the
+    current batch alone)."""
     jvm = spark._jvm
     fs_conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     opath = jvm.org.apache.hadoop.fs.Path(path + ".old")
     fs = hpath.getFileSystem(fs_conf)
     if not fs.exists(hpath) and fs.exists(opath):
-        fs.rename(opath, hpath)
+        _must(fs.rename(opath, hpath), f"restore {path}.old")
         return True
     return False
 

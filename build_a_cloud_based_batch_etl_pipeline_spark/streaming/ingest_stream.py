@@ -161,6 +161,9 @@ def maintain_distinct_sketch(
     stream = spark.readStream.schema(events_schema).json(events_path)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks import swap_recover
+
+        swap_recover(spark, sketch_table_path)  # mid-swap crash artifact
         delta = batch.groupBy(key_col).agg(F.hll_sketch_agg(id_col).alias("sk"))
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(sketch_table_path)
@@ -217,6 +220,9 @@ def maintain_frequency_sketch(
     stream = spark.readStream.schema(events_schema).json(events_path)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks import swap_recover
+
+        swap_recover(spark, cms_table_path)  # mid-swap crash artifact
         jvm = spark._jvm
         fs_conf = spark._jsc.hadoopConfiguration()
         hpath = jvm.org.apache.hadoop.fs.Path(cms_table_path)
@@ -286,7 +292,9 @@ def estimate_frequencies(
     import hashlib
 
     from ..operators.text import _CMS_DEPTH, _CMS_WIDTH
+    from ..sinks import swap_recover
 
+    swap_recover(spark, cms_table_path)
     cells = {
         (r.d, r.bkt): r.c for r in spark.read.parquet(cms_table_path).collect()
     }
@@ -304,6 +312,9 @@ def estimate_frequencies(
 def read_distinct_estimates(spark: SparkSession, sketch_table_path: str, key_col: str = "event_type") -> DataFrame:
     """Query side of maintain_distinct_sketch: per-key estimates plus a
     merged '__all__' row unioned from the stored sketches."""
+    from ..sinks import swap_recover
+
+    swap_recover(spark, sketch_table_path)
     sk = spark.read.parquet(sketch_table_path)
     per = sk.select(key_col, F.hll_sketch_estimate("sk").alias("approx_distinct"))
     total = sk.agg(
@@ -349,6 +360,9 @@ def maintain_running_aggregate(
     stream = spark.readStream.schema(events_schema).json(events_path)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks import swap_recover
+
+        swap_recover(spark, agg_table_path)  # mid-swap crash artifact
         jvm = spark._jvm
         fs_conf = spark._jsc.hadoopConfiguration()
         delta = batch.groupBy("user_id").agg(
@@ -411,6 +425,9 @@ def maintain_term_counts(
     stream = spark.readStream.schema(docs_schema).json(docs_path)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks import swap_recover
+
+        swap_recover(spark, counts_table_path)  # mid-swap crash artifact
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(counts_table_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -453,6 +470,9 @@ def read_top_terms(
     """Query side of maintain_term_counts: corpus top-k terms by count
     (ties broken by term) — TakeOrderedAndProject over the
     vocabulary-sized table, no full sort."""
+    from ..sinks import swap_recover
+
+    swap_recover(spark, counts_table_path)
     return (
         spark.read.parquet(counts_table_path)
         .orderBy(F.col("c").desc(), "term")

@@ -405,64 +405,100 @@ def test_frequency_sketch_maintenance_one_sided_and_replay_guarded(spark, tmp_pa
 
 
 def test_frequency_sketch_crash_replay_is_exactly_once(spark, tmp_path, monkeypatch):
-    """Kill the CMS merge at BOTH sides of its commit point and replay:
+    """Kill the CMS merge at THREE points of its commit sequence on a
+    LIVE table (second epoch) and replay:
 
     (a) crash after the staging write, before the swap — the live table
         still holds the previous cells AND the previous high-water mark,
         so the replayed epoch merges exactly once;
-    (b) crash after the swap, before the checkpoint commit — the swapped
-        table already carries the epoch in its sentinel row, so the
-        replayed epoch is skipped.
+    (b) crash MID-swap — the live dir is parked at `.old`, staging never
+        renamed in; the replay's swap_recover restores the park, then
+        the epoch merges exactly once (the state that silently lost the
+        table before recovery was wired in);
+    (c) crash after the swap, before the checkpoint commit — the swapped
+        table already carries the _epoch_hwm marker, so the replayed
+        epoch is skipped.
 
-    Either way the final cells must be bit-identical to a crash-free
-    run. The half-committed marker state (cells merged, epoch
-    unrecorded, or vice versa) is impossible by construction: one
-    directory rename commits both."""
+    Every scenario must end bit-identical to a crash-free run, and the
+    stream must have died from the INJECTED crash (asserted on the
+    exception text) — a crash function that errors before doing its
+    damage would make the scenario vacuous."""
     import pytest
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
-    rows = [
+    rows1 = [
         {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": 7 if i < 9 else 8,
          "event_type": "click", "value": 1.0}
         for i in range(12)
     ]
+    rows2 = [
+        {"event_id": 100 + i, "ts": "2024-01-01T01:00:00", "user_id": 7,
+         "event_type": "view", "value": 1.0}
+        for i in range(5)
+    ]
+
+    def drop(evdir, name, rows):
+        with open(evdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
 
     def run(name, swap_impl=None):
         evdir = tmp_path / f"{name}_events"
         evdir.mkdir(exist_ok=True)
-        with open(evdir / "f1.json", "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
         cms = str(tmp_path / f"{name}_cms")
         ckpt = str(tmp_path / f"{name}_ckpt")
+        # epoch 0: clean, establishes a live table + watermark
+        drop(evdir, "f1.json", rows1)
+        ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms, ckpt, schema)
+        # epoch 1: crash mid-commit (when injected), then replay clean
+        drop(evdir, "f2.json", rows2)
         if swap_impl is not None:
             real = ingest_stream._atomic_swap_in
-            monkeypatch.setattr(
-                ingest_stream, "_atomic_swap_in",
-                lambda *a, **k: swap_impl(real, *a, **k),
-            )
-            with pytest.raises((StreamingQueryException, Exception)):
+            fired = {"n": 0}
+
+            def wrapper(*a, **k):
+                fired["n"] += 1
+                swap_impl(real, *a, **k)
+
+            monkeypatch.setattr(ingest_stream, "_atomic_swap_in", wrapper)
+            with pytest.raises(StreamingQueryException) as exc_info:
                 ingest_stream.maintain_frequency_sketch(
                     spark, str(evdir), cms, ckpt, schema
                 )
+            assert "injected crash" in str(exc_info.value)
+            assert fired["n"] == 1
             monkeypatch.setattr(ingest_stream, "_atomic_swap_in", real)
         ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms, ckpt, schema)
         return sorted((r.d, r.bkt, r.c) for r in spark.read.parquet(cms).collect())
 
     expected = run("clean")
 
-    def crash_before_swap(real, spark_, merged, table_path, epoch_id):
+    def crash_before_swap(real, spark_, merged, table_path, epoch_id, **k):
         merged.write.mode("overwrite").parquet(
             table_path + f".epoch-{epoch_id}.staging"
         )
         raise RuntimeError("injected crash: staging written, swap not run")
 
-    def crash_after_swap(real, spark_, merged, table_path, epoch_id):
-        real(spark_, merged, table_path, epoch_id)
+    def crash_mid_swap(real, spark_, merged, table_path, epoch_id, **k):
+        merged.write.mode("overwrite").parquet(
+            table_path + f".epoch-{epoch_id}.staging"
+        )
+        jvm = spark_._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = hpath.getFileSystem(spark_._jsc.hadoopConfiguration())
+        assert fs.exists(hpath), "mid-swap scenario requires a live table"
+        assert fs.rename(
+            hpath, jvm.org.apache.hadoop.fs.Path(table_path + ".old")
+        )
+        raise RuntimeError("injected crash: live parked, staging not renamed")
+
+    def crash_after_swap(real, spark_, merged, table_path, epoch_id, **k):
+        real(spark_, merged, table_path, epoch_id, **k)
         raise RuntimeError("injected crash: swapped, checkpoint not committed")
 
     assert run("preswap", crash_before_swap) == expected
+    assert run("midswap", crash_mid_swap) == expected
     assert run("postswap", crash_after_swap) == expected
 
 
