@@ -347,3 +347,50 @@ def test_pq_fit_empty_table_fails_clearly(spark, tmp_path):
     ).write.parquet(f"{sf}/embeddings.parquet")
     with _pytest.raises(ValueError, match="non-empty embeddings"):
         REGISTRY["embed_pq_codes"].fn(spark, sf)
+
+
+def test_pq_adc_score_ties_resolve_to_smallest_nid_across_chunks(
+    spark, tmp_path, monkeypatch
+):
+    """Planted identical vectors get identical PQ codes and exactly tied
+    ADC scores; the selection contract is (-score, nid) — smallest id
+    wins a tie — and must hold for ANY chunk size, including ties that
+    straddle a chunk boundary (stable per-chunk selection; argpartition
+    would keep an arbitrary tied subset)."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import similarity
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(3, 64).astype("float32")
+    rows = []
+    vid = 0
+    # 8 copies of each base vector -> big tie groups; interleave ids so
+    # every small chunk holds members of several tie groups
+    for copy in range(8):
+        for b in range(3):
+            rows.append((vid, [float(x) for x in base[b]], b))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    def neighbors(chunk):
+        monkeypatch.setattr(similarity, "_ADC_CHUNK", chunk)
+        similarity._PQ_FIT_CACHE.clear()
+        out = REGISTRY["embed_ann_pq"].fn(spark, sf).collect()
+        return sorted((r.qid, r.nid, r.adc_score) for r in out)
+
+    small = neighbors(5)   # tie groups straddle chunk boundaries
+    full = neighbors(10_000)
+    assert small == full, "neighbor set depends on _ADC_CHUNK"
+    # ids were interleaved round-robin, so group g holds ids {g, g+3,
+    # g+6, ...}: every query's 5 neighbors must be the 5 SMALLEST other
+    # ids of its own tie group (identical vectors -> exactly tied
+    # scores -> smallest-nid wins)
+    for q in range(24):
+        got = sorted(n for qq, n, _ in full if qq == q)
+        group = [v for v in range(24) if v % 3 == q % 3 and v != q]
+        assert got == group[:5], (q, got)
