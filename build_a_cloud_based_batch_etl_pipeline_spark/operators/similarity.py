@@ -67,6 +67,36 @@ def _parquet_num_rows(path: str) -> int | None:
         return None
 
 
+def _table_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet table path: relative file
+    names + sizes + mtimes (ns), hashed. O(files) driver-side listing —
+    the same walk the footer guard already does — so memoization keyed
+    on it cannot serve stale state after the table is rewritten or
+    regenerated within one Spark application (ADVICE r5). 'missing'
+    for a path with no parquet files."""
+    import hashlib
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path] if path.endswith(".parquet") else []
+    if not files:
+        return "missing"
+    h = hashlib.sha256()
+    for f in files:
+        st = os.stat(f)
+        h.update(
+            f"{os.path.relpath(f, path)}:{st.st_size}:{st.st_mtime_ns}\n".encode()
+        )
+    return h.hexdigest()[:16]
+
+
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float arrays (left-to-right
     fold, matching the oracle's per-index sum)."""
@@ -959,16 +989,21 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     embeddings table, L2-normalized so ADC inner product approximates
     cosine. Bounded by the same footer guard as embed_cosine_topk.
 
-    Memoized per (applicationId, sf_dir) — codebooks are a trained
-    artifact, deterministic given the corpus (fixed k-means init, no
-    RNG), and the four PQ queries share them in a warm session instead
-    of re-running driver k-means per invocation. Same lifecycle
-    discipline as cache_once: entries for dead applications are dropped
-    on insert."""
+    Memoized per (applicationId, sf_dir, table fingerprint) —
+    codebooks are a trained artifact, deterministic given the corpus
+    (fixed k-means init, no RNG), and the four PQ queries share them
+    in a warm session instead of re-running driver k-means per
+    invocation. The fingerprint (file names + sizes + mtimes,
+    `_table_fingerprint`) makes the memo content-addressed: rewriting
+    or regenerating the embeddings table within one application
+    invalidates the entry instead of silently serving stale codes
+    (ADVICE r5). Same lifecycle discipline as cache_once: entries for
+    dead applications are dropped on insert."""
     import numpy as np
 
     app = spark.sparkContext.applicationId
-    ck = (app, sf_dir, _PQ_M, _PQ_K, _PQ_TRAIN_ROWS)
+    fp = _table_fingerprint(table_path(sf_dir, "embeddings"))
+    ck = (app, sf_dir, fp, _PQ_M, _PQ_K, _PQ_TRAIN_ROWS)
     hit = _PQ_FIT_CACHE.get(ck)
     if hit is not None:
         return hit

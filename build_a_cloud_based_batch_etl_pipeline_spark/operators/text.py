@@ -1070,8 +1070,10 @@ _ZIPF_TOPN = 100
         FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_terms_fit,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+           round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 4)
+               AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+                  * sx) / n, 4)
                AS zipf_intercept
     FROM s
     """,
@@ -1111,8 +1113,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # Guard the degenerate single-term vocabulary: the denominator is 0
+    # there, and while Spark yields NULL on double div-by-zero, DuckDB's
+    # IEEE semantics can yield inf/nan — make both engines agree on NULL
+    # (the when() here, NULLIF in the oracle above).
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
     )
     return s.select(
         F.col("n").cast("bigint").alias("n_terms_fit"),

@@ -66,13 +66,55 @@ def count_shuffles(df: DataFrame) -> int:
 
 import re as _re
 
-# A partitioned spec prints `windowspecdefinition(<part_col>, <order_col>
-# ASC ...)`; a global one starts directly with an ordered column or the
-# frame.
-_GLOBAL_WSPEC = _re.compile(
-    r"windowspecdefinition\("
-    r"(?:specifiedwindowframe|[^,()]+ (?:ASC|DESC) NULLS)"
-)
+_ORDERED_ARG = _re.compile(r"\s(?:ASC|DESC) NULLS (?:FIRST|LAST)$")
+
+
+def _split_top_level_args(s: str) -> list[str]:
+    """Split the argument list that follows an opening paren into its
+    top-level comma-separated pieces, stopping at the matching close.
+    Nested parens (casts, functions, frames) stay inside one piece."""
+    args: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            if depth == 0:
+                args.append("".join(cur).strip())
+                return args
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur).strip())
+    return args
+
+
+def _wspec_is_global(line: str) -> bool:
+    """True if any windowspecdefinition on the line has NO partition
+    columns. Structural check (not a regex over the whole spec): a
+    partitioned spec's FIRST top-level argument is a bare partition
+    column, while a global spec's first argument is either the frame
+    (`specifiedwindowframe(...)`) or an ordering expression, which
+    always carries an `ASC|DESC NULLS FIRST|LAST` suffix — even when
+    the ordered expression itself contains parens/commas
+    (`cast(x#1 as double) ASC NULLS FIRST`)."""
+    marker = "windowspecdefinition("
+    idx = 0
+    while True:
+        j = line.find(marker, idx)
+        if j < 0:
+            return False
+        args = _split_top_level_args(line[j + len(marker):])
+        first = args[0] if args else ""
+        if first.startswith("specifiedwindowframe") or _ORDERED_ARG.search(first):
+            return True
+        idx = j + len(marker)
 
 
 def global_window_subtrees(df: DataFrame) -> list[tuple[str, list[str]]]:
@@ -89,7 +131,7 @@ def global_window_subtrees(df: DataFrame) -> list[tuple[str, list[str]]]:
     lines = plan.splitlines()
     out = []
     for i, ln in enumerate(lines):
-        if "Window [" not in ln or not _GLOBAL_WSPEC.search(ln):
+        if "Window [" not in ln or not _wspec_is_global(ln):
             continue
         depth = len(ln) - len(ln.lstrip(" :+-"))
         sub = []

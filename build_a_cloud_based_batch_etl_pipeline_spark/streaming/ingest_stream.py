@@ -80,12 +80,40 @@ def incremental_load(
     return appended["n"]
 
 
+def _checkpoint_lineage(spark: SparkSession, checkpoint_path: str) -> str:
+    """Stable id for one checkpoint lineage: the query uuid Structured
+    Streaming writes to `<checkpoint>/metadata` when the checkpoint is
+    first created — stable across restarts of the SAME checkpoint,
+    regenerated when the checkpoint is wiped or replaced. Stamped into
+    the epoch-watermark marker name so that a checkpoint reset that
+    keeps the table becomes a LOUD lineage-mismatch error instead of
+    epoch ids silently comparing across lineages (a fresh lineage's
+    epoch 0 <= old hwm would be skipped — data loss, not replay-skip).
+    Read via the Hadoop FS API (tiny file, no Spark job)."""
+    import json as _json
+
+    jvm = spark._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(checkpoint_path + "/metadata")
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    ins = fs.open(mpath)
+    try:
+        buf = bytearray()
+        b = ins.read()
+        while b != -1 and len(buf) < 4096:
+            buf.append(b)
+            b = ins.read()
+    finally:
+        ins.close()
+    return _json.loads(buf.decode("utf-8"))["id"].replace("-", "")[:12]
+
+
 def _atomic_swap_in(
     spark: SparkSession,
     merged: DataFrame,
     table_path: str,
     epoch_id,
     stamp_epoch: bool = False,
+    lineage: str | None = None,
 ) -> None:
     """Write `merged` to a staging dir and swap it over the table path —
     the local-FS stand-in for a transactional table commit. The swap is
@@ -94,41 +122,68 @@ def _atomic_swap_in(
     state and the reader race window is two renames, not an O(files)
     delete.
 
-    With `stamp_epoch`, an empty `_epoch_hwm-<id>` marker file is
-    created INSIDE the staging dir before the swap: parquet readers
-    skip `_`-prefixed paths (the `_SUCCESS` convention), and the one
-    directory rename then commits data and merged-epoch watermark
-    together — there is no crash point where a non-idempotent merge is
-    applied but unrecorded, or recorded but unapplied. Schema-agnostic,
-    unlike a sentinel row."""
+    With `stamp_epoch`, an empty `_epoch_hwm-<lineage>-<id>` marker
+    file is created INSIDE the staging dir before the swap: parquet
+    readers skip `_`-prefixed paths (the `_SUCCESS` convention), and
+    the one directory rename then commits data and merged-epoch
+    watermark together — there is no crash point where a
+    non-idempotent merge is applied but unrecorded, or recorded but
+    unapplied. Schema-agnostic, unlike a sentinel row. The lineage
+    (checkpoint query uuid, `_checkpoint_lineage`) scopes the
+    watermark to one checkpoint lineage."""
     from ..sinks import swap_dir
 
     staging = table_path + f".epoch-{epoch_id}.staging"
     merged.write.mode("overwrite").parquet(staging)
     if stamp_epoch:
+        if not lineage:
+            raise ValueError("stamp_epoch requires the checkpoint lineage")
         jvm = spark._jvm
         mpath = jvm.org.apache.hadoop.fs.Path(
-            staging + f"/_epoch_hwm-{int(epoch_id)}"
+            staging + f"/_epoch_hwm-{lineage}-{int(epoch_id)}"
         )
         fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.create(mpath, True).close()
     swap_dir(spark, staging, table_path)
 
 
-def _table_epoch_hwm(spark: SparkSession, table_path: str) -> int | None:
+def _table_epoch_hwm(
+    spark: SparkSession, table_path: str, lineage: str
+) -> int | None:
     """The merged-epoch high-water mark committed with the table by
     `_atomic_swap_in(..., stamp_epoch=True)`, or None for a missing /
-    never-stamped table."""
+    never-stamped table.
+
+    Epoch ids are only comparable WITHIN one checkpoint lineage, so a
+    marker stamped under a different lineage (checkpoint wiped or
+    replaced while the table was kept) raises instead of being
+    compared: a fresh lineage restarts at epoch 0 <= the stale hwm,
+    and a silent skip there would be data loss, not replay-skip."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return None
-    marks = [
-        int(st.getPath().getName().split("-", 1)[1])
-        for st in fs.listStatus(hpath)
-        if st.getPath().getName().startswith("_epoch_hwm-")
-    ]
+    marks = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("_epoch_hwm-"):
+            continue
+        rest = name[len("_epoch_hwm-"):]
+        mark_lineage, _, epoch_s = rest.rpartition("-")
+        if mark_lineage != lineage:
+            raise RuntimeError(
+                f"epoch watermark at {table_path} was stamped under "
+                f"checkpoint lineage '{mark_lineage or '<pre-lineage>'}' "
+                f"but the running stream's lineage is '{lineage}': the "
+                "checkpoint was reset or replaced without resetting the "
+                "table. Epoch ids do not compare across lineages (a fresh "
+                "stream's epoch 0 would be silently skipped against the "
+                "stale watermark = data loss). Reset table and checkpoint "
+                "together, or remove the stale _epoch_hwm-* markers after "
+                "verifying the table state."
+            )
+        marks.append(int(epoch_s))
     return max(marks) if marks else None
 
 
@@ -212,8 +267,10 @@ def maintain_frequency_sketch(
     tests/test_streaming.py injects a crash on both sides of the swap
     and pins bit-identical cells. Epochs at or below the stored
     high-water mark are skipped on replay. (The high-water mark is
-    scoped to one checkpoint lineage: wiping the checkpoint without
-    wiping the table strands the state — reset both together.)
+    scoped to one checkpoint lineage and the lineage uuid is stamped
+    into the marker name: wiping the checkpoint while keeping the
+    table raises a lineage-mismatch error instead of silently skipping
+    the fresh stream's epochs — reset both together.)
     """
     from ..operators.text import _CMS_DEPTH, _CMS_WIDTH
 
@@ -223,13 +280,14 @@ def maintain_frequency_sketch(
         from ..sinks import swap_recover
 
         swap_recover(spark, cms_table_path)  # mid-swap crash artifact
+        lineage = _checkpoint_lineage(spark, checkpoint_path)
         jvm = spark._jvm
         fs_conf = spark._jsc.hadoopConfiguration()
         hpath = jvm.org.apache.hadoop.fs.Path(cms_table_path)
         fs = hpath.getFileSystem(fs_conf)
         current = None
         if fs.exists(hpath):
-            hwm = _table_epoch_hwm(spark, cms_table_path)
+            hwm = _table_epoch_hwm(spark, cms_table_path, lineage)
             if hwm is not None and epoch_id <= hwm:
                 return  # replayed epoch: cell addition is NOT idempotent
             current = spark.read.parquet(cms_table_path)
@@ -269,7 +327,8 @@ def maintain_frequency_sketch(
         else:
             merged = delta
         _atomic_swap_in(
-            spark, merged, cms_table_path, epoch_id, stamp_epoch=True
+            spark, merged, cms_table_path, epoch_id,
+            stamp_epoch=True, lineage=lineage,
         )
 
     q = (
@@ -363,6 +422,7 @@ def maintain_running_aggregate(
         from ..sinks import swap_recover
 
         swap_recover(spark, agg_table_path)  # mid-swap crash artifact
+        lineage = _checkpoint_lineage(spark, checkpoint_path)
         jvm = spark._jvm
         fs_conf = spark._jsc.hadoopConfiguration()
         delta = batch.groupBy("user_id").agg(
@@ -372,7 +432,7 @@ def maintain_running_aggregate(
         hpath = jvm.org.apache.hadoop.fs.Path(agg_table_path)
         fs = hpath.getFileSystem(fs_conf)
         if fs.exists(hpath):
-            hwm = _table_epoch_hwm(spark, agg_table_path)
+            hwm = _table_epoch_hwm(spark, agg_table_path, lineage)
             if hwm is not None and epoch_id <= hwm:
                 return  # replayed epoch, already merged
             current = spark.read.parquet(agg_table_path)
@@ -387,7 +447,8 @@ def maintain_running_aggregate(
         else:
             merged = delta
         _atomic_swap_in(
-            spark, merged, agg_table_path, epoch_id, stamp_epoch=True
+            spark, merged, agg_table_path, epoch_id,
+            stamp_epoch=True, lineage=lineage,
         )
 
     q = (
@@ -428,12 +489,13 @@ def maintain_term_counts(
         from ..sinks import swap_recover
 
         swap_recover(spark, counts_table_path)  # mid-swap crash artifact
+        lineage = _checkpoint_lineage(spark, checkpoint_path)
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(counts_table_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         current = None
         if fs.exists(hpath):
-            hwm = _table_epoch_hwm(spark, counts_table_path)
+            hwm = _table_epoch_hwm(spark, counts_table_path, lineage)
             if hwm is not None and epoch_id <= hwm:
                 return  # replayed epoch: count addition is NOT idempotent
             current = spark.read.parquet(counts_table_path)
@@ -452,7 +514,8 @@ def maintain_term_counts(
         else:
             merged = delta
         _atomic_swap_in(
-            spark, merged, counts_table_path, epoch_id, stamp_epoch=True
+            spark, merged, counts_table_path, epoch_id,
+            stamp_epoch=True, lineage=lineage,
         )
 
     q = (

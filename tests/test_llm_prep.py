@@ -165,3 +165,28 @@ def test_balanced_classes_equalizes_and_is_stable(spark, sf_dir):
     assert all(n == floor for n in by_lang.values()), by_lang
     out2 = REG["sample_balanced_classes"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_zipf_slope_degenerate_single_term_corpus(spark, tmp_path):
+    """A single-term vocabulary makes the least-squares denominator 0;
+    both engines must agree on NULL for slope/intercept (ADVICE r5:
+    Spark NULLs double div-by-zero while DuckDB IEEE can emit inf/nan
+    — guarded by when() in Spark and NULLIF in the oracle)."""
+    import duckdb
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "spam spam spam", "en", "t", 14), (2, "spam", "en", "t", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    row = REGISTRY["text_zipf_slope"].fn(spark, sf).collect()[0]
+    assert row.n_terms_fit == 1
+    assert row.zipf_slope is None and row.zipf_intercept is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    orc = con.execute(REGISTRY["text_zipf_slope"].oracle).fetchone()
+    assert orc[0] == 1 and orc[1] is None and orc[2] is None

@@ -184,3 +184,51 @@ def test_global_windows_only_over_bounded_inputs(spark, sf_dir):
                 unbounded.append((name, ln.strip()[:100]))
     assert not offenders, f"unlisted global windows in: {offenders}"
     assert not unbounded, f"global window over unbounded input: {unbounded}"
+
+
+def test_wspec_global_detection_is_structural():
+    """The global-window detector must parse the spec's argument list,
+    not regex-match a bare column: a global window ordered by an
+    expression containing parens/commas (cast, function call) was the
+    ADVICE r5 false negative."""
+    g = plans._wspec_is_global
+    # partitioned: first top-level arg is a bare partition column
+    assert not g("Window [rank() ...], [windowspecdefinition(grp#3, x#1 ASC NULLS FIRST, specifiedwindowframe(...))]")
+    # partitioned by an EXPRESSION (parens in the partition column)
+    assert not g("Window [...windowspecdefinition(cast(grp#3 as bigint), x#1 ASC NULLS FIRST, specifiedwindowframe(RangeFrame, a, b))]")
+    # global, bare ordered column
+    assert g("Window [...windowspecdefinition(x#1 ASC NULLS FIRST, specifiedwindowframe(...))]")
+    # global, ordered by a parenthesised expression — the false negative
+    assert g("Window [...windowspecdefinition(cast(x#1 as double) ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))]")
+    # global, ordered by a multi-arg function call
+    assert g("Window [...windowspecdefinition(round(x#1, 2) DESC NULLS LAST, specifiedwindowframe(...))]")
+    # global, frame only (no ordering)
+    assert g("Window [...windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$()))]")
+    # no window spec at all
+    assert not g("Project [x#1]")
+
+
+def test_global_window_subtrees_catches_expression_ordering(spark):
+    """End-to-end: a global window ordered by a cast EXPRESSION must be
+    flagged by global_window_subtrees (it silently slipped through the
+    r5 regex)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn("s", F.col("id").cast("string"))
+    flagged = plans.global_window_subtrees(
+        df.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("s").cast("double"))),
+        )
+    )
+    assert flagged, "global window ordered by cast(...) must be detected"
+    partitioned = plans.global_window_subtrees(
+        df.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(F.col("s").cast("double")).orderBy("id")
+            ),
+        )
+    )
+    assert not partitioned, "partitioned-by-expression spec is not global"

@@ -349,6 +349,51 @@ def test_pq_fit_empty_table_fails_clearly(spark, tmp_path):
         REGISTRY["embed_pq_codes"].fn(spark, sf)
 
 
+def test_pq_fit_cache_invalidates_on_table_rewrite(spark, tmp_path):
+    """_PQ_FIT_CACHE is keyed by a content fingerprint of the embeddings
+    table (file names + sizes + mtimes — ADVICE r5): rewriting the
+    table within one Spark application must retrain on the new corpus,
+    not serve the stale memo; an untouched table must still warm-hit."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path)
+
+    def write(seed):
+        rng = np.random.RandomState(seed)
+        vecs = rng.randn(8, 64).astype("float32")
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in vecs[i]], 0) for i in range(8)],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    write(1)
+    books1, _ids1, _codes1, mat1 = sim._pq_fit(spark, sf)
+    assert sim._pq_fit(spark, sf)[0] is books1, "untouched table must warm-hit"
+    write(2)
+    _books2, _ids2, _codes2, mat2 = sim._pq_fit(spark, sf)
+    assert not np.array_equal(mat1, mat2), (
+        "rewritten table must invalidate the PQ memo, not serve stale codes"
+    )
+
+
+def test_scale_sweep_exponent_clamps_subms_timings():
+    """fit_exponent must survive a sub-millisecond timing that rounds to
+    0.0 (ADVICE r5: log(0) crashed the sweep) — clamped to 1 ms."""
+    import importlib.util
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent.parent / "tools" / "scale_sweep.py"
+    spec = importlib.util.spec_from_file_location("_scale_sweep_test", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    exp = mod.fit_exponent([1, 3, 10], {"1": 0.0, "3": 0.002, "10": 0.01})
+    assert isinstance(exp, float) and exp > 0
+
+
 def test_pq_adc_score_ties_resolve_to_smallest_nid_across_chunks(
     spark, tmp_path, monkeypatch
 ):

@@ -293,13 +293,29 @@ def test_continuous_aggregate_maintenance(spark, tmp_path):
            for r in spark.read.parquet(agg_path).collect()}
     assert got == {7: (3, 13.0), 8: (1, 5.0), 9: (1, 0.5)}
 
-    # the swapped dir carries the merged-epoch watermark; a crash after
-    # the swap but before the checkpoint commit replays the epoch, which
-    # the watermark skips — totals must not double-count
+    # the swapped dir carries the merged-epoch watermark, scoped to the
+    # checkpoint lineage; wiping the checkpoint while KEEPING the table
+    # is a misconfiguration (a fresh lineage restarts at epoch 0, which
+    # a cross-lineage comparison would silently skip = data loss) — it
+    # must raise loudly, not skip
     import shutil
 
-    assert ingest_stream._table_epoch_hwm(spark, agg_path) is not None
-    shutil.rmtree(ckpt)  # lost checkpoint: full replay from scratch
+    import pytest
+
+    lineage = ingest_stream._checkpoint_lineage(spark, ckpt)
+    assert ingest_stream._table_epoch_hwm(spark, agg_path, lineage) is not None
+    shutil.rmtree(ckpt)  # checkpoint reset, table kept: new lineage
+    with pytest.raises(Exception, match="lineage"):
+        ingest_stream.maintain_running_aggregate(
+            spark, str(evdir), agg_path, ckpt, schema
+        )
+    # the failed run must not have touched the table
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in spark.read.parquet(agg_path).collect()}
+    assert got == {7: (3, 13.0), 8: (1, 5.0), 9: (1, 0.5)}
+    # resetting BOTH (table + checkpoint) rebuilds the same totals
+    shutil.rmtree(ckpt)
+    shutil.rmtree(agg_path)
     ingest_stream.maintain_running_aggregate(spark, str(evdir), agg_path, ckpt, schema)
     got = {r.user_id: (r.n_events, r.total_value)
            for r in spark.read.parquet(agg_path).collect()}
@@ -390,7 +406,8 @@ def test_frequency_sketch_maintenance_one_sided_and_replay_guarded(spark, tmp_pa
     total = sum(r.c for r in spark.read.parquet(cms_path).collect())
     assert total == 4 * sum(exact.values())
     assert glob.glob(f"{cms_path}/_epoch_hwm-*")
-    assert ingest_stream._table_epoch_hwm(spark, cms_path) == 0
+    lineage = ingest_stream._checkpoint_lineage(spark, ckpt)
+    assert ingest_stream._table_epoch_hwm(spark, cms_path, lineage) == 0
 
     # no new files -> no new epochs -> cells unchanged
     ingest_stream.maintain_frequency_sketch(spark, str(evdir), cms_path, ckpt, schema)
@@ -504,9 +521,10 @@ def test_frequency_sketch_crash_replay_is_exactly_once(spark, tmp_path, monkeypa
 
 def test_term_count_maintenance_accumulates_and_guards_replay(spark, tmp_path):
     """Streaming vocabulary maintenance: term counts accumulate across
-    document drops and match a batch recount exactly; a lost checkpoint
-    replays every file, which the in-table epoch watermark turns into a
-    no-op; top-k reads come back in (count desc, term) order."""
+    document drops and match a batch recount exactly; a checkpoint
+    reset that keeps the table is a loud lineage-mismatch error (not a
+    silent cross-lineage skip); top-k reads come back in (count desc,
+    term) order."""
     import shutil
     from collections import Counter
 
@@ -538,11 +556,18 @@ def test_term_count_maintenance_accumulates_and_guards_replay(spark, tmp_path):
     got = {r.term: r.c for r in spark.read.parquet(counts_path).collect()}
     assert got == dict(exact)
 
-    # lost checkpoint: full replay; watermark must refuse the re-merge
+    # checkpoint reset with the table kept: epoch ids are from a NEW
+    # lineage and must not be compared to the stored watermark — the
+    # maintainer raises instead of silently skipping (or double-merging)
+    import pytest
+
     shutil.rmtree(ckpt)
-    ingest_stream.maintain_term_counts(spark, str(docsdir), counts_path, ckpt, schema)
+    with pytest.raises(Exception, match="lineage"):
+        ingest_stream.maintain_term_counts(
+            spark, str(docsdir), counts_path, ckpt, schema
+        )
     got = {r.term: r.c for r in spark.read.parquet(counts_path).collect()}
-    assert got == dict(exact), "replayed epochs must not double-count"
+    assert got == dict(exact), "failed run must not have touched the table"
 
     top = ingest_stream.read_top_terms(spark, counts_path, k=2).collect()
     assert [(r.term, r.c) for r in top] == [("spark", 4), ("again", 1)]

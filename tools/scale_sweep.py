@@ -120,7 +120,9 @@ def fit_exponent(points: list[int], times: dict[str, float]) -> float:
     """Least-squares slope of log t on log scale — the measured growth
     exponent (1.0 == linear, 2.0 == quadratic)."""
     xs = [math.log(p) for p in points]
-    ys = [math.log(times[str(p)]) for p in points]
+    # clamp to 1ms: timings are rounded to 3dp, and log(0.0) from a
+    # sub-millisecond run would crash the whole sweep
+    ys = [math.log(max(times[str(p)], 1e-3)) for p in points]
     n = len(xs)
     mx, my = sum(xs) / n, sum(ys) / n
     denom = sum((x - mx) ** 2 for x in xs)
