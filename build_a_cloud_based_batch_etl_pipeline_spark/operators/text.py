@@ -1129,3 +1129,144 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+@query(
+    "text_filter_funnel",
+    oracle="""
+    WITH gf AS (
+        SELECT doc_id,
+               length(text)                                      AS chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+               len(regexp_extract_all(text, '[^a-z0-9 ]'))       AS n_symbols
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               n_words BETWEEN 50 AND 100000
+                 AND round((chars - n_words + 1) * 1.0 / n_words, 4)
+                     BETWEEN 3.0 AND 10.0
+                 AND round(alpha_words * 1.0 / n_words, 4) >= 0.8
+                 AND round(n_symbols * 1.0 / n_words, 4) <= 0.1 AS p_g
+        FROM gf
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    ra AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_words
+           FROM wc GROUP BY doc_id),
+    bi AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_toks,
+               len(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]))) AS uniq_bigrams
+        FROM documents
+    ),
+    r AS (
+        SELECT ra.doc_id,
+               round(top_cnt * 1.0 / n_words, 4) <= 0.2
+                 AND coalesce(round(uniq_bigrams * 1.0
+                                    / NULLIF(n_toks - 1, 0), 4) >= 0.5,
+                              TRUE) AS p_r
+        FROM ra JOIN bi ON ra.doc_id = bi.doc_id
+    ),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM freq),
+    l AS (
+        SELECT doc_id,
+               round(-avg(ln(c * 1.0 / n_corpus)), 4) <= 8.0 AS p_l
+        FROM toks JOIN freq USING (w) CROSS JOIN tot
+        GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT g.doc_id, p_g, p_r, p_l
+        FROM g JOIN r ON g.doc_id = r.doc_id JOIN l ON g.doc_id = l.doc_id
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN p_g THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN p_g AND p_r THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN p_g AND p_r AND p_l THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s3
+        FROM flags
+    )
+    SELECT 1 AS rule_order, 'gopher' AS rule, n0 AS n_in,
+           n0 - s1 AS n_dropped, s1 AS n_out,
+           round((n0 - s1) * 1.0 / NULLIF(n0, 0), 4) AS drop_pct FROM c
+    UNION ALL
+    SELECT 2, 'repetition', s1, s1 - s2, s2,
+           round((s1 - s2) * 1.0 / NULLIF(s1, 0), 4) FROM c
+    UNION ALL
+    SELECT 3, 'unigram_lm', s2, s2 - s3, s3,
+           round((s2 - s3) * 1.0 / NULLIF(s2, 0), 4) FROM c
+    """,
+)
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attrition report (VERDICT r5 item 7): the
+    observability artifact every training-data pipeline runs — apply the
+    quality filters IN SEQUENCE (gopher rules -> repetition ->
+    unigram-LM cross-entropy) and report, per rule, how many documents
+    entered, how many that rule dropped among the survivors so far, and
+    the survivor count, with the drop rate rounded 4dp. Rule order is
+    the conventional cheap-to-expensive cascade; each stage's n_in is
+    the previous stage's n_out, so the report reads as the funnel a
+    pipeline dashboard would chart.
+
+    Composition, not reimplementation: the per-doc pass flags come from
+    the registered text_gopher_quality / text_repetition /
+    text_unigram_logprob plans joined on doc_id — identical gate
+    arithmetic (same ROUNDED comparisons), one source of truth.
+
+    Scale shape: the flag joins are doc_id-keyed shuffles over per-doc
+    rows (never raw tokens at the join), the funnel itself is ONE
+    global aggregate producing a single 4-counter row, and the 3-row
+    report is an in-row explode of that scalar struct array — output
+    size is constant regardless of corpus size."""
+    g = text_gopher_quality(spark, sf_dir).select("doc_id", "passes_gopher")
+    rp = text_repetition(spark, sf_dir).select("doc_id", "passes_repetition")
+    lm = text_unigram_logprob(spark, sf_dir).select("doc_id", "passes_lm")
+    flags = g.join(rp, "doc_id").join(lm, "doc_id")
+    p_g = F.col("passes_gopher")
+    p_r = F.col("passes_repetition")
+    p_l = F.col("passes_lm")
+    c = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(p_g.cast("long")).alias("s1"),
+        F.sum((p_g & p_r).cast("long")).alias("s2"),
+        F.sum((p_g & p_r & p_l).cast("long")).alias("s3"),
+    )
+
+    def stage(order: int, rule: str, n_in, n_out):
+        return F.struct(
+            F.lit(order).alias("rule_order"),
+            F.lit(rule).alias("rule"),
+            n_in.alias("n_in"),
+            (n_in - n_out).alias("n_dropped"),
+            n_out.alias("n_out"),
+        )
+
+    stages = F.array(
+        stage(1, "gopher", F.col("n0"), F.col("s1")),
+        stage(2, "repetition", F.col("s1"), F.col("s2")),
+        stage(3, "unigram_lm", F.col("s2"), F.col("s3")),
+    )
+    return (
+        c.select(F.explode(stages).alias("st"))
+        .select("st.*")
+        .select(
+            "rule_order",
+            "rule",
+            "n_in",
+            "n_dropped",
+            "n_out",
+            r4(
+                F.col("n_dropped") * 1.0 / F.nullif(F.col("n_in"), F.lit(0))
+            ).alias("drop_pct"),
+        )
+    )

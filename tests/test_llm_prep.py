@@ -190,3 +190,32 @@ def test_zipf_slope_degenerate_single_term_corpus(spark, tmp_path):
     )
     orc = con.execute(REGISTRY["text_zipf_slope"].oracle).fetchone()
     assert orc[0] == 1 and orc[1] is None and orc[2] is None
+
+
+def test_filter_funnel_telescopes_and_matches_flags(spark, sf_dir):
+    """The attrition report must telescope (each stage's n_out is the
+    next stage's n_in; n_in - n_dropped == n_out), start from the full
+    document count, and end at exactly the conjunction of the three
+    per-doc pass flags computed independently."""
+    rows = sorted(
+        REGISTRY["text_filter_funnel"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rule_order,
+    )
+    assert [r.rule for r in rows] == ["gopher", "repetition", "unigram_lm"]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows[0].n_in == n_docs
+    for r in rows:
+        assert r.n_in - r.n_dropped == r.n_out
+        if r.n_in:
+            assert r.drop_pct == round(r.n_dropped / r.n_in, 4)
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.n_out == nxt.n_in
+
+    g = {r.doc_id: r.passes_gopher
+         for r in REGISTRY["text_gopher_quality"].fn(spark, sf_dir).collect()}
+    rp = {r.doc_id: r.passes_repetition
+          for r in REGISTRY["text_repetition"].fn(spark, sf_dir).collect()}
+    lm = {r.doc_id: r.passes_lm
+          for r in REGISTRY["text_unigram_logprob"].fn(spark, sf_dir).collect()}
+    survivors = sum(1 for d in g if g[d] and rp[d] and lm[d])
+    assert rows[-1].n_out == survivors
