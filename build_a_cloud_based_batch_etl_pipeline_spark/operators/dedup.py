@@ -679,3 +679,116 @@ def dedup_clusters_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.join(sizes, "label")
         .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
     )
+
+
+# Repeated-span detection: minimum span width in tokens (the k-gram
+# width). A maximal run of consecutive cross-document-repeated k-grams
+# [p1..p2] is reported as the token span [p1, p2+k-1] — the substring
+# granularity between chunk-level (doc_boilerplate_chunks) and doc-level
+# dedup.
+_SPAN_K = 8
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   w[CAST(i AS INT) : CAST(i AS INT) + {_SPAN_K - 1}], ' '
+               ) AS g
+        FROM words, UNNEST(range(1, len(w) - {_SPAN_K - 2})) AS t(i)
+    ),
+    rep AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT)                  AS span_start,
+           CAST(max(pos) + {_SPAN_K - 1} AS BIGINT)  AS span_end,
+           CAST(max(pos) - min(pos) + {_SPAN_K} AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT)                  AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (VERDICT r5 item 2): maximal
+    cross-document repeated spans of >= _SPAN_K tokens, per document,
+    with 1-based token coordinates — the granularity between chunk-level
+    boilerplate detection and whole-document dedup; the output is the
+    cut-list a repeated-span remover consumes.
+
+    Method: every token position emits its forward word-{_SPAN_K}-gram;
+    a gram occurring in >= 2 DISTINCT documents is "repeated"; within a
+    document, maximal runs of consecutive repeated positions merge into
+    islands (gaps-and-islands: pos - row_number is constant per run), and
+    an island [p1..p2] covers tokens [p1, p2 + k - 1]. A true shared
+    span of L >= k tokens makes all of its L - k + 1 gram positions
+    repeated, so it surfaces as exactly one island of exactly L tokens
+    (pinned in tests/test_dedup.py on planted spans).
+
+    Scale shape: tokens become ROWS (posexplode) and each word is
+    hashed exactly once; the k-gram hash is then xxhash64 over the
+    token hash plus k-1 lead()s in a per-doc window — NOT the in-row
+    element_at(transform(...)) pattern, which inlines the whole
+    word-hash array k times per position and blows generated-code size
+    past what Janino compiles cheaply (measured 20s+ of compile per
+    stage at k=8 vs 2s end-to-end for this shape; the 5-gram
+    decontaminate query sits under that cliff). Grams travel as 8-byte
+    ints, never k-word strings. Keyed shuffles: doc_id (gram window),
+    gram hash (distinct-doc count), gram hash (hit join), doc_id
+    (island aggregate); every window partitions by doc_id — never
+    global. Common-gram fan-out is bounded by the HAVING >= 2 filter
+    happening BEFORE the join back, and at 100 TB the rep-gram table
+    is the (vocabulary-sized) hot set while positions stream past it.
+    Oracle joins on the gram STRING while Spark joins on xxhash64 —
+    identical semantics up to int64 hash collisions (P ~ 1e-7
+    corpus-wide, same argument as decontaminate_ngram_overlap)."""
+    from pyspark.sql import Window as W
+
+    docs = spread_small_input(t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.xxhash64("word").alias("h"),
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    gh = F.xxhash64(
+        *([F.col("h")] + [F.lead("h", j).over(wspec) for j in range(1, _SPAN_K)])
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            gh.alias("gh"),
+            F.lead("h", _SPAN_K - 1).over(wspec).alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())  # only full k-token windows
+        .select("doc_id", "pos", "gh")
+    )
+    rep = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(rep, "gh").select("doc_id", "pos")
+    rn = F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    isl = hits.select("doc_id", "pos", (F.col("pos") - rn).alias("grp"))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (_SPAN_K - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + _SPAN_K).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("grp")

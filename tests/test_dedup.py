@@ -317,3 +317,46 @@ def test_cache_once_evicts_dead_applications_and_clears(spark):
     app = spark.sparkContext.applicationId
     assert not any(k[0] == app for k in util._CACHE_ONCE)
     assert not live.storageLevel.useMemory, "clear must unpersist"
+
+
+def test_repeated_spans_planted_fixture(spark, monkeypatch):
+    """Planted-span contract for dedup_repeated_spans: a 20-token span
+    shared verbatim by two docs (at DIFFERENT offsets) surfaces as
+    exactly one island per doc with exact 1-based coordinates and
+    span_tokens == 20; a shared run shorter than _SPAN_K tokens is
+    invisible; a fully unique doc produces no rows."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        dedup as dedup_mod,
+    )
+
+    K = dedup_mod._SPAN_K
+    span = " ".join(f"s{i}" for i in range(20))
+    short = " ".join(f"t{i}" for i in range(K - 1))  # below threshold
+    doc1 = " ".join(f"a{i}" for i in range(30)) + f" {span} " + " ".join(
+        f"b{i}" for i in range(10)
+    )
+    doc2 = " ".join(f"c{i}" for i in range(40)) + f" {span} " + " ".join(
+        f"d{i}" for i in range(5)
+    )
+    doc3 = " ".join(f"e{i}" for i in range(25)) + f" {short} " + " ".join(
+        f"f{i}" for i in range(25)
+    )
+    doc4 = " ".join(f"g{i}" for i in range(25)) + f" {short} " + " ".join(
+        f"h{i}" for i in range(25)
+    )
+    doc5 = " ".join(f"u{i}" for i in range(60))
+    docs = _docs(
+        spark,
+        [(i + 1, d, "en", "t", len(d)) for i, d in
+         enumerate([doc1, doc2, doc3, doc4, doc5])],
+    )
+    monkeypatch.setattr(dedup_mod, "t", lambda s_, d_, n_: docs)
+    rows = dedup_mod.dedup_repeated_spans(spark, "ignored").collect()
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+           for r in rows}
+    # doc1: span occupies tokens 31..50; doc2: tokens 41..60;
+    # 20-token span => 20-K+1 repeated gram positions
+    assert got == {
+        (1, 31, 50, 20, 20 - K + 1),
+        (2, 41, 60, 20, 20 - K + 1),
+    }, got
