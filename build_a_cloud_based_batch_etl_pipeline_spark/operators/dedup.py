@@ -259,6 +259,31 @@ def minhash_signatures(grams_df: DataFrame) -> DataFrame:
     return grams_df.select("doc_id", *mins)
 
 
+def minhash_band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): LSH banding of a wide (doc_id, m0..m31)
+    signature frame — 16 bands x 2 rows, band hash via xxhash64 over
+    the band's signature components. Shared by the one-shot pair sweep
+    (dedup_minhash_pairs) and the persistent index
+    (build_minhash_index / maintain_minhash_index), so the two can
+    never disagree about bucket geometry."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[f"m{bi * _MH_ROWS + r}" for r in range(_MH_ROWS)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(_MH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+
 @query("dedup_minhash_pairs")
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard (rows-only:
@@ -281,22 +306,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out one row per SHARED shingle — quadratic on near-identical docs).
     sh = cache_once(spark, ("mh_gram_hashes", sf_dir), lambda: gram_hashes(docs))
     sig = minhash_signatures(sh)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[f"m{bi * _MH_ROWS + r}" for r in range(_MH_ROWS)]
-                        ).alias("bh"),
-                    )
-                    for bi in range(_MH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    bands = minhash_band_rows(sig)
     # Cached: the cap's sizes subtree and the self-join both read bands;
     # without the cache the 32 signature folds would be computed twice.
     # Narrow rows (id + band + hash), so the cache is a few dozen bytes/doc.
@@ -792,3 +802,143 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") - F.min("pos") + _SPAN_K).alias("span_tokens"),
         F.count(F.lit(1)).alias("n_grams"),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Persistent MinHash index (VERDICT r5 item 1): a real crawl pipeline
+# dedups each NEW batch against the accumulated corpus without
+# recomputing old signatures. The index is two append-only tables under
+# one root — `{root}/sigs` (doc_id, m0..m31) for verification and
+# `{root}/bands` (doc_id, band, bh) for candidate generation — each
+# growing one atomic `epoch=<lineage>-<id>` partition per ingested
+# batch (sinks.commit_epoch_partition). Batch build below; streaming
+# maintenance in streaming/ingest_stream.maintain_minhash_index.
+# ---------------------------------------------------------------------------
+
+# Signature-agreement threshold for index-only verification: the
+# fraction of agreeing minhash components is an unbiased estimator of
+# Jaccard similarity, so >= 0.5 matches dedup_minhash_pairs' exact
+# threshold in expectation (sigma ~ sqrt(0.25/32) ~ 0.09 at the
+# boundary). The point of the index is answering WITHOUT re-reading
+# corpus text; a pipeline wanting exact boundaries re-verifies the
+# (tiny) hit list against stored text afterwards.
+_MH_INDEX_EST_THRESHOLD = 0.5
+
+
+def minhash_index_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sigs, bands) frames for one batch of documents — the index's
+    unit of growth. Signatures are the zero-shuffle array_min folds of
+    gram_hashes; bands the shared LSH banding (minhash_band_rows)."""
+    sig = minhash_signatures(gram_hashes(docs.select("doc_id", "text")))
+    return sig, minhash_band_rows(sig)
+
+
+def build_minhash_index(
+    spark: SparkSession, docs: DataFrame, index_root: str,
+    lineage: str = "batch", epoch_id: int = 0,
+) -> None:
+    """One-shot (re)build of the persistent MinHash index from a corpus
+    DataFrame: computes signatures + band rows and commits them as one
+    epoch partition each. The streaming maintainer calls the same
+    commit per micro-batch, so a batch-built index and a stream-built
+    index are byte-compatible readers of each other."""
+    from ..sinks import commit_epoch_partition
+
+    sig, bands = minhash_index_rows(docs)
+    commit_epoch_partition(spark, sig, f"{index_root}/sigs", lineage, epoch_id)
+    commit_epoch_partition(spark, bands, f"{index_root}/bands", lineage, epoch_id)
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_root: str,
+    threshold: float = _MH_INDEX_EST_THRESHOLD,
+) -> DataFrame:
+    """Near-dup hits of a NEW batch against the persisted index:
+    (new_doc, index_doc, est_jaccard) for every stored document whose
+    estimated Jaccard with a batch document is >= threshold.
+
+    Batch-1 work is never redone: candidate generation equi-joins the
+    batch's 16 band rows/doc against the STORED band table, and
+    verification joins the candidate pairs to the STORED signature
+    table — corpus text is neither read nor re-hashed (est_jaccard is
+    the per-component signature agreement fraction, the standard
+    unbiased MinHash estimator). Self-pairs (a doc already indexed
+    deduping against its own entry on replay/overlap) are dropped by
+    doc_id inequality.
+
+    Scale shape: two keyed shuffles against the index (band join on
+    (band, bh), signature join on doc_id); the batch side is small by
+    definition and broadcasts under AQE. At warehouse scale the bands
+    table is bucketed on bh so the candidate join co-locates; a
+    degenerate hot bucket (corpus-wide boilerplate) is bounded
+    upstream, where the pipeline drops exact-duplicate and boilerplate
+    docs before indexing (dedup_exact / doc_boilerplate_chunks)."""
+    sig_new, bands_new = minhash_index_rows(new_docs)
+    stored_bands = spark.read.parquet(f"{index_root}/bands").select(
+        "doc_id", "band", "bh"
+    )
+    stored_sigs = spark.read.parquet(f"{index_root}/sigs").drop("epoch")
+    cand = (
+        bands_new.alias("n")
+        .join(stored_bands.alias("s"), ["band", "bh"])
+        .filter(F.col("n.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("s.doc_id").alias("index_doc"),
+        )
+        .distinct()
+    )
+    agree = sum(
+        [
+            F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+            for i in range(_MH_K)
+        ],
+        start=F.lit(0),
+    )
+    est = agree * 1.0 / _MH_K
+    return (
+        cand.join(sig_new.alias("x"), F.col("new_doc") == F.col("x.doc_id"))
+        .join(stored_sigs.alias("y"), F.col("index_doc") == F.col("y.doc_id"))
+        .filter(est >= threshold)
+        .select("new_doc", "index_doc", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+_INDEX_BUILD_CACHE: dict = {}
+
+
+@query("dedup_incremental_index")
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-corpus dedup, end to end (rows-only: signature
+    arithmetic is not SQL-expressible — recall and replay safety are
+    pinned in tests/test_dedup.py and tests/test_streaming.py): the
+    deterministic md5 split plays time — 'corpus' (buckets >= '1a',
+    ~90%) was ingested earlier and indexed; the 'new batch' (buckets
+    < '1a', ~10%) arrives now and dedups against the persisted index
+    alone. Returns (new_doc, index_doc, est_jaccard) hits.
+
+    The index build lands in a temp dir memoized per (application,
+    sf_dir, table fingerprint) — the same content-addressed discipline
+    as the PQ codebook memo, so a rewritten fixture rebuilds instead of
+    serving stale signatures."""
+    import tempfile
+
+    from .sampling import _TEST_LT, _split_bucket
+    from .similarity import _table_fingerprint
+    from ..sources import table_path
+
+    docs = t(spark, sf_dir, "documents")
+    is_new = _split_bucket() < _TEST_LT
+    app = spark.sparkContext.applicationId
+    fp = _table_fingerprint(table_path(sf_dir, "documents"))
+    ck = (app, sf_dir, fp)
+    root = _INDEX_BUILD_CACHE.get(ck)
+    if root is None:
+        for stale in [k for k in _INDEX_BUILD_CACHE if k[0] != app]:
+            del _INDEX_BUILD_CACHE[stale]
+        root = tempfile.mkdtemp(prefix="mh_index_")
+        build_minhash_index(spark, docs.filter(~is_new), root)
+        _INDEX_BUILD_CACHE[ck] = root
+    return dedup_against_index(spark, docs.filter(is_new), root)

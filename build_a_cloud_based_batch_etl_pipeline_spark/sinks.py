@@ -230,3 +230,61 @@ def expire_partitions(spark, path: str, partition_col: str, keep: list[str]) -> 
             fs.delete(status.getPath(), True)
             removed += 1
     return removed
+
+
+def commit_epoch_partition(
+    spark, df, table_path: str, lineage: str, epoch_id
+) -> bool:
+    """Atomically append one micro-batch epoch to an ACCUMULATING table
+    as a hive partition directory `epoch=<lineage>-<id>` — the
+    append-only sibling of the stamped-swap discipline
+    (streaming.ingest_stream._atomic_swap_in): where a merged aggregate
+    must REWRITE its whole table per epoch, an append-only artifact
+    (e.g. a MinHash signature index) only ever gains rows, so each
+    epoch lands as its own partition and earlier epochs' files are
+    never touched again.
+
+    Commit protocol: write to a dot-prefixed staging dir INSIDE the
+    table root (dot/underscore paths are invisible to parquet readers),
+    then one atomic rename to `epoch=<lineage>-<id>`. The partition dir
+    either exists completely or not at all, so a replayed epoch is
+    detected by existence and skipped — returns False (True when this
+    call committed). The partition value doubles as provenance: readers
+    see an `epoch` string column.
+
+    Epoch ids only compare within one checkpoint lineage (the query
+    uuid, ingest_stream._checkpoint_lineage): finding partitions from a
+    DIFFERENT lineage means the checkpoint was reset while the table
+    was kept — a fresh stream would re-index every document under new
+    partition names (duplicate rows, corrupt index), so it raises
+    instead."""
+    part = f"epoch={lineage}-{int(epoch_id)}"
+    jvm = spark._jvm
+    fs_conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(fs_conf)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("epoch="):
+                continue
+            got_lineage = name[len("epoch="):].rpartition("-")[0]
+            if got_lineage != lineage:
+                raise RuntimeError(
+                    f"epoch partitions at {table_path} belong to checkpoint "
+                    f"lineage '{got_lineage}' but the running stream is "
+                    f"'{lineage}': the checkpoint was reset or replaced "
+                    "without resetting the table — a fresh stream would "
+                    "re-append every epoch under new names (duplicate "
+                    "rows). Reset table and checkpoint together."
+                )
+    ppath = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{part}")
+    if fs.exists(ppath):
+        return False  # replayed epoch: already committed atomically
+    staging = f"{table_path}/.{part}.staging"
+    df.write.mode("overwrite").parquet(staging)
+    _must(
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), ppath),
+        f"commit epoch partition {part}",
+    )
+    return True

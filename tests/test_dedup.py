@@ -360,3 +360,91 @@ def test_repeated_spans_planted_fixture(spark, monkeypatch):
         (1, 31, 50, 20, 20 - K + 1),
         (2, 41, 60, 20, 20 - K + 1),
     }, got
+
+
+def test_dedup_against_index_recall_and_estimates(spark, tmp_path):
+    """Index-only dedup contract: a batch doc near-identical to an
+    indexed doc is found with est_jaccard tracking the true Jaccard; an
+    unrelated batch doc produces no hits; the estimate agrees with a
+    direct signature comparison (the index stores exactly the
+    signatures the one-shot path computes)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        dedup as dedup_mod,
+    )
+
+    base = " ".join(f"w{i} v{i * 3 % 23}" for i in range(80))
+    corpus = _docs(spark, [
+        (1, base, "en", "t", len(base)),
+        (2, " ".join(f"k{i}" for i in range(80)), "en", "t", 100),
+    ])
+    root = str(tmp_path / "idx")
+    dedup_mod.build_minhash_index(spark, corpus, root)
+
+    neardup = base.replace("w5 ", "X5 ")  # ~97% token overlap
+    unrelated = " ".join(f"z{i} u{i * 7 % 19}" for i in range(80))
+    batch = _docs(spark, [
+        (10, neardup, "en", "t", len(neardup)),
+        (11, unrelated, "en", "t", len(unrelated)),
+    ])
+    hits = dedup_mod.dedup_against_index(spark, batch, root).collect()
+    assert {(r.new_doc, r.index_doc) for r in hits} == {(10, 1)}
+    (hit,) = hits
+    assert hit.est_jaccard >= 0.7  # true Jaccard ~0.93; 32-hash noise
+
+    # estimate == direct agreement fraction of the stored vs batch sigs
+    sig_new, _ = dedup_mod.minhash_index_rows(batch)
+    stored = spark.read.parquet(f"{root}/sigs").drop("epoch")
+    new_sig = {r.doc_id: r for r in sig_new.collect()}[10]
+    old_sig = {r.doc_id: r for r in stored.collect()}[1]
+    agree = sum(
+        1 for i in range(dedup_mod._MH_K)
+        if getattr(new_sig, f"m{i}") == getattr(old_sig, f"m{i}")
+    )
+    assert hit.est_jaccard == round(agree / dedup_mod._MH_K, 4)
+
+
+def test_incremental_index_query_matches_one_shot_cross_split(spark, sf_dir):
+    """The registry twin must equal running candidate+verify over the
+    same split in one shot: every (new, corpus) hit's est_jaccard is a
+    signature agreement, and hits are exactly the cross-split pairs the
+    one-shot band join finds at the same threshold."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        dedup as dedup_mod,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.sampling import (
+        _TEST_LT,
+        _split_bucket,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+    REG = load_all()
+    got = {(r.new_doc, r.index_doc, r.est_jaccard)
+           for r in REG["dedup_incremental_index"].fn(spark, sf_dir).collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_new = _split_bucket() < _TEST_LT
+    sig_new, bands_new = dedup_mod.minhash_index_rows(docs.filter(is_new))
+    sig_old, bands_old = dedup_mod.minhash_index_rows(docs.filter(~is_new))
+    cand = (
+        bands_new.alias("n").join(bands_old.alias("s"), ["band", "bh"])
+        .select(F.col("n.doc_id").alias("new_doc"),
+                F.col("s.doc_id").alias("index_doc"))
+        .distinct()
+    )
+    agree = sum(
+        [F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+         for i in range(dedup_mod._MH_K)],
+        start=F.lit(0),
+    )
+    est = agree * 1.0 / dedup_mod._MH_K
+    expected = {
+        (r.new_doc, r.index_doc, r.est_jaccard)
+        for r in (
+            cand.join(sig_new.alias("x"), F.col("new_doc") == F.col("x.doc_id"))
+            .join(sig_old.alias("y"), F.col("index_doc") == F.col("y.doc_id"))
+            .filter(est >= 0.5)
+            .select("new_doc", "index_doc", F.round(est, 4).alias("est_jaccard"))
+            .collect()
+        )
+    }
+    assert got == expected

@@ -571,3 +571,105 @@ def test_term_count_maintenance_accumulates_and_guards_replay(spark, tmp_path):
 
     top = ingest_stream.read_top_terms(spark, counts_path, k=2).collect()
     assert [(r.term, r.c) for r in top] == [("spark", 4), ("again", 1)]
+
+
+def test_minhash_index_maintenance_incremental_and_replay_safe(
+    spark, tmp_path, monkeypatch
+):
+    """Persistent MinHash index (VERDICT r6): batch-2 duplicates are
+    caught against batch-1's STORED signatures — batch-1 files are never
+    rewritten (asserted on the file listing, the 'no recomputation'
+    contract made mechanical); a no-new-files rerun changes nothing; a
+    crash between the sigs commit and the bands commit converges on
+    replay with no duplicate rows."""
+    import glob
+    import os
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import sinks
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dedup import (
+        dedup_against_index,
+    )
+
+    docsdir = tmp_path / "mh_docs"
+    docsdir.mkdir()
+    schema = "doc_id long, text string"
+    root = str(tmp_path / "mh_index")
+    ckpt = str(tmp_path / "mh_ckpt")
+
+    def drop(name, rows):
+        with open(docsdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def listing():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{root}/**/*", recursive=True)
+            if os.path.isfile(p)
+        }
+
+    base = " ".join(f"w{i} x{i * 3 % 17}" for i in range(60))
+    neardup = base.replace("w3 ", "Q3 ").replace("w40 ", "Q40 ")
+    unique = " ".join(f"z{i} y{i * 5 % 13}" for i in range(60))
+
+    drop("b1.json", [{"doc_id": 1, "text": base},
+                     {"doc_id": 2, "text": unique}])
+    ingest_stream.maintain_minhash_index(spark, str(docsdir), root, ckpt, schema)
+    assert glob.glob(f"{root}/sigs/epoch=*") and glob.glob(f"{root}/bands/epoch=*")
+    snap1 = listing()
+
+    # the NEW batch dedups against the index BEFORE being indexed —
+    # batch-1 text is neither read nor re-hashed (only the index tables)
+    other_unique = " ".join(f"p{i} q{i * 7 % 11}" for i in range(60))
+    batch2 = spark.createDataFrame(
+        [(10, neardup), (11, other_unique)], schema
+    )
+    hits = dedup_against_index(spark, batch2, root).collect()
+    assert {(r.new_doc, r.index_doc) for r in hits} == {(10, 1)}
+    assert all(r.est_jaccard >= 0.5 for r in hits)
+
+    drop("b2.json", [{"doc_id": 10, "text": neardup},
+                     {"doc_id": 11, "text": other_unique}])
+    ingest_stream.maintain_minhash_index(spark, str(docsdir), root, ckpt, schema)
+    snap2 = listing()
+    for p, meta in snap1.items():
+        assert snap2[p] == meta, f"batch-1 index file rewritten: {p}"
+    assert len(glob.glob(f"{root}/sigs/epoch=*")) == 2
+    assert len(glob.glob(f"{root}/bands/epoch=*")) == 2
+
+    # no new files -> no new epochs -> byte-stable
+    ingest_stream.maintain_minhash_index(spark, str(docsdir), root, ckpt, schema)
+    assert listing() == snap2
+
+    # crash between the sigs commit and the bands commit: replay must
+    # converge (sigs epoch skipped, bands epoch committed, no dup rows)
+    drop("b3.json", [{"doc_id": 20, "text": " ".join(
+        f"r{i} s{i * 11 % 7}" for i in range(60))}])
+    real_commit = sinks.commit_epoch_partition
+    calls = {"n": 0}
+
+    def crashing(spark_, df, table_path, lineage, epoch_id):
+        committed = real_commit(spark_, df, table_path, lineage, epoch_id)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash: sigs committed, bands not")
+        return committed
+
+    monkeypatch.setattr(sinks, "commit_epoch_partition", crashing)
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as exc_info:
+        ingest_stream.maintain_minhash_index(
+            spark, str(docsdir), root, ckpt, schema
+        )
+    assert "injected crash" in str(exc_info.value)
+    monkeypatch.setattr(sinks, "commit_epoch_partition", real_commit)
+    ingest_stream.maintain_minhash_index(spark, str(docsdir), root, ckpt, schema)
+    n_sig_epochs = len(glob.glob(f"{root}/sigs/epoch=*"))
+    n_band_epochs = len(glob.glob(f"{root}/bands/epoch=*"))
+    assert n_sig_epochs == 3 and n_band_epochs == 3
+    sigs = spark.read.parquet(f"{root}/sigs")
+    assert sigs.count() == sigs.select("doc_id").distinct().count() == 5
+    bands = spark.read.parquet(f"{root}/bands")
+    assert bands.count() == 5 * 16  # 16 band rows per doc, no duplicates
