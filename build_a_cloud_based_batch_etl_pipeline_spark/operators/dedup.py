@@ -906,9 +906,6 @@ def dedup_against_index(
     )
 
 
-_INDEX_BUILD_CACHE: dict = {}
-
-
 @query("dedup_incremental_index")
 def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-corpus dedup, end to end (rows-only: signature
@@ -920,25 +917,24 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone. Returns (new_doc, index_doc, est_jaccard) hits.
 
     The index build lands in a temp dir memoized per (application,
-    sf_dir, table fingerprint) — the same content-addressed discipline
-    as the PQ codebook memo, so a rewritten fixture rebuilds instead of
-    serving stale signatures."""
+    sf_dir, table fingerprint) via util.memo_once — the same
+    content-addressed discipline as the PQ codebook memo, so a
+    rewritten fixture rebuilds instead of serving stale signatures."""
     import tempfile
 
     from .sampling import _TEST_LT, _split_bucket
     from .similarity import _table_fingerprint
+    from .util import memo_once
     from ..sources import table_path
 
     docs = t(spark, sf_dir, "documents")
     is_new = _split_bucket() < _TEST_LT
-    app = spark.sparkContext.applicationId
     fp = _table_fingerprint(table_path(sf_dir, "documents"))
-    ck = (app, sf_dir, fp)
-    root = _INDEX_BUILD_CACHE.get(ck)
-    if root is None:
-        for stale in [k for k in _INDEX_BUILD_CACHE if k[0] != app]:
-            del _INDEX_BUILD_CACHE[stale]
+
+    def build() -> str:
         root = tempfile.mkdtemp(prefix="mh_index_")
         build_minhash_index(spark, docs.filter(~is_new), root)
-        _INDEX_BUILD_CACHE[ck] = root
+        return root
+
+    root = memo_once(spark, ("mh_index", sf_dir, fp), build)
     return dedup_against_index(spark, docs.filter(is_new), root)

@@ -173,6 +173,41 @@ def cache_once_clear(spark: SparkSession | None = None) -> None:
                 pass  # application already stopped; nothing to release
 
 
+_MEMO_ONCE: dict[tuple, object] = {}
+_MEMO_ONCE_MAX = 8
+
+
+def memo_once(spark: SparkSession, key: tuple, build):
+    """Per-application memo for driver-side artifacts that are NOT
+    DataFrames (trained PQ codebooks, built index dirs) — the
+    cache_once lifecycle discipline (VERDICT r5 item 8) applied to
+    plain objects: keyed (applicationId, *key) so a restarted session
+    never reuses dead state, dead-application entries dropped on
+    insert, `memo_once_clear()` as the one forget hook. Unlike
+    cache_once entries (plan handles), these artifacts hold real driver
+    memory, so the dict is additionally FIFO-bounded. Callers put a
+    content fingerprint in the key (similarity._table_fingerprint) so a
+    rewritten source table misses instead of serving stale artifacts."""
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _MEMO_ONCE if k[0] != app]:
+        del _MEMO_ONCE[stale]
+    full = (app, *key)
+    if full not in _MEMO_ONCE:
+        while len(_MEMO_ONCE) >= _MEMO_ONCE_MAX:
+            _MEMO_ONCE.pop(next(iter(_MEMO_ONCE)))
+        _MEMO_ONCE[full] = build()
+    return _MEMO_ONCE[full]
+
+
+def memo_once_clear(spark: SparkSession | None = None) -> None:
+    """Forget every memo_once artifact (current application only when
+    `spark` is given, else all)."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for k in list(_MEMO_ONCE):
+        if app is None or k[0] == app:
+            del _MEMO_ONCE[k]
+
+
 def seq1(stop: Column) -> Column:
     """sequence(1, stop) that is EMPTY when stop < 1.
 

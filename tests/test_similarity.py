@@ -423,8 +423,12 @@ def test_pq_adc_score_ties_resolve_to_smallest_nid_across_chunks(
     df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
 
     def neighbors(chunk):
+        from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import (
+            memo_once_clear,
+        )
+
         monkeypatch.setattr(similarity, "_ADC_CHUNK", chunk)
-        similarity._PQ_FIT_CACHE.clear()
+        memo_once_clear(spark)
         out = REGISTRY["embed_ann_pq"].fn(spark, sf).collect()
         return sorted((r.qid, r.nid, r.adc_score) for r in out)
 
@@ -439,3 +443,98 @@ def test_pq_adc_score_ties_resolve_to_smallest_nid_across_chunks(
         got = sorted(n for qq, n, _ in full if qq == q)
         group = [v for v in range(24) if v % 3 == q % 3 and v != q]
         assert got == group[:5], (q, got)
+
+
+def test_pq_index_build_load_query_contract(spark, tmp_path):
+    """Persisted ANN index (VERDICT r6): build is idempotent (a re-run
+    against unchanged embeddings is a no-op skip; a forced rebuild
+    produces identical table content — training is deterministic), the
+    indexed query equals the session-trained path exactly, a STALE
+    index (embeddings rewritten after the build) is refused, and a torn
+    index (crash between table swaps) is refused until rebuilt."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path / "sfdir")
+    import os
+
+    os.makedirs(sf)
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 64).astype("float32")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], int(i % 3)) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    root = str(tmp_path / "pq_root")
+    assert sim.build_pq_index(spark, sf, root) is True
+    assert sim.build_pq_index(spark, sf, root) is False, "fresh -> skip"
+
+    def table_contents():
+        out = {}
+        for sub in ("pq_codebooks", "ivf_centroids", "pq_codes"):
+            rows = spark.read.parquet(f"{root}/{sub}").collect()
+            out[sub] = sorted(tuple(r) for r in (row.asDict().items() for row in rows))
+        return out
+
+    before = table_contents()
+    assert sim.build_pq_index(spark, sf, root, force=True) is True
+    assert table_contents() == before, "forced rebuild must be bit-equal"
+
+    # indexed query == session-trained query
+    books, ids, codes, _coarse, _assign = sim.load_pq_index(spark, sf, root)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    got = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim._adc_topk_stream(spark, emb, books, ids, codes).collect()
+    )
+    b2, i2, c2, _ = sim._pq_fit(spark, sf)
+    want = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim._adc_topk_stream(spark, emb, b2, i2, c2).collect()
+    )
+    assert got == want
+
+    # stale: rewrite embeddings -> load refuses until rebuild
+    vecs2 = rng.randn(40, 64).astype("float32")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs2[i]], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    import pytest
+
+    with pytest.raises(ValueError, match="STALE"):
+        sim.load_pq_index(spark, sf, root)
+    assert sim.build_pq_index(spark, sf, root) is True  # rebuild converges
+    sim.load_pq_index(spark, sf, root)  # now serves
+
+    # torn: desync one table's version (crash-between-swaps stand-in)
+    from pyspark.sql import functions as F
+
+    cb = spark.read.parquet(f"{root}/pq_codebooks")
+    torn = cb.withColumn("index_version", F.lit("deadbeef00000000"))
+    sim._swap_write(spark, torn.coalesce(1), f"{root}/pq_codebooks")
+    with pytest.raises(ValueError, match="no complete PQ index"):
+        sim.load_pq_index(spark, sf, root)
+    assert sim.build_pq_index(spark, sf, root) is True  # heals the tear
+    sim.load_pq_index(spark, sf, root)
+
+
+def test_indexed_ann_query_matches_session_path(spark, sf_dir):
+    """Registry contract: embed_ann_pq_indexed (persisted artifacts)
+    must return exactly embed_ann_pq's rows (same deterministic
+    training, shared scorer)."""
+    a = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_pq_indexed"].fn(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_pq"].fn(spark, sf_dir).collect()
+    )
+    assert a == b
