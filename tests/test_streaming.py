@@ -673,3 +673,76 @@ def test_minhash_index_maintenance_incremental_and_replay_safe(
     assert sigs.count() == sigs.select("doc_id").distinct().count() == 5
     bands = spark.read.parquet(f"{root}/bands")
     assert bands.count() == 5 * 16  # 16 band rows per doc, no duplicates
+
+
+def test_asof_enrich_stream_version_boundaries_and_late_data(spark, tmp_path):
+    """Streaming as-of enrichment (VERDICT r6): events get the dim
+    version in force AT THEIR EVENT TIME — boundary events (ts ==
+    valid_from) get that version, pre-history events get NULL, and a
+    LATE event replaying an old timestamp AFTER the dim gained newer
+    versions still gets the historical version (a plain stream-static
+    join would stamp it with the current one). Replays do not
+    duplicate output rows."""
+    evdir = tmp_path / "asof_events"
+    evdir.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    dim_path = str(tmp_path / "tier_versions")
+    out_path = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "asof_ckpt")
+
+    def drop(name, rows):
+        with open(evdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    import datetime as dt
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h, 0, 0)
+
+    def tss(h):
+        return f"2024-01-01T{h:02d}:00:00"
+
+    dim1 = spark.createDataFrame(
+        [(7, ts(0), "bronze"), (7, ts(2), "gold"), (8, ts(1), "silver")],
+        "user_id long, valid_from timestamp, tier string",
+    )
+    dim1.write.mode("overwrite").parquet(dim_path)
+
+    drop("b1.json", [
+        {"event_id": 1, "ts": tss(1), "user_id": 7, "value": 1.0},   # bronze
+        {"event_id": 2, "ts": tss(2), "user_id": 7, "value": 1.0},   # boundary: gold
+        {"event_id": 3, "ts": tss(3), "user_id": 7, "value": 1.0},   # gold
+        {"event_id": 4, "ts": tss(0), "user_id": 8, "value": 1.0},   # pre-history: NULL
+        {"event_id": 5, "ts": tss(1), "user_id": 9, "value": 1.0},   # no dim key: NULL
+    ])
+    windows_stream.asof_enrich_stream(
+        spark, str(evdir), dim_path, out_path, ckpt, schema
+    )
+    got = {r.event_id: r.tier for r in spark.read.parquet(out_path).collect()}
+    assert got == {1: "bronze", 2: "gold", 3: "gold", 4: None, 5: None}
+
+    # the dim gains a newer version; a LATE event with an OLD timestamp
+    # must still get the version in force at its event time
+    dim2 = dim1.unionByName(spark.createDataFrame(
+        [(7, ts(4), "platinum")],
+        "user_id long, valid_from timestamp, tier string",
+    ))
+    dim2.write.mode("overwrite").parquet(dim_path)
+    drop("b2.json", [
+        {"event_id": 6, "ts": tss(1), "user_id": 7, "value": 1.0},   # LATE: bronze
+        {"event_id": 7, "ts": tss(5), "user_id": 7, "value": 1.0},   # platinum
+    ])
+    windows_stream.asof_enrich_stream(
+        spark, str(evdir), dim_path, out_path, ckpt, schema
+    )
+    got = {r.event_id: r.tier for r in spark.read.parquet(out_path).collect()}
+    assert got[6] == "bronze", "late event must match HISTORICAL version"
+    assert got[7] == "platinum"
+    assert len(got) == 7
+
+    # no new files -> no new rows (checkpoint + idempotent append)
+    windows_stream.asof_enrich_stream(
+        spark, str(evdir), dim_path, out_path, ckpt, schema
+    )
+    assert spark.read.parquet(out_path).count() == 7
