@@ -1262,10 +1262,29 @@ def embed_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, fixture-scale, the lists live in one broadcast with bucket
     masks. Training (PQ codebooks + coarse centroids) stays the bounded
     driver-side step; scoring streams queries through mapInPandas."""
+    books, ids, codes, coarse, assign = _ivfpq_fit(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)
+
+
+def _ivf_adc_topk_stream(
+    spark: SparkSession,
+    emb: DataFrame,
+    books,
+    ids,
+    codes,
+    coarse,
+    assign,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-routed ADC top-k scoring — the scorer shared by
+    embed_ann_ivf_pq (session-trained artifacts) and
+    embed_ann_ivf_pq_indexed (artifacts loaded from the persisted index
+    tables, including the stored per-vector list assignment), so the
+    two paths cannot drift."""
     import numpy as np
     from pyspark.sql import types as T
 
-    books, ids, codes, coarse, assign = _ivfpq_fit(spark, sf_dir)
     b_all = spark.sparkContext.broadcast((books, ids, codes, coarse, assign))
     out_schema = T.StructType(
         [
@@ -1274,7 +1293,6 @@ def embed_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("adc_score", T.DoubleType()),
         ]
     )
-    k = 5
 
     def score(batches):
         import pandas as pd
@@ -1314,7 +1332,6 @@ def embed_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInPandas(score, out_schema)
 
 
@@ -1659,3 +1676,30 @@ def embed_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     books, ids, codes, _coarse, _assign = load_pq_index(spark, sf_dir, root)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return _adc_topk_stream(spark, emb, books, ids, codes)
+
+
+@query("embed_ann_ivf_pq_indexed")
+def embed_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ from the PERSISTED index (rows-only; exact equality with
+    the session-trained embed_ann_ivf_pq pinned in
+    tests/test_similarity.py): coarse routing uses the stored
+    ivf_centroids table and the stored per-vector list assignment
+    (pq_codes.list_id), ADC uses the stored codebooks/codes — the full
+    artifact set exercised end to end, completing what
+    embed_ann_pq_indexed covers for the flat scan. Same build memo, so
+    a warm session (or bench repeat) pays load + score only."""
+    import tempfile
+
+    from .util import memo_once
+
+    fp = pq_index_version(sf_dir)
+
+    def build() -> str:
+        root = tempfile.mkdtemp(prefix="pq_index_")
+        build_pq_index(spark, sf_dir, root)
+        return root
+
+    root = memo_once(spark, ("pq_index_root", sf_dir, fp), build)
+    books, ids, codes, coarse, assign = load_pq_index(spark, sf_dir, root)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)

@@ -538,3 +538,18 @@ def test_indexed_ann_query_matches_session_path(spark, sf_dir):
         for r in REGISTRY["embed_ann_pq"].fn(spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_indexed_ivf_pq_matches_session_path(spark, sf_dir):
+    """embed_ann_ivf_pq_indexed (stored centroids + stored list
+    assignments + stored codes) must return exactly embed_ann_ivf_pq's
+    rows — the persisted artifact set is complete and byte-faithful."""
+    a = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_ivf_pq_indexed"].fn(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_ivf_pq"].fn(spark, sf_dir).collect()
+    )
+    assert a == b

