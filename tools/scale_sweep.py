@@ -165,6 +165,14 @@ def main() -> None:
             "text_heavy_hitters_cms",
             # nlist tracks corpus size via the label shift above
             "embed_ann_ivf",
+            # r6: repeated-span islands (suffixed copies share nothing
+            # cross-copy, so true spans — and the rep-gram table — scale
+            # exactly k-fold) and the incremental-index dedup query side
+            # (the fingerprint-keyed memo makes run 1 pay the index
+            # build; min-of-runs then measures the warm query path, the
+            # cost a production batch actually pays).
+            "dedup_repeated_spans",
+            "dedup_incremental_index",
         ]
         for name in sweep_queries:
             fn = reg[name].fn
