@@ -88,6 +88,9 @@ INTENTIONAL_CROSS = {
     "text_heavy_hitters_cms",
     "text_vocab_coverage",
     "sample_balanced_classes",
+    # composes text_unigram_logprob, inheriting its 1-row corpus-total
+    # broadcast crossJoin
+    "text_filter_funnel",
 }
 
 
