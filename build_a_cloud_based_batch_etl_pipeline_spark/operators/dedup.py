@@ -763,9 +763,16 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle joins on the gram STRING while Spark joins on xxhash64 —
     identical semantics up to int64 hash collisions (P ~ 1e-7
     corpus-wide, same argument as decontaminate_ngram_overlap)."""
+    docs = spread_small_input(t(spark, sf_dir, "documents"), "doc_id")
+    return repeated_spans_frame(docs)
+
+
+def repeated_spans_frame(docs: DataFrame) -> DataFrame:
+    """Core of dedup_repeated_spans over an arbitrary documents frame —
+    shared with dedup_remove_spans so span detection and span removal
+    can never disagree about coordinates."""
     from pyspark.sql import Window as W
 
-    docs = spread_small_input(t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word")
     ).select(
@@ -938,3 +945,99 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = memo_once(spark, ("mh_index", sf_dir, fp), build)
     return dedup_against_index(spark, docs.filter(is_new), root)
+
+
+@query(
+    "dedup_remove_spans",
+    oracle=f"""
+    WITH words0 AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   w[CAST(i AS INT) : CAST(i AS INT) + {_SPAN_K - 1}], ' '
+               ) AS g
+        FROM words0, UNNEST(range(1, len(w) - {_SPAN_K - 2})) AS t(i)
+    ),
+    rep AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_K - 1} AS e
+        FROM isl GROUP BY doc_id, grp
+    ),
+    words AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, w[CAST(i AS INT)] AS wd
+        FROM words0, UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    removed AS (
+        SELECT DISTINCT w.doc_id, w.i
+        FROM words w JOIN spans s
+          ON w.doc_id = s.doc_id AND w.i BETWEEN s.s AND s.e
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT)  AS n_tokens,
+           CAST(count(r.i) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN r.i IS NULL THEN w.wd END,
+                               ' ' ORDER BY w.i), '') AS clean_text
+    FROM words w LEFT JOIN removed r
+      ON w.doc_id = r.doc_id AND w.i = r.i
+    GROUP BY w.doc_id
+    """,
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the repeated-span cut-list (the consumer side of
+    dedup_repeated_spans): every token covered by any cross-document
+    repeated span is dropped, and each document comes back as
+    (doc_id, n_tokens, n_removed, clean_text) — detect -> remove is the
+    full substring-dedup pipeline a crawl cleaner runs. Documents with
+    no repeated spans pass through untouched (n_removed = 0); a fully
+    covered document yields clean_text = ''.
+
+    Scale shape: spans come from the shared repeated_spans_frame (same
+    plan as the detection query); the per-doc interval list attaches
+    with one doc_id-keyed join (span lists are tiny — islands per doc,
+    not tokens), and removal is IN-ROW: a filter over the word-index
+    sequence tests each position against the collected intervals
+    (O(n_tokens x n_spans) per doc, no token-level join, no range-join
+    explosion), then one concat_ws rebuilds the text. The oracle does
+    the equivalent with a positions x spans BETWEEN join — fine for
+    DuckDB at fixture scale, exactly the shape the Spark side avoids."""
+    docs = spread_small_input(t(spark, sf_dir, "documents"), "doc_id")
+    spans = repeated_spans_frame(docs)
+    iv = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("iv")
+    )
+    w = F.split("text", " ")
+    empty_iv = F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
+    )
+    staged = docs.join(iv, "doc_id", "left").select(
+        "doc_id",
+        w.alias("w"),
+        F.coalesce(F.col("iv"), empty_iv).alias("iv"),
+    )
+    kept = F.filter(
+        seq1(F.size("w")),
+        lambda i: ~F.exists(
+            F.col("iv"),
+            lambda s: (i >= s.span_start) & (i <= s.span_end),
+        ),
+    )
+    staged2 = staged.select("doc_id", "w", kept.alias("kept"))
+    return staged2.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        (F.size("w") - F.size("kept")).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform("kept", lambda i: F.element_at(F.col("w"), i))
+        ).alias("clean_text"),
+    )

@@ -1703,3 +1703,84 @@ def embed_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     books, ids, codes, coarse, assign = load_pq_index(spark, sf_dir, root)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)
+
+
+_MRL_DIMS = [8, 16, 32, 64]
+
+
+@query(
+    "embed_mrl_energy",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    per AS (
+        SELECT d.dim, u.vec_id,
+               CAST(round(sum(CASE WHEN u.i <= d.dim THEN v * v ELSE 0 END)
+                          / NULLIF(sum(v * v), 0), 6) AS DECIMAL(12, 6))
+                   AS frac
+        FROM u CROSS JOIN (VALUES (8), (16), (32), (64)) AS d(dim)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(dim AS INT)                        AS dim,
+           CAST(count(frac) AS BIGINT)             AS n_vectors,
+           round(CAST(sum(frac) AS DOUBLE) / count(frac), 4)
+                                                   AS mean_energy_frac,
+           round(CAST(min(frac) AS DOUBLE), 4)     AS min_energy_frac
+    FROM per GROUP BY dim
+    """,
+)
+def embed_mrl_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality curve (Kusupati et al. 2022,
+    public MRL paper): for each prefix length d in {8, 16, 32, 64},
+    the fraction of every vector's L2 energy captured by its first d
+    dimensions — the metric that decides how far an embedding column
+    can be truncated (for cheaper ANN candidate generation or storage
+    tiers) before similarity degrades. Output: one row per d with the
+    corpus mean and worst-case fraction.
+
+    Cross-engine float discipline: the per-vector fraction is rounded
+    to 6dp and cast DECIMAL(12,6) BEFORE the corpus aggregate, so the
+    sum both engines compute is exact decimal arithmetic over identical
+    summands — order-independent, unlike a float sum over 5k rows whose
+    4th decimal can flip with partition order. The mean divides the
+    exact sum as a double at the very end.
+
+    Scale shape: per-vector energies are one in-row fold over the
+    array (prefix energies share the staged total), the 4-dim fan-out
+    is an in-row explode, and the only shuffle is the 4-group
+    aggregate — map-side combined to 4 rows per partition."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sq = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
+    tot = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + sq(x))
+    staged = emb.select("vec_id", "embedding", tot.alias("tot"))
+
+    def frac(d: int):
+        e_d = F.aggregate(
+            F.slice("embedding", 1, d), F.lit(0.0), lambda a, x: a + sq(x)
+        )
+        return (
+            F.round(e_d / F.nullif(F.col("tot"), F.lit(0.0)), 6)
+            .cast("decimal(12,6)")
+            .alias("frac")
+        )
+
+    rows = staged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).cast("int").alias("dim"), frac(d))
+                    for d in _MRL_DIMS
+                ]
+            )
+        ).alias("r")
+    ).select("r.dim", "r.frac")
+    return rows.groupBy("dim").agg(
+        F.count("frac").alias("n_vectors"),
+        F.round(
+            F.sum("frac").cast("double") / F.count("frac"), 4
+        ).alias("mean_energy_frac"),
+        F.round(F.min("frac").cast("double"), 4).alias("min_energy_frac"),
+    )

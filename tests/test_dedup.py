@@ -448,3 +448,33 @@ def test_incremental_index_query_matches_one_shot_cross_split(spark, sf_dir):
         )
     }
     assert got == expected
+
+
+def test_remove_spans_planted_fixture(spark, monkeypatch):
+    """Removal applies the exact cut-list: planted-span docs lose
+    exactly their shared 20 tokens (clean_text == original minus the
+    span, order preserved), untouched docs pass through verbatim."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        dedup as dedup_mod,
+    )
+
+    span = " ".join(f"s{i}" for i in range(20))
+    pre1 = " ".join(f"a{i}" for i in range(30))
+    post1 = " ".join(f"b{i}" for i in range(10))
+    doc1 = f"{pre1} {span} {post1}"
+    pre2 = " ".join(f"c{i}" for i in range(40))
+    post2 = " ".join(f"d{i}" for i in range(5))
+    doc2 = f"{pre2} {span} {post2}"
+    doc3 = " ".join(f"u{i}" for i in range(60))
+    docs = _docs(
+        spark,
+        [(i + 1, d, "en", "t", len(d)) for i, d in enumerate([doc1, doc2, doc3])],
+    )
+    monkeypatch.setattr(dedup_mod, "t", lambda s_, d_, n_: docs)
+    got = {r.doc_id: r for r in
+           dedup_mod.dedup_remove_spans(spark, "ignored").collect()}
+    assert got[1].n_tokens == 60 and got[1].n_removed == 20
+    assert got[1].clean_text == f"{pre1} {post1}"
+    assert got[2].n_tokens == 65 and got[2].n_removed == 20
+    assert got[2].clean_text == f"{pre2} {post2}"
+    assert got[3].n_removed == 0 and got[3].clean_text == doc3

@@ -553,3 +553,18 @@ def test_indexed_ivf_pq_matches_session_path(spark, sf_dir):
         for r in REGISTRY["embed_ann_ivf_pq"].fn(spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_mrl_energy_curve_invariants(spark, sf_dir):
+    """Energy fractions are monotone in the prefix length, end at
+    exactly 1.0 for the full dimension, and stay in (0, 1]."""
+    rows = {r.dim: r for r in
+            REGISTRY["embed_mrl_energy"].fn(spark, sf_dir).collect()}
+    assert sorted(rows) == [8, 16, 32, 64]
+    n = {r.n_vectors for r in rows.values()}
+    assert len(n) == 1  # every dim sees every vector
+    means = [rows[d].mean_energy_frac for d in (8, 16, 32, 64)]
+    assert means == sorted(means), "energy must be monotone in prefix length"
+    assert rows[64].mean_energy_frac == 1.0 and rows[64].min_energy_frac == 1.0
+    for r in rows.values():
+        assert 0.0 < r.min_energy_frac <= r.mean_energy_frac <= 1.0
