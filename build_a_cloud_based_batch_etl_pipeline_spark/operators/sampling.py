@@ -304,17 +304,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale skips the shuffle entirely (util.spread_small_input)."""
     docs = spread_small_input(t(spark, sf_dir, "documents"), "doc_id")
     is_eval = _split_bucket() < _VALID_LT
-    w = F.split("text", " ")
-    wh = F.transform(w, lambda x: F.xxhash64(x))
-    idx = seq1(F.size(w) - 4)  # empty (not [1,0]!) for docs under 5 words
-    grams = F.array_distinct(
-        F.transform(
-            idx, lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(5)])
-        )
-    )
-    dg = docs.select(
-        "doc_id", is_eval.alias("is_eval"), F.explode(grams).alias("gh")
-    )
+    dg = five_gram_rows(docs.select("doc_id", "text", is_eval.alias("is_eval")))
     train = dg.filter(~F.col("is_eval")).select(
         F.col("doc_id").alias("train_doc"), "gh"
     )
@@ -325,6 +315,25 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_5grams"))
         .filter(F.col("shared_5grams") >= 3)
     )
+
+
+def five_gram_rows(docs: DataFrame) -> DataFrame:
+    """One row per (doc, DISTINCT word-5-gram xxhash64): the
+    decontamination unit, shared by the one-shot sweep above, the
+    persisted eval-gram index (build_eval_gram_index /
+    maintain_eval_gram_index), and decontaminate_against_index — one
+    gram definition everywhere. Dedup is array_distinct INSIDE the row
+    (no distinct shuffle); extra columns on `docs` pass through."""
+    w = F.split("text", " ")
+    wh = F.transform(w, lambda x: F.xxhash64(x))
+    idx = seq1(F.size(w) - 4)  # empty (not [1,0]!) for docs under 5 words
+    grams = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(5)])
+        )
+    )
+    passthrough = [c for c in docs.columns if c != "text"]
+    return docs.select(*passthrough, F.explode(grams).alias("gh"))
 
 
 _CAP_PER_GROUP = 50
@@ -574,3 +583,114 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("m"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted eval-gram decontamination index (r6): benchmark/eval sets
+# grow over time (new benchmarks land, new eval splits are cut), and a
+# training pipeline decontaminates every CANDIDATE BATCH against all of
+# them — re-hashing the accumulated eval corpus per batch is the same
+# mistake as re-signing the dedup corpus. One append-only table,
+# `{root}/grams` (eval_doc, gh), grown by atomic epoch partitions;
+# query side joins candidate grams against it.
+# ---------------------------------------------------------------------------
+
+
+def build_eval_gram_index(
+    spark: SparkSession, eval_docs: DataFrame, index_root: str,
+    lineage: str = "batch", epoch_id: int = 0,
+) -> None:
+    """One-shot (re)build/extension of the eval-gram index from an eval
+    documents frame — one atomic epoch partition; byte-compatible with
+    the streaming maintainer."""
+    from ..sinks import commit_epoch_partition
+
+    rows = five_gram_rows(eval_docs.select("doc_id", "text")).select(
+        F.col("doc_id").alias("eval_doc"), "gh"
+    )
+    commit_epoch_partition(spark, rows, f"{index_root}/grams", lineage, epoch_id)
+
+
+def decontaminate_against_index(
+    spark: SparkSession,
+    train_docs: DataFrame,
+    index_root: str,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Contamination sweep of a candidate batch against the persisted
+    eval-gram index: (train_doc, eval_doc, shared_5grams) for every
+    pair sharing >= min_shared distinct word-5-grams — identical
+    semantics to the one-shot decontaminate_ngram_overlap (same gram
+    builder), but the eval corpus is neither re-read nor re-hashed.
+
+    Scale shape: one equi-join on the 8-byte gram hash (the stored side
+    is bucketed on gh at warehouse scale) + one pair-keyed count; the
+    candidate batch is small by definition. Eval sets are tiny relative
+    to training corpora, so the stored gram table broadcasts under AQE
+    in the common case."""
+    train = five_gram_rows(train_docs.select("doc_id", "text")).select(
+        F.col("doc_id").alias("train_doc"), "gh"
+    )
+    stored = spark.read.parquet(f"{index_root}/grams").select("eval_doc", "gh")
+    return (
+        train.join(stored, "gh")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("shared_5grams"))
+        .filter(F.col("shared_5grams") >= min_shared)
+    )
+
+
+@query(
+    "decontaminate_incremental",
+    oracle=f"""
+    WITH splits AS (
+        SELECT doc_id, text,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VALID_LT}' AS is_eval
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_eval,
+               w[CAST(i AS INT)]     || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+               w[CAST(i AS INT) + 2] || ' ' || w[CAST(i AS INT) + 3] || ' ' ||
+               w[CAST(i AS INT) + 4] AS g
+        FROM (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM splits),
+             UNNEST(range(1, len(w) - 3)) AS t(i)
+    ),
+    dg AS (SELECT DISTINCT doc_id, is_eval, g FROM grams)
+    SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+           count(*) AS shared_5grams
+    FROM dg tr JOIN dg ev ON tr.g = ev.g
+    WHERE NOT tr.is_eval AND ev.is_eval
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental decontamination end to end, ORACLED: the md5 split
+    plays time — the eval bucket was indexed earlier
+    (build_eval_gram_index into a content-fingerprint-memoized dir);
+    the training bucket arrives now and sweeps against the PERSISTED
+    index alone. Because the gram definition is exact (not a sketch),
+    the index path must reproduce the one-shot
+    decontaminate_ngram_overlap bit-for-bit — so this query runs
+    against the SAME DuckDB oracle, proving the persisted-index path
+    semantically identical to the in-memory sweep (the strongest check
+    an index query can get; contrast dedup_incremental_index, whose
+    MinHash estimate is rows-only by nature)."""
+    import tempfile
+
+    from .similarity import _table_fingerprint
+    from .util import memo_once
+    from ..sources import table_path
+
+    docs = spread_small_input(t(spark, sf_dir, "documents"), "doc_id")
+    is_eval = _split_bucket() < _VALID_LT
+    fp = _table_fingerprint(table_path(sf_dir, "documents"))
+
+    def build() -> str:
+        root = tempfile.mkdtemp(prefix="eval_gram_index_")
+        build_eval_gram_index(spark, docs.filter(is_eval), root)
+        return root
+
+    root = memo_once(spark, ("eval_gram_index", sf_dir, fp), build)
+    return decontaminate_against_index(spark, docs.filter(~is_eval), root)

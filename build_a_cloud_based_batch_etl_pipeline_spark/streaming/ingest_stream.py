@@ -598,3 +598,45 @@ def maintain_minhash_index(
         .start()
     )
     q.awaitTermination()
+
+
+def maintain_eval_gram_index(
+    spark: SparkSession,
+    docs_path: str,
+    index_root: str,
+    checkpoint_path: str,
+    docs_schema,
+) -> None:
+    """Streaming maintenance of the persisted eval-gram decontamination
+    index: as new eval/benchmark document files arrive, each
+    micro-batch's distinct word-5-gram hashes append to
+    `{index_root}/grams` as an atomic `epoch=<lineage>-<id>` partition
+    — the same commit/replay/lineage discipline as
+    maintain_minhash_index (crash between staging write and rename, a
+    replayed epoch, and a checkpoint reset are all covered by
+    sinks.commit_epoch_partition), so the accumulated eval corpus is
+    hashed exactly once and every future training batch sweeps against
+    it via operators.sampling.decontaminate_against_index."""
+    from ..operators.sampling import five_gram_rows
+    from ..sinks import commit_epoch_partition
+
+    stream = spark.readStream.schema(docs_schema).json(docs_path)
+
+    def index_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        lineage = _checkpoint_lineage(spark, checkpoint_path)
+        rows = five_gram_rows(batch.select("doc_id", "text")).select(
+            F.col("doc_id").alias("eval_doc"), "gh"
+        )
+        commit_epoch_partition(
+            spark, rows, f"{index_root}/grams", lineage, epoch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -223,3 +223,70 @@ def test_asof_nearest_composition_matches_bruteforce(spark, sources, targets):
         best = min(abs((s_ts - ts).total_seconds()) for s_ts in cands)
         tied = [s_ts for s_ts in cands if abs((s_ts - ts).total_seconds()) == best]
         assert got[tid] == min(tied), (k, ts, got[tid], tied)
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span detection vs a brute-force Python reference: small random
+# corpora over a tiny alphabet force heavy gram collisions, short docs
+# hit the under-k edge, and shared runs arise naturally.
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=26),
+    min_size=2,
+    max_size=5,
+)
+
+
+def _brute_spans(texts, k):
+    """Reference implementation: repeated grams by set arithmetic, islands
+    by linear scan."""
+    grams = {}
+    for d, words in enumerate(texts):
+        for i in range(len(words) - k + 1):
+            grams.setdefault(tuple(words[i : i + k]), set()).add(d)
+    rep = {g for g, ds in grams.items() if len(ds) >= 2}
+    out = set()
+    for d, words in enumerate(texts):
+        hit = [
+            i + 1  # 1-based
+            for i in range(len(words) - k + 1)
+            if tuple(words[i : i + k]) in rep
+        ]
+        run = []
+        for p in hit + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                out.add((d + 1, run[0], run[-1] + k - 1,
+                         run[-1] - run[0] + k, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy)
+def test_repeated_spans_matches_bruteforce(spark, docs):
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        dedup as dedup_mod,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.schemas import DOCUMENTS
+
+    k = dedup_mod._SPAN_K
+    texts = [[f"w{x}" for x in words] for words in docs]
+    sdf = spark.createDataFrame(
+        [
+            (d + 1, " ".join(words), "en", "t", len(" ".join(words)))
+            for d, words in enumerate(texts)
+        ],
+        schema=DOCUMENTS,
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in dedup_mod.repeated_spans_frame(sdf).collect()
+    }
+    assert got == _brute_spans(texts, k)

@@ -746,3 +746,56 @@ def test_asof_enrich_stream_version_boundaries_and_late_data(spark, tmp_path):
         spark, str(evdir), dim_path, out_path, ckpt, schema
     )
     assert spark.read.parquet(out_path).count() == 7
+
+
+def test_eval_gram_index_incremental_decontamination(spark, tmp_path):
+    """Eval-gram index: a second eval drop extends the index without
+    rewriting batch-1 files; a training batch overlapping either eval
+    epoch is flagged against the stored grams alone, matching the
+    decontaminate threshold semantics (>= 3 shared distinct 5-grams)."""
+    import glob
+    import os
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.sampling import (
+        decontaminate_against_index,
+    )
+
+    docsdir = tmp_path / "eval_docs"
+    docsdir.mkdir()
+    schema = "doc_id long, text string"
+    root = str(tmp_path / "eval_index")
+    ckpt = str(tmp_path / "eval_ckpt")
+
+    def drop(name, rows):
+        with open(docsdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    eval1 = " ".join(f"q{i} a{i}" for i in range(20))
+    eval2 = " ".join(f"x{i} y{i}" for i in range(20))
+    drop("e1.json", [{"doc_id": 100, "text": eval1}])
+    ingest_stream.maintain_eval_gram_index(spark, str(docsdir), root, ckpt, schema)
+    snap = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{root}/**/*", recursive=True)
+        if os.path.isfile(p)
+    }
+    drop("e2.json", [{"doc_id": 200, "text": eval2}])
+    ingest_stream.maintain_eval_gram_index(spark, str(docsdir), root, ckpt, schema)
+    for p, mt in snap.items():
+        assert os.path.getmtime(p) == mt, f"batch-1 index file rewritten: {p}"
+    assert len(glob.glob(f"{root}/grams/epoch=*")) == 2
+
+    # training batch: doc 1 lifts 10 tokens straight from eval1 (>= 3
+    # shared 5-grams), doc 2 lifts from eval2, doc 3 is clean
+    lifted1 = " ".join(f"q{i} a{i}" for i in range(5, 10))
+    lifted2 = " ".join(f"x{i} y{i}" for i in range(3, 8))
+    clean = " ".join(f"z{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [(1, f"{clean} {lifted1}"), (2, f"{lifted2} {clean}"), (3, clean)],
+        schema,
+    )
+    hits = decontaminate_against_index(spark, train, root).collect()
+    got = {(r.train_doc, r.eval_doc) for r in hits}
+    assert got == {(1, 100), (2, 200)}, got
+    assert all(r.shared_5grams >= 3 for r in hits)
