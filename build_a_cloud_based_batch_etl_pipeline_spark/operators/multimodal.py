@@ -304,20 +304,16 @@ def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": pd.Series(out, dtype="int64")})
 
 
-def phash_pairs(bin_df: DataFrame, cache_key: tuple | None = None) -> DataFrame:
-    """(doc_id, payload) -> near-duplicate (doc_a, doc_b, hamming) pairs
-    by perceptual hash: decode/resize -> aHash -> 4x16-bit banded
-    candidate join (pigeonhole: hamming <= 3 GUARANTEES a shared chunk;
-    up to the hamming-6 threshold recall stays high as flipped
-    bits rarely spread across all 4 chunks) -> exact bit_count(xor)
-    verification on candidates only. Same scale shape as dedup_simhash:
-    fingerprints are a projection, the only shuffles are the 4-rows/doc
-    band join (occupancy-capped) and the candidate verify."""
-    spark = bin_df.sparkSession
+def phash_chunk_rows(bin_df: DataFrame) -> DataFrame:
+    """(doc_id, phash, chunk, ch): perceptual fingerprint + its 4x16-bit
+    band rows — the unit shared by the one-shot pair sweep
+    (phash_pairs) and the persisted image-dedup index
+    (build_phash_index / multimodal_dedup_against_index), so bucket
+    geometry cannot drift between them."""
     fp = bin_df.mapInPandas(resize_batch, THUMB_SCHEMA).select(
         "doc_id", "thumb"
     ).mapInPandas(phash_batch, PHASH_SCHEMA)
-    chunks = fp.select(
+    return fp.select(
         "doc_id",
         "phash",
         F.explode(
@@ -334,6 +330,19 @@ def phash_pairs(bin_df: DataFrame, cache_key: tuple | None = None) -> DataFrame:
             )
         ).alias("x"),
     ).select("doc_id", "phash", "x.chunk", "x.ch")
+
+
+def phash_pairs(bin_df: DataFrame, cache_key: tuple | None = None) -> DataFrame:
+    """(doc_id, payload) -> near-duplicate (doc_a, doc_b, hamming) pairs
+    by perceptual hash: decode/resize -> aHash -> 4x16-bit banded
+    candidate join (pigeonhole: hamming <= 3 GUARANTEES a shared chunk;
+    up to the hamming-6 threshold recall stays high as flipped
+    bits rarely spread across all 4 chunks) -> exact bit_count(xor)
+    verification on candidates only. Same scale shape as dedup_simhash:
+    fingerprints are a projection, the only shuffles are the 4-rows/doc
+    band join (occupancy-capped) and the candidate verify."""
+    spark = bin_df.sparkSession
+    chunks = phash_chunk_rows(bin_df)
     if cache_key is not None:
         chunks = cache_once(spark, cache_key, lambda: chunks)
     else:
@@ -371,3 +380,94 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     bin_df = with_binary_payload(docs).select("doc_id", "payload")
     return phash_pairs(bin_df, cache_key=("phash_chunks", sf_dir))
+
+
+def build_phash_index(
+    spark: SparkSession, bin_df: DataFrame, index_root: str,
+    lineage: str = "batch", epoch_id: int = 0,
+) -> None:
+    """(Re)build/extend the persisted image-dedup index from a
+    (doc_id, payload) frame: one `{root}/phash` table of
+    (doc_id, phash, chunk, ch) rows — 36 bytes/image of state — grown
+    by atomic epoch partitions (sinks.commit_epoch_partition; same
+    commit/replay/lineage discipline as the MinHash and eval-gram
+    indexes). Fingerprints are computed once at index time; a new crawl
+    batch never re-decodes the accumulated corpus."""
+    from ..sinks import commit_epoch_partition
+
+    commit_epoch_partition(
+        spark, phash_chunk_rows(bin_df), f"{index_root}/phash",
+        lineage, epoch_id,
+    )
+
+
+def multimodal_dedup_against_index(
+    spark: SparkSession,
+    new_bin_df: DataFrame,
+    index_root: str,
+    max_hamming: int = _PHASH_HAMMING,
+) -> DataFrame:
+    """Image near-dup hits of a NEW batch against the persisted phash
+    index: (new_doc, index_doc, hamming) for stored images within the
+    hamming threshold of a batch image. The batch side decodes + hashes
+    only itself; candidates come from the 4x16-bit chunk equi-join
+    against the stored table (bucketed on (chunk, ch) at warehouse
+    scale) and are verified exactly with bit_count(xor) on the stored
+    fingerprints — the corpus' bytes are never re-read."""
+    new_rows = phash_chunk_rows(new_bin_df)
+    stored = spark.read.parquet(f"{index_root}/phash").select(
+        "doc_id", "phash", "chunk", "ch"
+    )
+    cand = (
+        new_rows.alias("n")
+        .join(stored.alias("s"), ["chunk", "ch"])
+        .filter(F.col("n.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("s.doc_id").alias("index_doc"),
+            F.col("n.phash").alias("ph_n"),
+            F.col("s.phash").alias("ph_s"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_n").bitwiseXOR(F.col("ph_s")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_doc", "index_doc", "hamming")
+    )
+
+
+@query("multimodal_dedup_incremental")
+def multimodal_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image dedup end to end (rows-only: the decode UDF is
+    not SQL-expressible; planted-payload recall pinned in
+    tests/test_multimodal.py): the md5 split plays time — the corpus
+    bucket's payloads were fingerprinted and indexed earlier
+    (content-fingerprint-memoized build), the batch bucket arrives now
+    and sweeps against the stored fingerprints alone. Completes the
+    persisted-index family across modalities: text shingles
+    (dedup_incremental_index), eval grams (decontaminate_incremental),
+    and images here — one commit discipline, three artifact kinds."""
+    import tempfile
+
+    from .sampling import _TEST_LT, _split_bucket
+    from .similarity import _table_fingerprint
+    from .util import memo_once
+    from ..sources import table_path
+
+    docs = t(spark, sf_dir, "documents")
+    is_new = _split_bucket() < _TEST_LT
+    fp = _table_fingerprint(table_path(sf_dir, "documents"))
+
+    def build() -> str:
+        root = tempfile.mkdtemp(prefix="phash_index_")
+        corpus = with_binary_payload(docs.filter(~is_new)).select(
+            "doc_id", "payload"
+        )
+        build_phash_index(spark, corpus, root)
+        return root
+
+    root = memo_once(spark, ("phash_index", sf_dir, fp), build)
+    batch = with_binary_payload(docs.filter(is_new)).select("doc_id", "payload")
+    return multimodal_dedup_against_index(spark, batch, root)

@@ -140,3 +140,58 @@ def test_phash_batch_is_deterministic_and_bounded(spark, sf_dir):
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
     for r in out1:
         assert 0 <= r.hamming <= 6
+
+
+def test_phash_index_incremental_dedup_planted(spark, tmp_path):
+    """Persisted phash index: a batch payload byte-identical to an
+    indexed one hits at hamming 0 using ONLY stored fingerprints; an
+    unrelated batch payload yields nothing; extending the index with a
+    second epoch leaves epoch-1 files untouched."""
+    import glob
+    import os
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " * 40),
+            (2, "zz qq ww ee rr tt yy uu ii oo pp " * 31),
+        ],
+        "doc_id: long, text: string",
+    )
+    root = str(tmp_path / "phash_idx")
+    multimodal.build_phash_index(
+        spark,
+        multimodal.with_binary_payload(corpus).select("doc_id", "payload"),
+        root,
+    )
+    snap = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{root}/**/*", recursive=True)
+        if os.path.isfile(p)
+    }
+
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta " * 40),  # identical to corpus 1
+            (11, "totally different content with other bytes " * 23),
+        ],
+        "doc_id: long, text: string",
+    )
+    hits = multimodal.multimodal_dedup_against_index(
+        spark,
+        multimodal.with_binary_payload(batch).select("doc_id", "payload"),
+        root,
+    ).collect()
+    got = {(r.new_doc, r.index_doc): r.hamming for r in hits}
+    assert got.get((10, 1)) == 0, got
+    assert all(nd != 11 for nd, _ in got), "unrelated payload must not hit"
+
+    # second epoch extends without rewriting epoch-1 files
+    multimodal.build_phash_index(
+        spark,
+        multimodal.with_binary_payload(batch).select("doc_id", "payload"),
+        root,
+        epoch_id=1,
+    )
+    for p, mt in snap.items():
+        assert os.path.getmtime(p) == mt, f"epoch-1 file rewritten: {p}"
+    assert len(glob.glob(f"{root}/phash/epoch=*")) == 2
