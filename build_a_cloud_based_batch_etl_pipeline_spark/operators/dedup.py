@@ -1041,3 +1041,44 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform("kept", lambda i: F.element_at(F.col("w"), i))
         ).alias("clean_text"),
     )
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=_CLUSTERS_ORACLE.replace(
+        """    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM labels""",
+        """    , sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM labels GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT)      AS cluster_size,
+           CAST(count(*) AS BIGINT)          AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size""",
+    ),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup observability
+    report (how much of the corpus is singletons vs small clusters vs
+    mass-duplicated blobs, and how many documents a keep-one-per-cluster
+    pass would drop): one row per cluster size with the cluster count
+    and total documents at that size. Derived from the same component
+    labels as dedup_clusters (shared min-label propagation + cached
+    edge set), aggregated twice: label -> size, size -> histogram.
+    Oracled via the same recursive-CTE ground truth.
+
+    Scale shape: two shuffles past the cluster labeling (cluster_id
+    count, size histogram), both map-side combined; output is bounded
+    by the number of DISTINCT cluster sizes — dozens of rows at any
+    corpus scale."""
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

@@ -478,3 +478,18 @@ def test_remove_spans_planted_fixture(spark, monkeypatch):
     assert got[2].n_tokens == 65 and got[2].n_removed == 20
     assert got[2].clean_text == f"{pre2} {post2}"
     assert got[3].n_removed == 0 and got[3].clean_text == doc3
+
+
+def test_cluster_stats_partitions_corpus(spark, sf_dir):
+    """The size histogram must exactly cover the corpus: sum(n_docs) ==
+    |documents|, n_docs == cluster_size * n_clusters per row, and the
+    singleton row dominates a mostly-unique fixture."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+    rows = load_all()["dedup_cluster_stats"].fn(spark, sf_dir).collect()
+    n_docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    by_size = {r.cluster_size: r.n_docs for r in rows}
+    assert by_size.get(1, 0) > n_docs_total * 0.5
