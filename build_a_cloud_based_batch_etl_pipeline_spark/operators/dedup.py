@@ -873,7 +873,10 @@ def dedup_against_index(
     the per-component signature agreement fraction, the standard
     unbiased MinHash estimator). Self-pairs (a doc already indexed
     deduping against its own entry on replay/overlap) are dropped by
-    doc_id inequality.
+    doc_id inequality — which assumes doc_ids are globally unique
+    across the corpus and every batch (the crawl-pipeline norm); an id
+    REUSED for different content would silently suppress its own true
+    matches.
 
     Scale shape: two keyed shuffles against the index (band join on
     (band, bh), signature join on doc_id); the batch side is small by

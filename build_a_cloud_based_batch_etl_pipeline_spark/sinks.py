@@ -257,7 +257,11 @@ def commit_epoch_partition(
     DIFFERENT lineage means the checkpoint was reset while the table
     was kept — a fresh stream would re-index every document under new
     partition names (duplicate rows, corrupt index), so it raises
-    instead."""
+    instead. That also means a batch-built index (the build_* helpers
+    default lineage='batch') cannot be silently extended by a stream:
+    initialize a stream-maintained index FROM the stream, or pass the
+    stream's lineage to the batch builder — the mixed case should be a
+    deliberate choice, not an accident."""
     part = f"epoch={lineage}-{int(epoch_id)}"
     jvm = spark._jvm
     fs_conf = spark._jsc.hadoopConfiguration()
@@ -279,12 +283,16 @@ def commit_epoch_partition(
                     "rows). Reset table and checkpoint together."
                 )
     ppath = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{part}")
-    if fs.exists(ppath):
-        return False  # replayed epoch: already committed atomically
     staging = f"{table_path}/.{part}.staging"
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(ppath):
+        # replayed epoch: already committed atomically. Sweep the
+        # staging dir a crash-between-write-and-rename may have left —
+        # invisible to readers (dot-prefixed) but permanent litter
+        # otherwise, since no later attempt rewrites this epoch.
+        if fs.exists(spath):
+            _must(fs.delete(spath, True), f"sweep stale staging {staging}")
+        return False
     df.write.mode("overwrite").parquet(staging)
-    _must(
-        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), ppath),
-        f"commit epoch partition {part}",
-    )
+    _must(fs.rename(spath, ppath), f"commit epoch partition {part}")
     return True

@@ -316,3 +316,45 @@ def test_read_parquet_evolving_normalizes_generations(spark, tmp_path):
         2: ("b", 0.5, None),
         3: ("c", 0.9, "en"),
     }
+
+
+def test_commit_epoch_partition_protocol(spark, tmp_path):
+    """Atomic epoch-partition append: commit -> True, replay -> False
+    with no data change; a stale staging dir from a crash between the
+    staging write and the rename is swept on the replay skip; a
+    different lineage raises loudly."""
+    import glob
+    import os
+
+    import pytest
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import sinks
+
+    table = str(tmp_path / "epochs")
+    df = spark.range(5).withColumnRenamed("id", "v")
+    assert sinks.commit_epoch_partition(spark, df, table, "lin1", 0) is True
+    assert spark.read.parquet(table).count() == 5
+    # replay: skip, no duplicate rows
+    assert sinks.commit_epoch_partition(spark, df, table, "lin1", 0) is False
+    assert spark.read.parquet(table).count() == 5
+    # crash artifact: stale staging next to the committed partition is
+    # swept by the replay skip
+    stale = f"{table}/.epoch=lin1-0.staging"
+    os.makedirs(stale, exist_ok=True)
+    with open(f"{stale}/part-junk", "w") as f:
+        f.write("x")
+    assert sinks.commit_epoch_partition(spark, df, table, "lin1", 0) is False
+    assert not os.path.exists(stale), "stale staging must be swept"
+    # second epoch appends; first epoch's files untouched
+    snap = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{table}/**/*", recursive=True)
+        if os.path.isfile(p)
+    }
+    assert sinks.commit_epoch_partition(spark, df, table, "lin1", 1) is True
+    assert spark.read.parquet(table).count() == 10
+    for p, mt in snap.items():
+        assert os.path.getmtime(p) == mt
+    # lineage mismatch is loud
+    with pytest.raises(RuntimeError, match="lineage"):
+        sinks.commit_epoch_partition(spark, df, table, "lin2", 0)
