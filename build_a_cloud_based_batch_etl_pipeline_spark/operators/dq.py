@@ -1,0 +1,263 @@
+"""Data-quality & table-management operators: expectation-suite
+validation reports and snapshot diffing (CDC between table versions).
+
+These are the observability/ops queries every production lakehouse runs
+around the load path the reference automates (`src/load/main.py` trusts
+BigQuery's load-job schema check and nothing else — SURVEY.md §3.2); a
+native engine owns validation itself.
+
+Scale notes: expectation rules are single-pass conditional aggregations
+(map-side combined; one job per table, not per rule), FK rules are
+key-projected anti-joins (shuffle carries only the key column), and the
+snapshot diff is one full-outer sort-merge join on the snapshot key —
+with both snapshots bucketed on that key (sinks.write_bucketed), the
+100 TB plan is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from .util import r4, t
+
+# ---------------------------------------------------------------------------
+# dq_expectations — rule-suite validation report
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH li AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS quantity_range,
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS discount_range,
+           CAST(sum(CASE WHEN l_extendedprice <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS price_positive,
+           CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS returnflag_domain
+    FROM lineitem
+), ord AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS status_domain,
+           CAST(sum(CASE WHEN o_totalprice <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS totalprice_positive,
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                          OR o_orderdate >= TIMESTAMP '1999-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT)      AS orderdate_bounds,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_unique
+    FROM orders
+), fk_cust AS (
+    SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS failed
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), fk_ord AS (
+    SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS failed
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+), rules AS (
+    SELECT 'lineitem.quantity_range' AS rule, n, quantity_range AS n_failed FROM li
+    UNION ALL SELECT 'lineitem.discount_range', n, discount_range FROM li
+    UNION ALL SELECT 'lineitem.price_positive', n, price_positive FROM li
+    UNION ALL SELECT 'lineitem.returnflag_domain', n, returnflag_domain FROM li
+    UNION ALL SELECT 'orders.status_domain', n, status_domain FROM ord
+    UNION ALL SELECT 'orders.totalprice_positive', n, totalprice_positive FROM ord
+    UNION ALL SELECT 'orders.orderdate_bounds', n, orderdate_bounds FROM ord
+    UNION ALL SELECT 'orders.pk_unique', n, pk_unique FROM ord
+    UNION ALL SELECT 'orders.fk_custkey', n, failed FROM fk_cust
+    UNION ALL SELECT 'lineitem.fk_orderkey', n, failed FROM fk_ord
+)
+SELECT rule,
+       CAST(n AS BIGINT)        AS n_checked,
+       CAST(n_failed AS BIGINT) AS n_failed,
+       round(n_failed * 1.0 / NULLIF(n, 0), 4) AS fail_rate
+FROM rules
+"""
+
+
+def _rule_rows(agged: DataFrame, table: str, n_col: str, rules: list[str]) -> DataFrame:
+    """Unpivot one table's single-pass rule counts into (rule, n, failed)."""
+    stack = ", ".join(f"'{table}.{r}', {r}" for r in rules)
+    return agged.selectExpr(
+        f"stack({len(rules)}, {stack}) as (rule, n_failed)", f"{n_col} as n"
+    ).select("rule", "n", "n_failed")
+
+
+@query("dq_expectations", oracle=_DQ_ORACLE)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite validation report: one row per data-quality rule
+    with checked/failed counts and the failure rate. Covers range rules,
+    domain (accepted-values) rules, a primary-key uniqueness rule, and
+    two referential-integrity (foreign-key) rules.
+
+    The load side of the reference (src/load/main.py:34-60) delegates all
+    validation to BigQuery's load job; this is the native-engine
+    equivalent a pipeline runs before promoting a landed batch.
+
+    Scale shape: ONE conditional-aggregation pass per table (all range +
+    domain + uniqueness rules share it, map-side combined), plus one
+    key-projected left-anti join per FK rule; output is bounded by the
+    rule count. No per-rule table scans."""
+    li = t(spark, sf_dir, "lineitem")
+    ord_ = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("quantity_range"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("discount_range"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias("price_positive"),
+        F.sum((~F.col("l_returnflag").isin("A", "N", "R")).cast("long")).alias(
+            "returnflag_domain"
+        ),
+    )
+    ord_agg = ord_.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
+            "status_domain"
+        ),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("totalprice_positive"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("orderdate_bounds"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("pk_unique"),
+    )
+
+    li_rules = _rule_rows(
+        li_agg,
+        "lineitem",
+        "n",
+        ["quantity_range", "discount_range", "price_positive", "returnflag_domain"],
+    )
+    ord_rules = _rule_rows(
+        ord_agg,
+        "orders",
+        "n",
+        ["status_domain", "totalprice_positive", "orderdate_bounds", "pk_unique"],
+    )
+
+    # FK rules: key-projected anti-joins; the shuffle payload is one
+    # BIGINT column per side.
+    fk_cust = (
+        ord_.select("o_custkey")
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_failed"))
+        .crossJoin(ord_.agg(F.count(F.lit(1)).alias("n")))
+        .select(F.lit("orders.fk_custkey").alias("rule"), "n", "n_failed")
+    )
+    fk_ord = (
+        li.select("l_orderkey")
+        .join(
+            ord_.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_failed"))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n")))
+        .select(F.lit("lineitem.fk_orderkey").alias("rule"), "n", "n_failed")
+    )
+
+    report = li_rules.unionByName(ord_rules).unionByName(fk_cust).unionByName(fk_ord)
+    return report.select(
+        "rule",
+        F.col("n").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        r4(F.col("n_failed") / F.nullif(F.col("n"), F.lit(0))).alias("fail_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — CDC between two table versions
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH old_snap AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 7
+), new_snap AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 250.0
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 9 THEN '1-URGENT'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 3
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS order_key,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       round(o.o_totalprice, 2)  AS old_price,
+       round(n.o_totalprice, 2)  AS new_price,
+       o.o_orderpriority         AS old_priority,
+       n.o_orderpriority         AS new_priority
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+"""
+
+
+@query("snapshot_diff", oracle=_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (table CDC): compare two versions of a table and
+    emit only the delta rows, classified added / removed / changed with
+    the before/after values of the compared columns.
+
+    The two versions are derived deterministically from `orders` so the
+    query is self-contained on the fixtures: the old snapshot is missing
+    keys ending in 7 (they become `added`), the new snapshot drops keys
+    ending in 3 (`removed`), re-prices keys ending in 5 and re-prioritises
+    keys ending in 9 (`changed`); everything else is unchanged and is NOT
+    emitted — the output is bounded by the delta size, not the table.
+
+    Scale shape: one full-outer join keyed on the snapshot PK. Both
+    sides project only the key + compared columns before the join, and
+    with snapshots maintained as bucketed managed tables
+    (sinks.write_bucketed on the PK) the sort-merge join needs no
+    shuffle at any scale. Column comparison is null-safe (`<=>`), so
+    NULL→value and value→NULL edits are detected."""
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old_snap = base.filter(F.col("o_orderkey") % 10 != 7)
+    new_snap = base.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 5, F.col("o_totalprice") + 250.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 10 == 9, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+
+    o = old_snap.alias("o")
+    n = new_snap.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    delta = joined.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | ~(F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice")))
+        | ~(F.col("o.o_orderpriority").eqNullSafe(F.col("n.o_orderpriority")))
+    )
+    return delta.select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("order_key"),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        F.round(F.col("o.o_totalprice"), 2).alias("old_price"),
+        F.round(F.col("n.o_totalprice"), 2).alias("new_price"),
+        F.col("o.o_orderpriority").alias("old_priority"),
+        F.col("n.o_orderpriority").alias("new_priority"),
+    )

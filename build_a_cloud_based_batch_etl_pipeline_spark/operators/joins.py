@@ -561,3 +561,115 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH base AS (
+    SELECT l_orderkey * 10 + l_linenumber AS iv_id,
+           l_partkey, l_suppkey,
+           l_shipdate AS iv_start,
+           l_shipdate + (CAST(l_quantity AS INT) % 14 + 1) * INTERVAL 1 DAY
+               AS iv_end
+    FROM lineitem
+), lft AS (
+    SELECT * FROM base WHERE l_suppkey % 25 = 1
+), rgt AS (
+    SELECT * FROM base WHERE l_suppkey % 25 = 2
+)
+SELECT lft.l_partkey                AS part_key,
+       lft.iv_id                    AS left_id,
+       rgt.iv_id                    AS right_id,
+       CAST(date_diff('day', greatest(lft.iv_start, rgt.iv_start),
+                      least(lft.iv_end, rgt.iv_end)) + 1 AS BIGINT)
+           AS overlap_days
+FROM lft JOIN rgt
+  ON lft.l_partkey = rgt.l_partkey
+ AND lft.iv_start <= rgt.iv_end
+ AND rgt.iv_start <= lft.iv_end
+"""
+
+# ~30-day buckets: intervals here are at most 15 days long, so each
+# interval covers at most 2 buckets — the explode fan-out is <= 2x.
+_IV_BUCKET_DAYS = 30
+
+
+@query("join_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join between two large interval sets: pair up
+    shipment windows of two supplier cohorts that overlap in time ON THE
+    SAME PART (detecting concurrent multi-supplier shipments). Intervals
+    are [l_shipdate, l_shipdate + (l_quantity % 14 + 1) days], derived
+    deterministically from the fixture.
+
+    100 TB-safe pattern (both sides big, so neither broadcasts and a raw
+    theta predicate would plan a BNLJ): quantize time into fixed-width
+    buckets, explode each interval to the buckets it covers (<= 2 here
+    because bucket width >= max interval length), equi-join on
+    (part_key, bucket) — a plain shuffled hash join — then apply the
+    exact overlap predicate and dropDuplicates the (left,right) pairs
+    that met in two buckets. The co-key (part_key) bounds per-bucket
+    occupancy, and bucket width is the knob trading fan-out against
+    bucket occupancy.
+    """
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iv_id"),
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_shipdate").alias("iv_start"),
+            F.expr(
+                "l_shipdate + make_dt_interval(cast(l_quantity as int) % 14 + 1, 0, 0, 0)"
+            ).alias("iv_end"),
+        )
+        .withColumn("start_day", F.floor(F.unix_timestamp("iv_start") / 86400))
+        .withColumn("end_day", F.floor(F.unix_timestamp("iv_end") / 86400))
+    )
+
+    def side(mod: int, prefix: str) -> DataFrame:
+        return (
+            base.filter(F.col("l_suppkey") % 25 == mod)
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("start_day") / _IV_BUCKET_DAYS),
+                        F.floor(F.col("end_day") / _IV_BUCKET_DAYS),
+                    )
+                ),
+            )
+            .select(
+                F.col("iv_id").alias(f"{prefix}_id"),
+                F.col("l_partkey").alias(f"{prefix}_part"),
+                F.col("iv_start").alias(f"{prefix}_start"),
+                F.col("iv_end").alias(f"{prefix}_end"),
+                "bucket",
+            )
+        )
+
+    lft = side(1, "l")
+    rgt = side(2, "r")
+    pairs = (
+        lft.join(
+            rgt,
+            (F.col("l_part") == F.col("r_part"))
+            & (lft.bucket == rgt.bucket)
+            & (F.col("l_start") <= F.col("r_end"))
+            & (F.col("r_start") <= F.col("l_end")),
+        )
+        # an overlapping pair can meet in both buckets it straddles
+        .dropDuplicates(["l_id", "r_id"])
+    )
+    return pairs.select(
+        F.col("l_part").alias("part_key"),
+        F.col("l_id").alias("left_id"),
+        F.col("r_id").alias("right_id"),
+        (
+            F.datediff(
+                F.least("l_end", "r_end"), F.greatest("l_start", "r_start")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )

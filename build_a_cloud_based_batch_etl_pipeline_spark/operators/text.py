@@ -1300,3 +1300,157 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_pct"),
         )
     )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY term, doc_id
+    ),
+    stats AS (
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS doc_freq,
+               CAST(sum(tf) AS BIGINT)  AS coll_freq
+        FROM tf GROUP BY term
+    ),
+    top AS (
+        SELECT term, doc_id AS top_doc_id, CAST(tf AS BIGINT) AS top_tf,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rn
+        FROM tf
+    )
+    SELECT stats.term AS term, doc_freq, coll_freq, top_doc_id, top_tf
+    FROM stats JOIN top ON stats.term = top.term
+    WHERE top.rn = 1
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary build: one row per vocabulary term with
+    its document frequency, collection frequency, and the top-scoring
+    posting (the document with the highest term frequency, doc_id as the
+    deterministic tie-break) — the dictionary side of a search index,
+    and the stats feeding BM25-style scoring.
+
+    Scale shape: one (term, doc) shuffle for tf (map-side combined over
+    each document's repeated terms), then a term-keyed aggregation and a
+    term-partitioned row_number that reuse the same hash partitioning —
+    AQE plans one exchange for the three. Output is bounded by
+    vocabulary size, not corpus size."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("coll_freq"),
+    )
+    w = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    top = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("term", F.col("doc_id").alias("top_doc_id"), F.col("tf").alias("top_tf"))
+    )
+    return stats.join(top, "term").select(
+        "term",
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("coll_freq").cast("long").alias("coll_freq"),
+        "top_doc_id",
+        F.col("top_tf").cast("long").alias("top_tf"),
+    )
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1]
+               )) AS bigram
+        FROM ws WHERE len(w) >= 2
+    ),
+    phrase AS (
+        SELECT bigram AS phrase,
+               string_split(bigram, ' ')[1] AS t1,
+               string_split(bigram, ' ')[2] AS t2
+        FROM (SELECT bigram, count(*) AS c FROM grams GROUP BY bigram
+              ORDER BY c DESC, bigram LIMIT 1)
+    )
+    SELECT doc_id, phrase, n_matches FROM (
+        SELECT ws.doc_id, phrase.phrase,
+               CAST(len(list_filter(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] = phrase.t1 AND w[i + 1] = phrase.t2
+               )) AS BIGINT) AS n_matches
+        FROM ws CROSS JOIN phrase
+    ) hits WHERE n_matches > 0
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search through an inverted index: find every
+    document containing the corpus's most frequent bigram (deterministic
+    query phrase: highest count, lexicographic tie-break) and count its
+    occurrences per document. This is the adjacency-join plan a search
+    engine runs over positional posting lists: fetch the postings of the
+    two phrase terms, join on (doc, position+1).
+
+    Scale shape: the phrase is a 1-row aggregate broadcast onto the
+    postings scan (no driver collect); postings are FILTERED to the two
+    phrase terms before the positional self-join, so the join touches
+    only matching postings — selectivity does the work, exactly as a
+    posting-list intersection would. One (doc, term) explode feeds both
+    sides; the final per-doc count is map-side combined."""
+    docs = t(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = (
+        ws.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    phrase = (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "bigram")
+        .limit(1)
+        .select(
+            F.col("bigram").alias("phrase"),
+            F.element_at(F.split("bigram", " "), 1).alias("t1"),
+            F.element_at(F.split("bigram", " "), 2).alias("t2"),
+        )
+    )
+    posts = ws.select(
+        "doc_id", F.posexplode("w").alias("pos", "term")
+    ).filter(F.length("term") > 0)
+    ph = F.broadcast(phrase)
+    p1 = posts.join(ph, posts.term == ph.t1).select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("pos1"), "phrase"
+    )
+    p2 = posts.join(ph, posts.term == ph.t2).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2")
+    )
+    hits = p1.join(
+        p2, (F.col("d1") == F.col("d2")) & (F.col("pos2") == F.col("pos1") + 1)
+    )
+    return (
+        hits.groupBy(F.col("d1").alias("doc_id"), "phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )

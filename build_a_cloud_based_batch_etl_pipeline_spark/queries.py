@@ -104,6 +104,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         aggregates,
         dedup,
+        dq,
         similarity,
         text,
         multimodal,
