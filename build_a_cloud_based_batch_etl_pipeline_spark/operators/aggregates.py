@@ -535,3 +535,154 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("c_acctbal")).alias("bucket_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (t-digest-style equal-weight centroids)
+# ---------------------------------------------------------------------------
+
+_TD_K = 128  # centroids kept per digest (rank error ~ 1/(2K) per level)
+_TD_SALTS = 16  # partial digests per group (stands in for per-partition partials)
+
+
+def td_compress(means, weights, k: int = _TD_K):
+    """Compress weighted centroids to <= k equal-weight bins.
+
+    Deterministic: centroids are lexsorted by (mean, weight), then binned
+    by pre-centroid cumulative weight so every input order yields the same
+    output. Returns (means, weights) lists sorted by mean."""
+    import numpy as np
+
+    m = np.asarray(means, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.int64)
+    order = np.lexsort((w, m))
+    m, w = m[order], w[order]
+    if len(m) <= k:
+        return m.tolist(), w.tolist()
+    total = int(w.sum())
+    cum_before = np.concatenate(([0], np.cumsum(w)[:-1]))
+    bins = np.minimum((cum_before * k) // total, k - 1)
+    out_m: list[float] = []
+    out_w: list[int] = []
+    for b in np.unique(bins):
+        sel = bins == b
+        ws = w[sel]
+        tw = int(ws.sum())
+        out_m.append(float((m[sel] * ws).sum() / tw))
+        out_w.append(tw)
+    return out_m, out_w
+
+
+def td_quantile(means, weights, q: float) -> float:
+    """Quantile estimate from a digest: midpoint-rule interpolation over
+    centroid cumulative weights (each centroid's mass centered at its
+    cumulative midpoint)."""
+    import numpy as np
+
+    m = np.asarray(means, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    cum = np.cumsum(w) - w / 2.0
+    return float(np.interp(q * w.sum(), cum, m))
+
+
+_TD_SCHEMA = "event_type string, means array<double>, weights array<bigint>"
+
+
+def _td_build(pdf):
+    import numpy as np
+    import pandas as pd
+
+    ms, ws = td_compress(
+        pdf["v"].to_numpy(dtype=float), np.ones(len(pdf), dtype=np.int64)
+    )
+    return pd.DataFrame(
+        {"event_type": [pdf["event_type"].iloc[0]], "means": [ms], "weights": [ws]}
+    )
+
+
+def _td_merge(pdf):
+    import numpy as np
+    import pandas as pd
+
+    ms = np.concatenate([np.asarray(x, dtype=float) for x in pdf["means"]])
+    ws = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["weights"]])
+    mm, mw = td_compress(ms, ws)
+    return pd.DataFrame(
+        {"event_type": [pdf["event_type"].iloc[0]], "means": [mm], "weights": [mw]}
+    )
+
+
+def tdigest_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level digest build over events.value: salted partial digests
+    (groupBy(event_type, salt).applyInPandas — the salt stands in for
+    per-partition partials so no single task ever sees a whole group),
+    then a per-group merge plus a merged-of-merges '__all__' digest.
+    Digest columns are (means, weights) arrays — storable, mergeable."""
+    events = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.pmod(F.xxhash64("event_id"), F.lit(_TD_SALTS)).alias("salt"),
+    )
+    partials = events.groupBy("event_type", "salt").applyInPandas(
+        _td_build, _TD_SCHEMA
+    )
+    merged = partials.groupBy("event_type").applyInPandas(_td_merge, _TD_SCHEMA)
+    alldig = (
+        partials.withColumn("event_type", F.lit("__all__"))
+        .groupBy("event_type")
+        .applyInPandas(_td_merge, _TD_SCHEMA)
+    )
+    return merged.unionByName(alldig)
+
+
+@query("sketch_tdigest_quantiles")
+def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (t-digest-style equal-weight centroid
+    digest, K=128): per-event-type p50/p90/p99 of events.value, plus an
+    '__all__' row computed by MERGING the per-group partial digests —
+    never re-reading raw rows. Completes the mergeable-sketch family
+    (HLL distinct counts, count-min heavy hitters, t-digest quantiles):
+    store per-partition/day digest columns once, roll up to any coarser
+    grain in O(centroids).
+
+    Rows-only: centroid compression is engine-specific by construction
+    (no SQL oracle can reproduce the sketch state);
+    tests/test_operators.py pins determinism, <=1.5%-rank accuracy vs
+    exact percentiles, and merge-path consistency ('__all__' vs a
+    direct digest of all values).
+
+    Scale shape: raw values cross the wire once, pre-compressed to
+    <=K centroids per (group, salt) by an Arrow-batched grouped-map;
+    every later stage moves only digests (KB per group). Reference has
+    no sketch surface (BigQuery delegation, src/load/main.py:40 —
+    APPROX_QUANTILES is the delegated analogue)."""
+    digests = tdigest_digests(spark, sf_dir)
+
+    def _quants(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"],
+                    "p50": [
+                        td_quantile(m, w, 0.50)
+                        for m, w in zip(pdf["means"], pdf["weights"])
+                    ],
+                    "p90": [
+                        td_quantile(m, w, 0.90)
+                        for m, w in zip(pdf["means"], pdf["weights"])
+                    ],
+                    "p99": [
+                        td_quantile(m, w, 0.99)
+                        for m, w in zip(pdf["means"], pdf["weights"])
+                    ],
+                }
+            )
+
+    out = digests.mapInPandas(
+        _quants, "event_type string, p50 double, p90 double, p99 double"
+    )
+    return out.select(
+        "event_type", r4("p50").alias("p50"), r4("p90").alias("p90"), r4("p99").alias("p99")
+    )

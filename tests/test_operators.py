@@ -159,3 +159,69 @@ def test_percentile_approx_accuracy(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5).alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) <= 0.02 * abs(row.exact)
+
+
+def test_tdigest_determinism_accuracy_and_merge_path(spark, sf_dir):
+    """The t-digest query must be (a) deterministic across runs, (b)
+    within ~1.5% RANK error of the exact percentiles (compare the
+    estimate against the exact values at q +/- 1.5% rank — a value
+    tolerance would be meaningless on a skewed distribution), and (c)
+    merge-path consistent: the '__all__' digest (merged from salted
+    per-group partials) stays inside the same rank window around the
+    exact global percentiles."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+    fn = load_all()["sketch_tdigest_quantiles"].fn
+    rows1 = {r.event_type: (r.p50, r.p90, r.p99) for r in fn(spark, sf_dir).collect()}
+    rows2 = {r.event_type: (r.p50, r.p90, r.p99) for r in fn(spark, sf_dir).collect()}
+    assert rows1 == rows2, "digest build is nondeterministic"
+    assert "__all__" in rows1 and len(rows1) >= 3
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vals = np.array([r.value for r in ev.select("value").collect()], dtype=float)
+    for i, q in enumerate((0.50, 0.90, 0.99)):
+        est = rows1["__all__"][i]
+        lo = np.quantile(vals, max(q - 0.015, 0.0))
+        hi = np.quantile(vals, min(q + 0.015, 1.0))
+        assert lo - 1e-9 <= est <= hi + 1e-9, (q, est, lo, hi)
+    # per-group accuracy on the largest group
+    gtype = (
+        ev.groupBy("event_type").count().orderBy(F.col("count").desc()).first().event_type
+    )
+    gvals = np.array(
+        [r.value for r in ev.filter(F.col("event_type") == gtype).select("value").collect()],
+        dtype=float,
+    )
+    for i, q in enumerate((0.50, 0.90, 0.99)):
+        est = rows1[gtype][i]
+        lo = np.quantile(gvals, max(q - 0.02, 0.0))
+        hi = np.quantile(gvals, min(q + 0.02, 1.0))
+        assert lo - 1e-9 <= est <= hi + 1e-9, (gtype, q, est, lo, hi)
+
+
+def test_tdigest_compress_invariants():
+    """td_compress is order-invariant, weight-preserving, and bounded at
+    K centroids; td_quantile on an uncompressed digest reproduces exact
+    order statistics (midpoint interpolation over unit weights)."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.aggregates import (
+        _TD_K,
+        td_compress,
+        td_quantile,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=5000)
+    w = np.ones(5000, dtype=np.int64)
+    m1, w1 = td_compress(vals, w)
+    m2, w2 = td_compress(vals[::-1], w)
+    assert m1 == m2 and w1 == w2, "compression depends on input order"
+    assert len(m1) <= _TD_K
+    assert sum(w1) == 5000
+    assert m1 == sorted(m1)
+    # exactness on a tiny digest (no compression path)
+    small = [1.0, 2.0, 3.0, 4.0]
+    assert td_quantile(small, [1, 1, 1, 1], 0.5) == 2.5
