@@ -805,3 +805,67 @@ def events_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "p50", "p95", "p100"
         )
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 4) AS value,
+           round(m.med, 4)   AS type_median,
+           round((e.value - m.med) / (1.4826 * d.mad), 4) AS robust_z
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN dev d ON e.event_type = d.event_type
+    WHERE d.mad > 0
+      AND abs(round((e.value - m.med) / (1.4826 * d.mad), 4)) > 3.5
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: events
+    whose MAD-normalized score |v - median| / (1.4826 * MAD) exceeds
+    3.5 for their event type. Unlike the z-score twin
+    (events_anomaly_zscore), the median/MAD baseline doesn't get dragged
+    by the outliers it is hunting — the standard robust alternative.
+
+    The threshold compares the ROUNDED score (4dp, same on both sides)
+    so borderline rows cannot flip between engines.
+
+    Scale shape: two grouped exact-median aggregations (event_type keyed
+    — group count is tiny, so both results broadcast back onto the
+    event scan under AQE), then a scan-side filter; output is bounded by
+    the outlier rate. At 100 TB swap the exact medians for
+    percentile_approx / the t-digest digests (sketch_tdigest_quantiles)
+    to keep the baseline single-pass."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    scored = (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(dev), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn(
+            "robust_z",
+            F.round((F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4),
+        )
+    )
+    return scored.filter(F.abs(F.col("robust_z")) > 3.5).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("med", 4).alias("type_median"),
+        F.col("robust_z"),
+    )

@@ -274,3 +274,44 @@ def window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(med, 4).alias("segment_median"),
         F.round(F.col("c_acctbal") - med, 4).alias("diff_from_median"),
     )
+
+
+@query(
+    "window_distinct_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(count(DISTINCT o_custkey) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_custs_20
+    FROM orders
+    """,
+)
+def window_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a moving rows-frame — an operator Spark's
+    window aggregates LACK natively (count_distinct is not allowed over
+    a frame): per priority class, the number of DISTINCT customers among
+    the trailing 20 orders. Expressed as size(collect_set() OVER frame),
+    which Spark evaluates incrementally per frame.
+
+    The frame is ordered by (o_orderdate, o_orderkey) — a total order,
+    so ROWS frames are deterministic and both engines slice identically.
+
+    Scale shape: one shuffle on the partition key; per-row state is
+    bounded by the 20-row frame (collect_set holds <= 20 keys), so
+    memory is O(frame), never O(partition). An unbounded-preceding
+    variant would instead need the dedup-then-running-sum rewrite
+    (first-occurrence flag via row_number, then a running sum)."""
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-19, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.size(F.collect_set("o_custkey").over(w)).cast("long").alias(
+            "distinct_custs_20"
+        ),
+    )
