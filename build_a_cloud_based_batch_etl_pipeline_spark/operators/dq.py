@@ -261,3 +261,54 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.o_orderpriority").alias("old_priority"),
         F.col("n.o_orderpriority").alias("new_priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_quarantine_split — per-row rule evaluation with reason codes
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity, 2) AS quantity,
+       round(l_discount, 2) AS discount,
+       concat_ws(',',
+           CASE WHEN l_quantity > 45 THEN 'qty_gt_45' END,
+           CASE WHEN l_discount > 0.08 THEN 'disc_gt_008' END,
+           CASE WHEN l_tax > 0.07 THEN 'tax_gt_007' END
+       ) AS reasons
+FROM lineitem
+WHERE l_quantity > 45 OR l_discount > 0.08 OR l_tax > 0.07
+"""
+
+
+@query("dq_quarantine_split", oracle=_QUARANTINE_ORACLE)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine: evaluate a rule profile against every row
+    and emit the failing rows with a deterministic comma-joined reason
+    list (fixed rule order) — the reject-path of a validated load, the
+    per-row complement of dq_expectations' suite report. The profile
+    here is a deliberately strict demo profile (the fixtures pass every
+    real integrity rule, which would make the reject path untestable).
+
+    Scale shape: a single scan-side projection+filter — every rule is a
+    codegen'd column expression, no shuffle at all; the valid/quarantine
+    split writes as two partitioned sinks in the streaming twin
+    (streaming/ingest_stream.py handles the epoch-stamped variant)."""
+    li = t(spark, sf_dir, "lineitem")
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("l_quantity") > 45, F.lit("qty_gt_45")),
+        F.when(F.col("l_discount") > 0.08, F.lit("disc_gt_008")),
+        F.when(F.col("l_tax") > 0.07, F.lit("tax_gt_007")),
+    )
+    return (
+        li.withColumn("reasons", reasons)
+        .filter(F.col("reasons") != "")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("quantity"),
+            F.round("l_discount", 2).alias("discount"),
+            "reasons",
+        )
+    )

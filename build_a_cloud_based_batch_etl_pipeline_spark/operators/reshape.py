@@ -256,3 +256,68 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.contains("p_name", F.lit("bolt")).alias("has_bolt"),
         F.startswith("p_type", F.lit("PRO")).alias("is_promo_type"),
     )
+
+
+_QBIN_QS = [i / 10.0 for i in range(1, 10)]
+
+
+@query(
+    "feature_quantile_bins",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM orders
+    ),
+    binned AS (
+        SELECT o_totalprice,
+               1 + len(list_filter(bs, b -> round(b, 2) < o_totalprice)) AS decile
+        FROM orders CROSS JOIN bounds
+    )
+    SELECT CAST(decile AS BIGINT)   AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM binned GROUP BY decile
+    """,
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretizer (the ML feature-binning primitive): assign
+    every order to a price decile and report per-bin stats. Bin
+    boundaries are the exact interpolated deciles of o_totalprice,
+    ROUNDED to 2dp on both engines before the strict `<` comparison, so
+    a boundary value bins identically everywhere.
+
+    Scale shape: boundaries come from ONE exact-percentile aggregate
+    (1 row), broadcast back onto the scan via crossJoin — binning itself
+    is a codegen'd projection, and per-bin stats are a 10-group
+    aggregation. A global ntile() would need a single-partition window
+    (forbidden by the plan sweep); at 100 TB swap the exact percentile
+    for approx_percentile or the t-digest digests
+    (sketch_tdigest_quantiles) — the binning plan is unchanged."""
+    orders = t(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in _QBIN_QS])).alias(
+            "bs"
+        )
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    "bs", lambda b: F.round(b, 2) < F.col("o_totalprice")
+                )
+            )
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
