@@ -139,12 +139,27 @@ def main() -> None:
     timings["ingest_e2e_10k"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Host-speed calibration: a fixed CPU-bound JVM job (no I/O, no
+    # Python) whose cost is invariant to the engine's code — divide two
+    # rounds' calib_seconds to normalize their timings for host
+    # variance before comparing query rows across rounds. First emitted
+    # in r6 (calib 1.0 == the r6 host); earlier rounds have no calib row.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(400_000_000).selectExpr(
+            "sum(pmod(xxhash64(id), 1000000007))"
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calib_seconds": round(calib, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -162,10 +177,11 @@ def main() -> None:
         "decontaminate_ngram_overlap": 3.047,  # r3: first round benched
         "doc_chunk_cdc": 0.450,  # r4: first round benched
         "text_heavy_hitters_cms": 0.385,  # r4: first round benched
-        # r5 first-benched rows anchor to themselves next round (r6 adds
-        # their BENCH_r05 values here): embed_ann_ivf_pq,
-        # text_vocab_coverage, dedup_ngram_containment,
-        # events_latency_percentiles.
+        # r5 first-benched rows, anchored to their BENCH_r05 values:
+        "embed_ann_ivf_pq": 0.529,
+        "text_vocab_coverage": 0.261,
+        "dedup_ngram_containment": 0.413,
+        "events_latency_percentiles": 0.362,
     }
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
     if os.path.exists(anchor_path):
