@@ -112,6 +112,7 @@ def load_all() -> dict[str, QuerySpec]:
         udfs,
         scalar_fns,
         events,
+        layout,
         reshape,
         subqueries,
         tpch_extra,

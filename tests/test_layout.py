@@ -1,0 +1,94 @@
+"""Z-order layout: the clustered files must actually enable
+multi-column data skipping, measured from real parquet footer stats."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from build_a_cloud_based_batch_etl_pipeline_spark.operators.layout import (
+    zorder_key,
+    zorder_layout,
+)
+
+
+def _prunable_fraction(path: str, col: str, lo: float, hi: float) -> float:
+    """Fraction of row groups whose [min,max] for `col` does NOT
+    intersect [lo,hi] — exactly what a min/max-pruning scan skips."""
+    total = skipped = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            total += 1
+            if st is not None and (st.max < lo or st.min > hi):
+                skipped += 1
+    assert total > 0
+    return skipped / total
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plain = str(tmp_path / "plain")
+    zed = str(tmp_path / "zorder")
+    # unclustered baseline with the same file count
+    orders.repartition(16).write.mode("overwrite").parquet(plain)
+    zorder_layout(orders, "o_custkey", "o_totalprice", zed, n_files=16)
+
+    # identical data back
+    assert spark.read.parquet(zed).count() == orders.count()
+    assert (
+        spark.read.parquet(zed).agg(F.sum("o_orderkey")).first()[0]
+        == orders.agg(F.sum("o_orderkey")).first()[0]
+    )
+
+    ck_lo, ck_hi = 100.0, 200.0  # ~6% of the custkey domain
+    tp_lo, tp_hi = 60_000.0, 100_000.0  # narrow price band
+    for col, lo, hi in (
+        ("o_custkey", ck_lo, ck_hi),
+        ("o_totalprice", tp_lo, tp_hi),
+    ):
+        base = _prunable_fraction(plain, col, lo, hi)
+        z = _prunable_fraction(zed, col, lo, hi)
+        # hash-scattered files are never prunable on a narrow band;
+        # z-ordered files mostly are — on BOTH dimensions at once
+        assert base < 0.25, (col, base)
+        assert z >= 0.5, (col, z)
+        assert z > base + 0.3, (col, base, z)
+
+
+def test_zorder_key_locality(spark):
+    """Adjacent Morton keys must map to nearby (xi, yi) cells: the mean
+    L1 cell distance between rows ADJACENT IN KEY ORDER has to be far
+    below the mean distance between randomly ordered rows — that
+    locality is the entire reason the layout prunes on both columns."""
+    rows = (
+        zorder_key(spark, "/root/testdata/sf0.001")
+        .orderBy("zkey")
+        .select("xi", "yi")
+        .collect()
+    )
+    xs = [r.xi for r in rows]
+    ys = [r.yi for r in rows]
+    n = len(xs)
+    adj = sum(
+        abs(xs[i] - xs[i - 1]) + abs(ys[i] - ys[i - 1]) for i in range(1, n)
+    ) / (n - 1)
+    # key-order neighbours vs orderkey-order neighbours (arrival order)
+    rows2 = (
+        zorder_key(spark, "/root/testdata/sf0.001")
+        .orderBy("o_orderkey")
+        .select("xi", "yi")
+        .collect()
+    )
+    xs2 = [r.xi for r in rows2]
+    ys2 = [r.yi for r in rows2]
+    rnd = sum(
+        abs(xs2[i] - xs2[i - 1]) + abs(ys2[i] - ys2[i - 1]) for i in range(1, n)
+    ) / (n - 1)
+    assert adj * 4 < rnd, (adj, rnd)
