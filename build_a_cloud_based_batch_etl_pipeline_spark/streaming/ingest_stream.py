@@ -640,3 +640,77 @@ def maintain_eval_gram_index(
         .start()
     )
     q.awaitTermination()
+
+
+def incremental_load_validated(
+    spark: SparkSession,
+    cfg: IngestConfig,
+    quarantine_uri: str,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Validated exactly-once incremental load with a quarantine reject
+    path: per micro-batch, rows failing the rule profile land in a
+    quarantine table with reason codes, valid rows take the normal
+    idempotent-append path. The streaming twin of the batch pair
+    dq_quarantine_split (reject rows) / incremental_load (happy path).
+
+    Rules (the POSTS contract the reference's BigQuery load enforces
+    implicitly via its NOT NULL schema, terraform DDL — plus a length
+    cap): non-null id, non-null userId, title <= 500 chars.
+
+    Exactly-once on BOTH paths: valid rows go through append_idempotent
+    (replay never re-writes a key); quarantine rows are committed via
+    sinks.commit_epoch_partition — each epoch is one atomic
+    `epoch=<lineage>-<id>` partition rename, so a replayed micro-batch
+    finds its partition already present and skips (no duplicate reject
+    rows), and the lineage stamp turns a checkpoint-reset-with-kept-
+    table into a loud error. Returns {"appended": n, "quarantined": n}.
+    """
+    from ..ingest import append_idempotent
+    from ..sinks import commit_epoch_partition
+
+    reader = (
+        spark.readStream.schema(POSTS_RAW)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(cfg.landing_uri)
+
+    counts = {"appended": 0, "quarantined": 0}
+    table_path = cfg.table_path()
+    checkpoint_path = os.path.join(
+        cfg.checkpoint_uri, cfg.table_name + "_validated"
+    )
+
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("id").isNull(), F.lit("id_null")),
+        F.when(F.col("userId").isNull(), F.lit("userid_null")),
+        F.when(F.length("title") > 500, F.lit("title_too_long")),
+    )
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        lineage = _checkpoint_lineage(spark, checkpoint_path)
+        flagged = batch.withColumn("reasons", reasons)
+        bad = flagged.filter(F.col("reasons") != "")
+        good = flagged.filter(F.col("reasons") == "").drop("reasons")
+        if commit_epoch_partition(
+            spark, bad, quarantine_uri, lineage, epoch_id
+        ):
+            counts["quarantined"] += bad.count()
+        out = (
+            good.dropDuplicates(["id"])
+            .withColumn("processedAt", F.current_timestamp())
+            .select(*[f.name for f in POSTS.fields])
+        )
+        counts["appended"] += append_idempotent(spark, out, table_path, key="id")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counts

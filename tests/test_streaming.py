@@ -799,3 +799,44 @@ def test_eval_gram_index_incremental_decontamination(spark, tmp_path):
     got = {(r.train_doc, r.eval_doc) for r in hits}
     assert got == {(1, 100), (2, 200)}, got
     assert all(r.shared_5grams >= 3 for r in hits)
+
+
+def test_incremental_load_validated_quarantine(spark, tmp_path):
+    """Validated streaming load: bad rows land once (and only once) in
+    the epoch-partitioned quarantine table with reason codes; valid rows
+    take the idempotent-append path; a drained re-run moves nothing on
+    either path."""
+    cfg = _cfg(tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    _drop_file(tmp_path, "r1", [
+        {"userId": 1, "id": 1, "title": "ok", "body": ""},
+        {"userId": None, "id": 2, "title": "bad-user", "body": ""},
+        {"userId": 3, "id": None, "title": "bad-id", "body": ""},
+        {"userId": 4, "id": 4, "title": "x" * 501, "body": ""},
+    ])
+    got = ingest_stream.incremental_load_validated(spark, cfg, qdir)
+    assert got == {"appended": 1, "quarantined": 3}
+    quar = spark.read.parquet(qdir)
+    reasons = {r.title[:8]: r.reasons for r in quar.collect()}
+    assert reasons["bad-user"] == "userid_null"
+    assert reasons["bad-id"] == "id_null"
+    assert reasons["xxxxxxxx"] == "title_too_long"
+    # provenance column from the partition dir
+    assert {c for c in quar.columns} >= {"reasons", "epoch"}
+
+    # drained re-run: nothing appended, no new quarantine partitions
+    got2 = ingest_stream.incremental_load_validated(spark, cfg, qdir)
+    assert got2 == {"appended": 0, "quarantined": 0}
+    assert spark.read.parquet(qdir).count() == 3
+
+    # a second file: only ITS bad rows arrive, as a new epoch partition
+    _drop_file(tmp_path, "r2", [
+        {"userId": 5, "id": 5, "title": "ok2", "body": ""},
+        {"userId": None, "id": 6, "title": "bad2", "body": ""},
+    ])
+    got3 = ingest_stream.incremental_load_validated(spark, cfg, qdir)
+    assert got3 == {"appended": 1, "quarantined": 1}
+    quar3 = spark.read.parquet(qdir)
+    assert quar3.count() == 4
+    assert quar3.select("epoch").distinct().count() == 2
+    assert ingest.read_table(spark, cfg).count() == 2
