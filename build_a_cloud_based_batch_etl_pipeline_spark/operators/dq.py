@@ -312,3 +312,109 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reasons",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dataset_card — corpus-level observability rollup
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+WITH g AS (
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+           (length(text) - length(replace(text, ' ', '')) + 1)
+               BETWEEN 50 AND 100000
+             AND round((length(text)
+                        - (length(text) - length(replace(text, ' ', '')) + 1)
+                        + 1) * 1.0
+                       / (length(text) - length(replace(text, ' ', '')) + 1), 4)
+                 BETWEEN 3.0 AND 10.0
+             AND round(len(list_filter(string_split(text, ' '),
+                                       w -> regexp_matches(w, '[a-z]'))) * 1.0
+                       / (length(text) - length(replace(text, ' ', '')) + 1), 4)
+                 >= 0.8
+             AND round(len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0
+                       / (length(text) - length(replace(text, ' ', '')) + 1), 4)
+                 <= 0.1 AS passes_gopher,
+           lang = 'en' AS is_en,
+           source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_fp
+    FROM documents
+),
+a AS (
+    SELECT count(*)                        AS n_docs,
+           sum(n_words)                    AS total_tokens,
+           avg(n_words)                    AS avg_doc_tokens,
+           median(n_words)                 AS p50_doc_tokens,
+           avg(CASE WHEN is_en THEN 1.0 ELSE 0.0 END)           AS pct_en,
+           count(DISTINCT source)          AS n_sources,
+           1.0 - count(DISTINCT norm_fp) * 1.0 / count(*)       AS dup_rate,
+           avg(CASE WHEN passes_gopher THEN 1.0 ELSE 0.0 END)   AS pass_rate
+    FROM g
+)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM a
+UNION ALL SELECT 'avg_doc_tokens', round(avg_doc_tokens, 4) FROM a
+UNION ALL SELECT 'p50_doc_tokens', round(p50_doc_tokens, 4) FROM a
+UNION ALL SELECT 'pct_lang_en', round(pct_en, 4) FROM a
+UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+UNION ALL SELECT 'exact_dup_rate', round(dup_rate, 4) FROM a
+UNION ALL SELECT 'gopher_pass_rate', round(pass_rate, 4) FROM a
+"""
+
+
+@query("pipeline_dataset_card", oracle=_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics rollup: the one-page corpus summary every
+    training-data release ships (size, token budget, length
+    distribution, language mix, source diversity, duplication rate,
+    quality pass rate) as (metric, value) rows.
+
+    Composition, not reimplementation: the quality gate is the
+    registered text_gopher_quality plan joined on doc_id (same rounded
+    gate arithmetic), the dup-rate fingerprint is text_fingerprint's
+    normalized md5 — one source of truth for each statistic.
+
+    Scale shape: ONE pass computes every per-doc stat scan-side, then a
+    single global aggregate (two expand-style distinct counts share it);
+    output is a constant 8 rows at any corpus size."""
+    from .text import _word_count_expr, text_gopher_quality
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        _word_count_expr("text").alias("n_words"),
+        (F.col("lang") == "en").alias("is_en"),
+        "source",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias(
+            "norm_fp"
+        ),
+    )
+    g = text_gopher_quality(spark, sf_dir).select("doc_id", "passes_gopher")
+    per = base.join(g, "doc_id")
+    a = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.avg("n_words").alias("avg_doc_tokens"),
+        F.median("n_words").alias("p50_doc_tokens"),
+        F.avg(F.col("is_en").cast("double")).alias("pct_en"),
+        F.count_distinct("source").alias("n_sources"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("norm_fp") * F.lit(1.0) / F.count(F.lit(1))
+        ).alias("dup_rate"),
+        F.avg(F.col("passes_gopher").cast("double")).alias("pass_rate"),
+    )
+    stack = ", ".join(
+        [
+            "'n_docs', cast(n_docs as double)",
+            "'total_tokens', cast(total_tokens as double)",
+            "'avg_doc_tokens', round(avg_doc_tokens, 4)",
+            "'p50_doc_tokens', round(p50_doc_tokens, 4)",
+            "'pct_lang_en', round(pct_en, 4)",
+            "'n_sources', cast(n_sources as double)",
+            "'exact_dup_rate', round(dup_rate, 4)",
+            "'gopher_pass_rate', round(pass_rate, 4)",
+        ]
+    )
+    return a.selectExpr(f"stack(8, {stack}) as (metric, value)")
