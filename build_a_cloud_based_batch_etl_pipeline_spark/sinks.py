@@ -296,3 +296,143 @@ def commit_epoch_partition(
     df.write.mode("overwrite").parquet(staging)
     _must(fs.rename(spath, ppath), f"commit epoch partition {part}")
     return True
+
+
+# ---------------------------------------------------------------------------
+# Versioned tables (time travel on plain parquet)
+# ---------------------------------------------------------------------------
+
+_VERSION_PTR = "_VERSION"
+
+
+def _vfs(spark, root: str):
+    jvm = spark._jvm
+    rpath = jvm.org.apache.hadoop.fs.Path(root)
+    return jvm, rpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _version_dirs(spark, root: str) -> list[int]:
+    jvm, fs = _vfs(spark, root)
+    rpath = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(rpath):
+        return []
+    out = []
+    for st in fs.listStatus(rpath):
+        name = st.getPath().getName()
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def current_version(spark, root: str) -> int | None:
+    """The published version: the `_VERSION` pointer file's content, or
+    (pointer missing — pre-first-publish or a crash before the pointer
+    flip) the newest COMPLETE version directory older than any orphan is
+    unknowable on plain FS, so the fallback is the highest v= dir."""
+    jvm, fs = _vfs(spark, root)
+    ppath = jvm.org.apache.hadoop.fs.Path(f"{root}/{_VERSION_PTR}")
+    if fs.exists(ppath):
+        ins = fs.open(ppath)
+        try:
+            buf = bytearray()
+            b = ins.read()
+            while b != -1 and len(buf) < 32:
+                buf.append(b)
+                b = ins.read()
+        finally:
+            ins.close()
+        return int(buf.decode("ascii").strip())
+    dirs = _version_dirs(spark, root)
+    return dirs[-1] if dirs else None
+
+
+def publish_version(spark, df, root: str) -> int:
+    """Publish `df` as the next version of a versioned table and return
+    its version number — snapshot-isolated time travel on plain parquet,
+    the poor-man's lakehouse commit (Delta/Iceberg jars are absent in
+    this sandbox; SURVEY.md §2.3):
+
+    - data lands in a dot-prefixed staging dir, then ONE atomic rename
+      to `v=<n>` (readers never see partial files);
+    - the `_VERSION` pointer file then flips to <n> (write tmp, swap).
+      A crash between the two renames leaves an orphan `v=<n>` dir that
+      readers ignore (pointer still says <n-1>) and the next publish
+      sweeps — no crash point corrupts a published version;
+    - old versions stay readable until vacuum_versions drops them, so a
+      reader holding version <k> is never invalidated by a publish
+      (snapshot isolation by immutability — files of a published
+      version are never touched again).
+    """
+    jvm, fs = _vfs(spark, root)
+    published = current_version(spark, root)
+    # sweep orphans: version dirs NEWER than the pointer are crash
+    # debris from a failed publish (their pointer flip never happened)
+    for v in _version_dirs(spark, root):
+        if published is not None and v > published:
+            _must(
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True),
+                f"sweep orphan v={v}",
+            )
+    nxt = (published or 0) + 1
+    staging = f"{root}/.v{nxt}.staging"
+    df.write.mode("overwrite").parquet(staging)
+    _must(
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(staging),
+            jvm.org.apache.hadoop.fs.Path(f"{root}/v={nxt}"),
+        ),
+        f"commit v={nxt}",
+    )
+    # pointer flip: tmp write + delete + rename (Hadoop rename does not
+    # replace); the pointer-missing window falls back to max v= dir,
+    # which IS nxt at that point
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/.{_VERSION_PTR}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(str(nxt).encode("ascii"))
+    finally:
+        out.close()
+    ppath = jvm.org.apache.hadoop.fs.Path(f"{root}/{_VERSION_PTR}")
+    if fs.exists(ppath):
+        _must(fs.delete(ppath, False), "drop old version pointer")
+    _must(fs.rename(tmp, ppath), "flip version pointer")
+    return nxt
+
+
+def read_version(spark, root: str, version: int | None = None):
+    """Read a versioned table: the published version by default, or any
+    retained historical version (time travel)."""
+    v = current_version(spark, root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published version at {root}")
+    if v not in _version_dirs(spark, root):
+        raise FileNotFoundError(
+            f"version {v} not present at {root} (vacuumed or never published); "
+            f"retained: {_version_dirs(spark, root)}"
+        )
+    return spark.read.parquet(f"{root}/v={v}")
+
+
+def vacuum_versions(spark, root: str, keep_last: int = 2) -> int:
+    """Retention for versioned tables: keep the newest `keep_last`
+    PUBLISHED versions (always including the pointer's current one),
+    delete the rest. Returns versions removed. Directory-level deletes —
+    a historical reader loses only versions older than the retention
+    window, exactly the lakehouse VACUUM contract."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm, fs = _vfs(spark, root)
+    published = current_version(spark, root)
+    if published is None:
+        return 0
+    keep = {v for v in _version_dirs(spark, root) if v <= published}
+    keep = set(sorted(keep)[-keep_last:]) | {published}
+    removed = 0
+    for v in _version_dirs(spark, root):
+        if v <= published and v not in keep:
+            _must(
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True),
+                f"vacuum v={v}",
+            )
+            removed += 1
+    return removed

@@ -358,3 +358,51 @@ def test_commit_epoch_partition_protocol(spark, tmp_path):
     # lineage mismatch is loud
     with pytest.raises(RuntimeError, match="lineage"):
         sinks.commit_epoch_partition(spark, df, table, "lin2", 0)
+
+
+def test_versioned_table_time_travel(spark, sf_dir, tmp_path):
+    """Versioned publish / time travel / crash-orphan sweep / vacuum."""
+    from build_a_cloud_based_batch_etl_pipeline_spark import sinks
+
+    root = str(tmp_path / "versioned")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = sinks.publish_version(spark, orders.limit(100), root)
+    v2 = sinks.publish_version(spark, orders.limit(200), root)
+    assert (v1, v2) == (1, 2)
+    assert sinks.current_version(spark, root) == 2
+    # default read = published; explicit version = time travel
+    assert sinks.read_version(spark, root).count() == 200
+    assert sinks.read_version(spark, root, version=1).count() == 100
+
+    # crash between data rename and pointer flip: orphan v=3 exists,
+    # pointer still says 2 -> readers unaffected, next publish sweeps it
+    orders.limit(10).write.parquet(f"{root}/v=3")
+    assert sinks.current_version(spark, root) == 2
+    assert sinks.read_version(spark, root).count() == 200
+    v3 = sinks.publish_version(spark, orders.limit(300), root)
+    assert v3 == 3
+    assert sinks.read_version(spark, root).count() == 300
+
+    # vacuum: keep last 2 published, current always survives
+    removed = sinks.vacuum_versions(spark, root, keep_last=2)
+    assert removed == 1
+    assert sinks.read_version(spark, root, version=2).count() == 200
+    try:
+        sinks.read_version(spark, root, version=1)
+        raise AssertionError("vacuumed version must not be readable")
+    except FileNotFoundError:
+        pass
+
+
+def test_versioned_table_pointer_missing_fallback(spark, sf_dir, tmp_path):
+    """A lost pointer file (crash in the flip window) falls back to the
+    newest version dir — which is exactly the just-committed version."""
+    from build_a_cloud_based_batch_etl_pipeline_spark import sinks
+
+    root = str(tmp_path / "versioned2")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    sinks.publish_version(spark, orders.limit(50), root)
+    import os
+    os.remove(f"{root}/_VERSION")
+    assert sinks.current_version(spark, root) == 1
+    assert sinks.read_version(spark, root).count() == 50

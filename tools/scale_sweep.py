@@ -173,6 +173,18 @@ def main() -> None:
             # cost a production batch actually pays).
             "dedup_repeated_spans",
             "dedup_incremental_index",
+            # r6 additions: inverted-index build (vocab scales k-fold —
+            # suffixed copies share no terms — so the dictionary agg and
+            # the per-term top-posting window must both stay linear),
+            # positional phrase search (postings are filtered to the two
+            # phrase terms before the adjacency join: cost is the scan +
+            # a candidate set that scales with the phrase's own
+            # frequency, not the corpus), and the dataset-card rollup
+            # (one pass + one global aggregate — the constant-output
+            # observability query must not hide a super-linear distinct).
+            "text_inverted_index",
+            "text_phrase_search",
+            "pipeline_dataset_card",
         ]
         for name in sweep_queries:
             fn = reg[name].fn
