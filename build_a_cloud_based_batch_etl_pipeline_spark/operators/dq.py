@@ -241,25 +241,52 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_orderpriority"),
     )
 
-    o = old_snap.alias("o")
-    n = new_snap.alias("n")
-    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
-    delta = joined.filter(
-        F.col("o.o_orderkey").isNull()
-        | F.col("n.o_orderkey").isNull()
-        | ~(F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice")))
-        | ~(F.col("o.o_orderpriority").eqNullSafe(F.col("n.o_orderpriority")))
+    delta = diff_snapshots(
+        old_snap, new_snap, "o_orderkey", ["o_totalprice", "o_orderpriority"]
     )
     return delta.select(
-        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("order_key"),
-        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
-        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        F.col("o_orderkey").alias("order_key"),
+        "change_type",
+        F.round(F.col("old_o_totalprice"), 2).alias("old_price"),
+        F.round(F.col("new_o_totalprice"), 2).alias("new_price"),
+        F.col("old_o_orderpriority").alias("old_priority"),
+        F.col("new_o_orderpriority").alias("new_priority"),
+    )
+
+
+def diff_snapshots(
+    old_snap: DataFrame,
+    new_snap: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Generic snapshot diff: full-outer join two table versions on
+    `key`, classify each key as added / removed / changed (null-safe
+    compare over `compare_cols` — NULL->value and value->NULL edits are
+    detected), drop unchanged keys. Output: key, change_type, and
+    old_<col> / new_<col> for every compared column.
+
+    The builder behind the snapshot_diff query; also the diff engine
+    for versioned tables (sinks.publish_version/read_version — diff any
+    two retained versions). Output size is bounded by the delta; with
+    both versions bucketed on `key` the sort-merge join plans
+    shuffle-free."""
+    o = old_snap.select(key, *compare_cols).alias("o")
+    n = new_snap.select(key, *compare_cols).alias("n")
+    ok, nk = F.col(f"o.{key}"), F.col(f"n.{key}")
+    joined = o.join(n, ok == nk, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~(F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")))
+    delta = joined.filter(ok.isNull() | nk.isNull() | changed)
+    return delta.select(
+        F.coalesce(ok, nk).alias(key),
+        F.when(ok.isNull(), F.lit("added"))
+        .when(nk.isNull(), F.lit("removed"))
         .otherwise(F.lit("changed"))
         .alias("change_type"),
-        F.round(F.col("o.o_totalprice"), 2).alias("old_price"),
-        F.round(F.col("n.o_totalprice"), 2).alias("new_price"),
-        F.col("o.o_orderpriority").alias("old_priority"),
-        F.col("n.o_orderpriority").alias("new_priority"),
+        *[F.col(f"o.{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare_cols],
     )
 
 

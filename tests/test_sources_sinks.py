@@ -406,3 +406,45 @@ def test_versioned_table_pointer_missing_fallback(spark, sf_dir, tmp_path):
     os.remove(f"{root}/_VERSION")
     assert sinks.current_version(spark, root) == 1
     assert sinks.read_version(spark, root).count() == 50
+
+
+def test_versioned_table_diff_between_versions(spark, sf_dir, tmp_path):
+    """diff_snapshots over two retained versions of a versioned table:
+    the end-to-end CDC story (publish v1, publish edited v2, diff)."""
+    from pyspark.sql import functions as F
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import sinks
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dq import (
+        diff_snapshots,
+    )
+
+    root = str(tmp_path / "versioned_diff")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    sinks.publish_version(spark, orders.filter(F.col("o_orderkey") <= 400), root)
+    v2_df = (
+        orders.filter(F.col("o_orderkey").between(101, 500))
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") <= 150, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    sinks.publish_version(spark, v2_df, root)
+
+    delta = diff_snapshots(
+        sinks.read_version(spark, root, version=1),
+        sinks.read_version(spark, root, version=2),
+        "o_orderkey",
+        ["o_totalprice"],
+    )
+    by_type = {r.change_type: r.n for r in delta.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_keys = orders.filter(F.col("o_orderkey") <= 500).count()
+    n_old = orders.filter(F.col("o_orderkey") <= 400).count()
+    n_new = orders.filter(F.col("o_orderkey").between(101, 500)).count()
+    n_changed = orders.filter(F.col("o_orderkey").between(101, 150)).count()
+    assert by_type.get("added", 0) == n_keys - n_old      # keys 401..500
+    assert by_type.get("removed", 0) == n_keys - n_new    # keys 1..100
+    assert by_type.get("changed", 0) == n_changed         # keys 101..150
