@@ -149,24 +149,27 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["status_domain", "totalprice_positive", "orderdate_bounds", "pk_unique"],
     )
 
-    # FK rules: key-projected anti-joins; the shuffle payload is one
+    # FK rules: ONE key-projected left join per rule yields checked and
+    # failed counts together (a NULL parent key == an orphan) — no
+    # second scan for the denominator; the shuffle payload is one
     # BIGINT column per side.
-    fk_cust = (
-        ord_.select("o_custkey")
-        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_failed"))
-        .crossJoin(ord_.agg(F.count(F.lit(1)).alias("n")))
-        .select(F.lit("orders.fk_custkey").alias("rule"), "n", "n_failed")
-    )
-    fk_ord = (
-        li.select("l_orderkey")
-        .join(
-            ord_.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+    def fk_rule(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, rule: str) -> DataFrame:
+        return (
+            child.select(ckey)
+            .join(
+                parent.select(pkey).distinct(),
+                F.col(ckey) == F.col(pkey),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(pkey).isNull().cast("long")).alias("n_failed"),
+            )
+            .select(F.lit(rule).alias("rule"), "n", "n_failed")
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_failed"))
-        .crossJoin(li.agg(F.count(F.lit(1)).alias("n")))
-        .select(F.lit("lineitem.fk_orderkey").alias("rule"), "n", "n_failed")
-    )
+
+    fk_cust = fk_rule(ord_, "o_custkey", cust, "c_custkey", "orders.fk_custkey")
+    fk_ord = fk_rule(li, "l_orderkey", ord_, "o_orderkey", "lineitem.fk_orderkey")
 
     report = li_rules.unionByName(ord_rules).unionByName(fk_cust).unionByName(fk_ord)
     return report.select(

@@ -235,3 +235,45 @@ def test_global_window_subtrees_catches_expression_ordering(spark):
         )
     )
     assert not partitioned, "partitioned-by-expression spec is not global"
+
+
+def test_interval_overlap_join_is_not_nested_loop(spark, sf_dir):
+    """The bucketized interval-overlap join must plan as an equi join on
+    (part, bucket) with the overlap predicate as residual — the naive
+    theta formulation would be a BNLJ."""
+    df = _df(spark, sf_dir, "join_interval_overlap")
+    assert not plans.has_cartesian_or_bnlj(df)
+
+
+def test_quarantine_split_zero_shuffle(spark, sf_dir):
+    """Row-level rule evaluation is scan-side only: no exchange at all."""
+    df = _df(spark, sf_dir, "dq_quarantine_split")
+    assert plans.count_shuffles(df) == 0
+
+
+def test_snapshot_diff_projects_before_join(spark, sf_dir):
+    """The snapshot diff's scans must read only the key + compared
+    columns (projection pushed below the full-outer join)."""
+    df = _df(spark, sf_dir, "snapshot_diff")
+    schemas = plans.scans_read_columns(df)
+    assert schemas
+    assert all(
+        "o_custkey" not in s and "o_orderdate" not in s for s in schemas
+    )
+    assert not plans.has_cartesian_or_bnlj(df)
+
+
+def test_dq_expectations_single_pass_per_table(spark, sf_dir):
+    """All range/domain/uniqueness rules of one table share ONE scan +
+    aggregation pass; only the two FK anti-joins add scans. lineitem is
+    scanned at most twice (rule pass + FK child), never once per rule."""
+    df = _df(spark, sf_dir, "dq_expectations")
+    plan = plans.physical_plan(df)
+    import re
+
+    # formatted plans list each scan twice (tree + numbered details);
+    # count the numbered headers. Budget: lineitem rules + orders rules
+    # + 2 FK left-joins (child + parent side each) = 6 scans for 10
+    # rules — never one scan per rule.
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans <= 6, plan
