@@ -91,6 +91,10 @@ INTENTIONAL_CROSS = {
     # composes text_unigram_logprob, inheriting its 1-row corpus-total
     # broadcast crossJoin
     "text_filter_funnel",
+    # 1-row bounds/boundaries aggregates broadcast back onto the scan
+    # (min/max grid for the Morton key; decile boundaries for binning)
+    "zorder_key",
+    "feature_quantile_bins",
 }
 
 
