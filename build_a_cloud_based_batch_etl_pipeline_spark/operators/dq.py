@@ -378,7 +378,7 @@ a AS (
            median(n_words)                 AS p50_doc_tokens,
            avg(CASE WHEN is_en THEN 1.0 ELSE 0.0 END)           AS pct_en,
            count(DISTINCT source)          AS n_sources,
-           1.0 - count(DISTINCT norm_fp) * 1.0 / count(*)       AS dup_rate,
+           1.0 - count(DISTINCT norm_fp) * 1.0 / NULLIF(count(*), 0) AS dup_rate,
            avg(CASE WHEN passes_gopher THEN 1.0 ELSE 0.0 END)   AS pass_rate
     FROM g
 )
@@ -431,7 +431,9 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").alias("n_sources"),
         (
             F.lit(1.0)
-            - F.count_distinct("norm_fp") * F.lit(1.0) / F.count(F.lit(1))
+            - F.count_distinct("norm_fp")
+            * F.lit(1.0)
+            / F.nullif(F.count(F.lit(1)), F.lit(0))
         ).alias("dup_rate"),
         F.avg(F.col("passes_gopher").cast("double")).alias("pass_rate"),
     )

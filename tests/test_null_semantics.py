@@ -100,3 +100,56 @@ def test_r4_operators_handle_empty_inputs(spark, monkeypatch):
         events_mod.events_inter_arrival,
     ):
         assert fn(spark, "ignored").count() == 0, fn.__name__
+
+
+def test_r6_operators_handle_empty_inputs(spark, monkeypatch):
+    """Round-6 operators on an EMPTY corpus: row-bounded queries return
+    zero rows; report-shaped queries (dq_expectations, dataset card)
+    return their constant row count with NULL rates instead of crashing
+    (ANSI div-by-zero, empty percentile arrays, empty pandas groups)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        aggregates as agg_mod,
+        dq as dq_mod,
+        events as events_mod,
+        joins as joins_mod,
+        layout as layout_mod,
+        reshape as reshape_mod,
+        text as text_mod,
+        windows as windows_mod,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark import schemas as S
+
+    empty = {
+        "documents": spark.createDataFrame([], schema=S.DOCUMENTS),
+        "events": spark.createDataFrame([], schema=S.EVENTS),
+        "orders": spark.createDataFrame([], schema=S.ORDERS),
+        "lineitem": spark.createDataFrame([], schema=S.LINEITEM),
+        "customer": spark.createDataFrame([], schema=S.CUSTOMER),
+    }
+
+    def fake_t(spark_, sf_dir_, name_):
+        return empty[name_]
+
+    mods = (agg_mod, dq_mod, events_mod, joins_mod, layout_mod,
+            reshape_mod, text_mod, windows_mod)
+    for mod in mods:
+        monkeypatch.setattr(mod, "t", fake_t)
+
+    for fn in (
+        text_mod.text_inverted_index,
+        text_mod.text_phrase_search,
+        events_mod.events_anomaly_mad,
+        windows_mod.window_distinct_frame,
+        joins_mod.join_interval_overlap,
+        layout_mod.zorder_key,
+        reshape_mod.feature_quantile_bins,
+        dq_mod.snapshot_diff,
+        dq_mod.dq_quarantine_split,
+        agg_mod.sketch_tdigest_quantiles,
+    ):
+        assert fn(spark, "ignored").count() == 0, fn.__name__
+
+    # constant-shape reports: full rule/metric list, NULL-safe rates
+    assert dq_mod.dq_expectations(spark, "ignored").count() == 10
+    card = dq_mod.pipeline_dataset_card(spark, "ignored")
+    assert card.count() == 8
