@@ -694,3 +694,59 @@ def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = memo_once(spark, ("eval_gram_index", sf_dir, fp), build)
     return decontaminate_against_index(spark, docs.filter(~is_eval), root)
+
+
+_SHUFFLE_SHARDS = 8
+_SHUFFLE_SEED = "e42"
+
+
+@query(
+    "sample_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((CAST(('0x' || substring(skey, 1, 8)) AS BIGINT))
+                % {_SHUFFLE_SHARDS} AS BIGINT)                    AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY (CAST(('0x' || substring(skey, 1, 8)) AS BIGINT))
+                            % {_SHUFFLE_SHARDS}
+               ORDER BY skey, doc_id
+           ) AS BIGINT)                                           AS pos
+    FROM keyed
+    """,
+)
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    gets a seeded-hash shuffle key; the shard is the key's first 32 bits
+    mod N, the position is the rank of the key WITHIN its shard. Reading
+    the shards in (shard, pos) order replays the same pseudo-random
+    permutation on every run and every engine — the reproducible-
+    training-order contract (change the seed constant to reshuffle).
+
+    Scale shape: NO global sort/window — the only shuffle is the
+    N-shard hash partition, and the rank is a shard-partitioned
+    window (each shard sorts ~1/N of the corpus; N scales with the
+    cluster). This is how a 100 TB corpus is shuffled in practice:
+    shard-local order concatenated in shard order IS the permutation."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("skey", 1, 8), 16, 10).cast("long") % _SHUFFLE_SHARDS),
+    )
+    w = W.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
