@@ -714,3 +714,110 @@ def incremental_load_validated(
     )
     q.awaitTermination()
     return counts
+
+
+def maintain_quantile_digest(
+    spark: SparkSession,
+    events_path: str,
+    digest_table_path: str,
+    checkpoint_path: str,
+    events_schema,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """Streaming quantile-digest maintenance: keep per-group t-digest
+    centroid digests (operators.aggregates td_compress — the batch twin
+    is sketch_tdigest_quantiles) current as event files arrive; any
+    quantile is then answerable from the digest table in O(centroids)
+    without scanning events.
+
+    Merge semantics: each batch compresses its values to <=K centroids
+    per group (Arrow grouped-map), then merges into the stored digests
+    by concatenation + re-compression — commutative/associative but NOT
+    idempotent (a replayed epoch would double its weight), so the merge
+    takes the same stamped-swap epoch guard as the CMS maintainer: the
+    merged-epoch high-water mark commits WITH the table in one rename,
+    replayed epochs are skipped, and the lineage stamp turns a
+    checkpoint reset against a kept table into a loud error.
+
+    State is O(groups x K centroids) regardless of event volume — the
+    reason per-day/per-partition quantile rollups stay maintainable at
+    100 TB."""
+    from ..operators.aggregates import _TD_SCHEMA, _td_build, _td_merge
+
+    stream = spark.readStream.schema(events_schema).json(events_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks import swap_recover
+
+        swap_recover(spark, digest_table_path)  # mid-swap crash artifact
+        lineage = _checkpoint_lineage(spark, checkpoint_path)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(digest_table_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        current = None
+        if fs.exists(hpath):
+            hwm = _table_epoch_hwm(spark, digest_table_path, lineage)
+            if hwm is not None and epoch_id <= hwm:
+                return  # replayed epoch: weight addition is NOT idempotent
+            current = spark.read.parquet(digest_table_path)
+        delta = (
+            batch.select(
+                F.col(key_col).alias("event_type"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+            .groupBy("event_type")
+            .applyInPandas(_td_build, _TD_SCHEMA)
+        )
+        if current is not None:
+            merged = (
+                current.unionByName(delta)
+                .groupBy("event_type")
+                .applyInPandas(_td_merge, _TD_SCHEMA)
+            )
+        else:
+            merged = delta
+        _atomic_swap_in(
+            spark, merged, digest_table_path, epoch_id,
+            stamp_epoch=True, lineage=lineage,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_quantiles(
+    spark: SparkSession,
+    digest_table_path: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Query side of maintain_quantile_digest: per-group quantile
+    estimates from the stored centroid digests — O(groups x centroids),
+    no event scan."""
+    from ..operators.aggregates import td_quantile
+    from ..sinks import swap_recover
+
+    swap_recover(spark, digest_table_path)
+    digests = spark.read.parquet(digest_table_path)
+
+    def _extract(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"event_type": pdf["event_type"]}
+            for q in qs:
+                out[f"p{int(q * 100)}"] = [
+                    td_quantile(m, w, q)
+                    for m, w in zip(pdf["means"], pdf["weights"])
+                ]
+            yield pd.DataFrame(out)
+
+    schema = "event_type string, " + ", ".join(
+        f"p{int(q * 100)} double" for q in qs
+    )
+    return digests.mapInPandas(_extract, schema)

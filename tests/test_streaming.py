@@ -840,3 +840,77 @@ def test_incremental_load_validated_quarantine(spark, tmp_path):
     assert quar3.count() == 4
     assert quar3.select("epoch").distinct().count() == 2
     assert ingest.read_table(spark, cfg).count() == 2
+
+
+def test_quantile_digest_maintenance_accumulates_and_guards_replay(spark, tmp_path):
+    """Streaming t-digest maintenance: per-group digests accumulate
+    across event drops and answer quantiles within the digest's rank
+    tolerance of an exact recount over ALL events seen; weight is
+    conserved exactly; a checkpoint reset that keeps the table raises a
+    lineage-mismatch error instead of double-merging."""
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    evdir = tmp_path / "qd_events"
+    evdir.mkdir()
+    schema = "event_id long, event_type string, value double"
+
+    rng = np.random.default_rng(11)
+
+    def drop(name, rows):
+        with open(evdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    digest_path = str(tmp_path / "digests")
+    ckpt = str(tmp_path / "qd_ckpt")
+    d1 = [
+        {"event_id": i, "event_type": "a" if i % 2 else "b",
+         "value": float(v)}
+        for i, v in enumerate(rng.normal(size=4000))
+    ]
+    drop("f1.json", d1)
+    ingest_stream.maintain_quantile_digest(
+        spark, str(evdir), digest_path, ckpt, schema
+    )
+    d2 = [
+        {"event_id": 10_000 + i, "event_type": "a",
+         "value": float(v)}
+        for i, v in enumerate(rng.normal(loc=3.0, size=4000))
+    ]
+    drop("f2.json", d2)
+    ingest_stream.maintain_quantile_digest(
+        spark, str(evdir), digest_path, ckpt, schema
+    )
+
+    # weight conservation: stored digest weights == events seen per group
+    stored = spark.read.parquet(digest_path).collect()
+    weights = {r.event_type: sum(r.weights) for r in stored}
+    all_rows = d1 + d2
+    for g in ("a", "b"):
+        assert weights[g] == sum(1 for r in all_rows if r["event_type"] == g)
+
+    # quantile accuracy within +-2.5% rank of the exact distribution
+    # (two merge levels: per-batch compress + cross-batch re-compress)
+    got = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in ingest_stream.read_quantiles(spark, digest_path).collect()
+    }
+    for g in ("a", "b"):
+        vals = np.array([r["value"] for r in all_rows if r["event_type"] == g])
+        for est, q in zip(got[g], (0.5, 0.9, 0.99)):
+            lo = np.quantile(vals, max(q - 0.025, 0.0))
+            hi = np.quantile(vals, min(q + 0.025, 1.0))
+            assert lo - 1e-9 <= est <= hi + 1e-9, (g, q, est, lo, hi)
+
+    # checkpoint reset with the table kept: loud lineage error, table intact
+    shutil.rmtree(ckpt)
+    with pytest.raises(Exception, match="lineage"):
+        ingest_stream.maintain_quantile_digest(
+            spark, str(evdir), digest_path, ckpt, schema
+        )
+    stored2 = {r.event_type: sum(r.weights)
+               for r in spark.read.parquet(digest_path).collect()}
+    assert stored2 == weights, "failed run must not have touched the table"
