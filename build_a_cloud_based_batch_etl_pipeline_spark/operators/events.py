@@ -869,3 +869,105 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med", 4).alias("type_median"),
         F.col("robust_z"),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.cts <= p.pts
+         AND c.cts > p.pts - INTERVAL 2 HOUR
+    ),
+    ranked AS (
+        SELECT purchase_id, user_id, pts, click_id, cts,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY cts DESC, click_id DESC) AS rl,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY cts ASC, click_id ASC)  AS rf,
+               count(*)     OVER (PARTITION BY purchase_id)        AS n_touches
+        FROM touches
+    )
+    SELECT l.purchase_id, l.user_id, l.pts AS purchase_ts,
+           f.click_id AS first_touch_id,
+           l.click_id AS last_touch_id,
+           CAST(l.n_touches AS BIGINT) AS n_touches
+    FROM ranked l JOIN ranked f
+      ON l.purchase_id = f.purchase_id AND l.rl = 1 AND f.rf = 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for every purchase, the FIRST-touch and
+    LAST-touch click of the same user within a 2-hour lookback window,
+    plus the touch count — the first/last-touch attribution report every
+    event pipeline ships. Ties (identical click timestamps) break on
+    click_id, so both engines pick the same touch.
+
+    Scale shape: a user-keyed equi-join with a bounded time-range
+    residual (the 2-hour lookback caps how many clicks a purchase can
+    pair with — never a full per-user cross product), then two
+    row_number windows and the touch count sharing ONE purchase_id
+    partitioning. Purchases with zero in-window clicks are absent by
+    construction (unattributed) — the report is bounded by attributed
+    conversions."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 2 HOURS")),
+    )
+    wl = W.partitionBy("purchase_id").orderBy(
+        F.col("cts").desc(), F.col("click_id").desc()
+    )
+    wf = W.partitionBy("purchase_id").orderBy("cts", "click_id")
+    wc = W.partitionBy("purchase_id")
+    ranked = touches.select(
+        "purchase_id",
+        "user_id",
+        "pts",
+        "click_id",
+        F.row_number().over(wl).alias("rl"),
+        F.row_number().over(wf).alias("rf"),
+        F.count(F.lit(1)).over(wc).alias("n_touches"),
+    )
+    last = ranked.filter(F.col("rl") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("pts").alias("purchase_ts"),
+        F.col("click_id").alias("last_touch_id"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+    )
+    first = ranked.filter(F.col("rf") == 1).select(
+        "purchase_id", F.col("click_id").alias("first_touch_id")
+    )
+    return last.join(first, "purchase_id").select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "first_touch_id",
+        "last_touch_id",
+        "n_touches",
+    )

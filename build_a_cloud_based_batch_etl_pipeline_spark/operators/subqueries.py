@@ -247,3 +247,21 @@ sql_query(
     doc="TPC-H Q7-shaped: two roles of the same dimension (nation twice) "
     "+ cross-nation revenue by year.",
 )
+
+
+sql_query(
+    "sub_relational_division",
+    """
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(DISTINCT o_orderpriority)
+           = (SELECT count(DISTINCT o_orderpriority) FROM orders)
+    """,
+    doc="Relational division ('for all' quantification): customers with "
+    "orders in EVERY priority class — per-group distinct count equal to "
+    "the universe count. Completes the quantifier coverage "
+    "(EXISTS/NOT EXISTS/IN are existential; division is universal). "
+    "Catalyst plans the universe as a 1-row subquery broadcast and the "
+    "division as one customer-keyed two-phase distinct aggregation.",
+)

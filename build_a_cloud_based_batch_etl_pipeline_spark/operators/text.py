@@ -1454,3 +1454,108 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.groupBy(F.col("d1").alias("doc_id"), "phrase")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 3  # query = the corpus's top-3 terms by collection frequency
+_BM25_TOPK = 20
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY term, doc_id
+    ),
+    dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+    ),
+    consts AS (
+        SELECT (SELECT count(*) FROM documents)    AS n_docs,
+               (SELECT avg(dl) FROM dl)            AS avgdl
+    ),
+    qterms AS (
+        SELECT term, df FROM stats
+        ORDER BY cf DESC, term LIMIT {_BM25_NQ}
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+               ) AS score
+        FROM tf
+        JOIN qterms USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN consts
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored
+    ORDER BY round(score, 4) DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the inverted-index statistics: score
+    every document against a deterministic query (the corpus's top-3
+    terms by collection frequency, lexicographic tie-break) with the
+    standard Okapi BM25 formula (k1=1.2, b=0.75) and return the top-20
+    (rounded score desc, doc_id tie-break — both engines cut
+    identically).
+
+    Scale shape: the (term, doc) tf shuffle is shared with the
+    dictionary build; query terms (3 rows) and the N/avgdl constants
+    (1 row) broadcast onto it, so scoring touches only postings of the
+    query terms; the final top-k is TakeOrderedAndProject, never a
+    global sort."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    consts = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    qterms = (
+        stats.orderBy(F.col("cf").desc(), "term")
+        .limit(_BM25_NQ)
+        .select("term", "df")
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 4).alias("bm25"))
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_BM25_TOPK)
