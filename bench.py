@@ -62,6 +62,14 @@ HEADLINE = [
     "dedup_incremental_index",
     "embed_ann_pq_indexed",
     "text_filter_funnel",
+    # r6 late additions (this round becomes their anchor): table CDC
+    # (full-outer join + null-safe compare), the inverted-index
+    # dictionary build (the (term,doc) tf shuffle + per-term window),
+    # and the custom mergeable t-digest (Arrow grouped-map partials —
+    # the pandas-UDF path's representative in the suite).
+    "snapshot_diff",
+    "text_inverted_index",
+    "sketch_tdigest_quantiles",
 ]
 
 

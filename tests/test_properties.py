@@ -290,3 +290,49 @@ def test_repeated_spans_matches_bruteforce(spark, docs):
         for r in dedup_mod.repeated_spans_frame(sdf).collect()
     }
     assert got == _brute_spans(texts, k)
+
+
+# snapshots: lists of (key, value-or-None); duplicate keys collapse to
+# the last occurrence (dict semantics), None values exercise the
+# null-safe compare.
+snap_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.one_of(st.none(), st.integers(0, 3))),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=snap_strategy, new=snap_strategy)
+def test_diff_snapshots_matches_bruteforce(spark, old, new):
+    """diff_snapshots classification == dict-based brute force on random
+    snapshots, including NULL->value / value->NULL edits and unchanged
+    (incl. NULL==NULL) rows, which must be ABSENT from the delta."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dq import (
+        diff_snapshots,
+    )
+
+    old_d, new_d = dict(old), dict(new)
+    odf = spark.createDataFrame(
+        [(k, v) for k, v in old_d.items()], "k long, v long"
+    )
+    ndf = spark.createDataFrame(
+        [(k, v) for k, v in new_d.items()], "k long, v long"
+    )
+    got = {
+        r.k: (r.change_type, r.old_v, r.new_v)
+        for r in diff_snapshots(odf, ndf, "k", ["v"]).collect()
+    }
+    want = {}
+    for k in old_d.keys() | new_d.keys():
+        if k not in old_d:
+            want[k] = ("added", None, new_d[k])
+        elif k not in new_d:
+            want[k] = ("removed", old_d[k], None)
+        elif old_d[k] != new_d[k]:
+            want[k] = ("changed", old_d[k], new_d[k])
+    assert got == want
