@@ -95,6 +95,8 @@ INTENTIONAL_CROSS = {
     # (min/max grid for the Morton key; decile boundaries for binning)
     "zorder_key",
     "feature_quantile_bins",
+    # 1-row (N, avgdl) BM25 constants broadcast onto the postings scan
+    "text_bm25_rank",
 }
 
 
