@@ -114,6 +114,7 @@ def test_r6_operators_handle_empty_inputs(spark, monkeypatch):
         joins as joins_mod,
         layout as layout_mod,
         reshape as reshape_mod,
+        sampling as sampling_mod,
         text as text_mod,
         windows as windows_mod,
     )
@@ -131,7 +132,7 @@ def test_r6_operators_handle_empty_inputs(spark, monkeypatch):
         return empty[name_]
 
     mods = (agg_mod, dq_mod, events_mod, joins_mod, layout_mod,
-            reshape_mod, text_mod, windows_mod)
+            reshape_mod, sampling_mod, text_mod, windows_mod)
     for mod in mods:
         monkeypatch.setattr(mod, "t", fake_t)
 
@@ -146,6 +147,9 @@ def test_r6_operators_handle_empty_inputs(spark, monkeypatch):
         dq_mod.snapshot_diff,
         dq_mod.dq_quarantine_split,
         agg_mod.sketch_tdigest_quantiles,
+        text_mod.text_bm25_rank,
+        events_mod.events_attribution,
+        sampling_mod.sample_shuffle_shards,
     ):
         assert fn(spark, "ignored").count() == 0, fn.__name__
 
