@@ -686,3 +686,45 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", r4("p50").alias("p50"), r4("p90").alias("p90"), r4("p99").alias("p99")
     )
+
+
+@query("agg_hll_intersection")
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: estimated audience overlap |A ∩ B| between
+    every pair of event types' user sets via inclusion-exclusion over
+    mergeable HLL sketches — est(A) + est(B) - est(A ∪ B), the union
+    coming from hll_union (never a re-scan). This is the rollup algebra
+    a 100 TB warehouse runs on STORED per-segment sketch columns:
+    any pairwise overlap matrix in O(segments^2) sketch merges, zero
+    raw-data passes.
+
+    Rows-only: sketch estimates are engine-specific;
+    tests/test_operators.py pins every estimate against the exact
+    pairwise intersection (<= 7% relative error — two estimates and a
+    union each contribute HLL error) and symmetry of the matrix.
+
+    Scale shape: one shuffle to build per-type sketches (tiny state),
+    then a broadcast self-join over the handful of sketch rows; the
+    union/estimate calls are per-pair JVM sketch ops on KB payloads."""
+    events = t(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_union = F.hll_sketch_estimate(
+        F.hll_union("sk_a", "sk_b")
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_union.alias("est_union"),
+        (est_a + est_b - est_union).alias("est_intersection"),
+    )

@@ -225,3 +225,27 @@ def test_tdigest_compress_invariants():
     # exactness on a tiny digest (no compression path)
     small = [1.0, 2.0, 3.0, 4.0]
     assert td_quantile(small, [1, 1, 1, 1], 0.5) == 2.5
+
+
+def test_hll_intersection_accuracy_and_symmetry(spark, sf_dir):
+    """Every pairwise inclusion-exclusion estimate must land within 7%
+    (+2) of the exact user-set intersection, and the estimate must not
+    depend on pair order (type_a < type_b canonicalization covers the
+    matrix exactly once per unordered pair)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
+
+    rows = load_all()["agg_hll_intersection"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = {
+        r.event_type: set()
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for r in ev.select("event_type", "user_id").collect():
+        users[r.event_type].add(r.user_id)
+    n_types = len(users)
+    assert len(rows) == n_types * (n_types - 1) // 2
+    for r in rows:
+        exact = len(users[r.type_a] & users[r.type_b])
+        assert abs(r.est_intersection - exact) <= 0.07 * exact + 2, (
+            r.type_a, r.type_b, r.est_intersection, exact,
+        )
