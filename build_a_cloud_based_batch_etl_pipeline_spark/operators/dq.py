@@ -450,3 +450,101 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return a.selectExpr(f"stack(8, {stack}) as (metric, value)")
+
+
+# ---------------------------------------------------------------------------
+# dq_ks_drift — distribution-drift detection (two-sample KS on a grid)
+# ---------------------------------------------------------------------------
+
+_KS_BINS = 256
+_KS_A = "click"
+_KS_B = "purchase"
+
+_KS_ORACLE = f"""
+WITH vals AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+),
+b AS (
+    SELECT min(value) AS mn, max(value) AS mx FROM vals
+),
+binned AS (
+    SELECT event_type,
+           least(CAST(floor((value - mn) * {_KS_BINS}.0
+                            / NULLIF(mx - mn, 0.0)) AS BIGINT),
+                 {_KS_BINS - 1}) AS bin
+    FROM vals CROSS JOIN b
+),
+counts AS (
+    SELECT bin,
+           sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
+    FROM binned GROUP BY bin
+),
+cum AS (
+    SELECT bin,
+           sum(ca) OVER (ORDER BY bin) * 1.0
+               / NULLIF((SELECT sum(ca) FROM counts), 0) AS fa,
+           sum(cb) OVER (ORDER BY bin) * 1.0
+               / NULLIF((SELECT sum(cb) FROM counts), 0) AS fb
+    FROM counts
+)
+SELECT round(max(abs(fa - fb)), 4)  AS ks_distance,
+       CAST((SELECT sum(ca) FROM counts) AS BIGINT) AS n_a,
+       CAST((SELECT sum(cb) FROM counts) AS BIGINT) AS n_b
+FROM cum
+"""
+
+
+@query("dq_ks_drift", oracle=_KS_ORACLE)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: the two-sample Kolmogorov-Smirnov
+    distance between two segments' value distributions (here the
+    'click' vs 'purchase' event types), computed on a fixed 256-bin
+    grid — the drift monitor a production pipeline runs between
+    yesterday's and today's feature distribution before trusting a
+    batch.
+
+    Grid-based on purpose: the exact KS statistic needs a global sort
+    of every value (single-partition at 100 TB); quantizing to a fixed
+    grid makes the cumulative step a window over <=256 AGGREGATED rows
+    (bounded input — the only safe global window), at the cost of
+    discretization error <= 1 bin of CDF resolution. Scale shape: one
+    conditional-count shuffle on the bin key, then constant-size window
+    + max. The global min/max is a 1-row broadcast."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    ).select("event_type", "value")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                * float(_KS_BINS)
+                / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+            ).cast("long"),
+            F.lit(_KS_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("event_type") == _KS_A).cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == _KS_B).cast("long")).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("ca").over(w) * 1.0 / F.nullif(F.col("na"), F.lit(0))).alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.nullif(F.col("nb"), F.lit(0))).alias("fb"),
+        "na",
+        "nb",
+    )
+    return cum.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 4).alias("ks_distance"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+    )

@@ -97,6 +97,11 @@ INTENTIONAL_CROSS = {
     "feature_quantile_bins",
     # 1-row (N, avgdl) BM25 constants broadcast onto the postings scan
     "text_bm25_rank",
+    # pairwise sketch self-join over the handful of per-type sketch
+    # rows (type_a < type_b theta predicate on a broadcast of O(types))
+    "agg_hll_intersection",
+    # 1-row global min/max bounds + totals broadcasts for the KS grid
+    "dq_ks_drift",
 }
 
 
@@ -162,6 +167,9 @@ GLOBAL_WINDOW_BOUNDED = {
     # Zipf rank over the distinct-term vocabulary (aggregate below the
     # window; same boundedness argument as text_vocab_coverage)
     "text_zipf_slope",
+    # cumulative CDF over the fixed 256-bin KS grid (aggregate below
+    # the window; bounded by the bin count, not event volume)
+    "dq_ks_drift",
 }
 
 _BOUNDED_DIM_SCANS = ("supplier", "nation", "region")
