@@ -436,3 +436,133 @@ def vacuum_versions(spark, root: str, keep_last: int = 2) -> int:
             )
             removed += 1
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Shard manifests (integrity at dataset handoff)
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _hash_dataset(spark, path: str):
+    """Distributed per-file (size, sha256) via the binaryFile source —
+    one Arrow batch per file, hashing on executors, no driver reads of
+    data bytes — plus per-file row counts from parquet footers
+    (metadata-only). Shared by write_manifest and verify_manifest so
+    producer and consumer measure the same way."""
+    import glob as _glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    # drop any cached file listing for this path: a consumer verifying
+    # a copy that changed since an earlier read must see current sizes
+    spark.catalog.refreshByPath(path)
+    files_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select("path", "length", "content")
+    )
+
+    def _sha(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "length": pdf["length"],
+                    "sha256": [
+                        hashlib.sha256(bytes(c)).hexdigest()
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    hashed = {
+        r.path.rsplit("/", 1)[-1]: (r.length, r.sha256)
+        for r in files_df.mapInPandas(
+            _sha, "path string, length long, sha256 string"
+        ).collect()
+    }
+    rows = {}
+    for f in _glob.glob(f"{path}/*.parquet"):
+        try:
+            rows[f.rsplit("/", 1)[-1]] = pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            # unreadable footer IS corruption — surface as a row-count
+            # mismatch instead of failing the whole verification pass
+            rows[f.rsplit("/", 1)[-1]] = -2
+    return hashed, rows
+
+
+def write_manifest(spark, path: str) -> dict:
+    """Write an integrity manifest next to a published parquet dataset:
+    per-file byte size, sha256, and row count, plus dataset totals —
+    what a training-data handoff ships so the consumer can verify the
+    copy BEFORE pointing a 10k-GPU job at it. Returns the manifest dict.
+
+    The hashing runs distributed (binaryFile source + a Python sha256
+    per file — one Arrow batch each, no driver reads of data bytes);
+    row counts come from parquet footers via a metadata-only read.
+    The manifest is `_`-prefixed so parquet readers skip it."""
+    import json as _json
+
+    hashed, rows = _hash_dataset(spark, path)
+    manifest = {
+        "files": [
+            {
+                "name": name,
+                "bytes": int(hashed[name][0]),
+                "sha256": hashed[name][1],
+                "rows": int(rows.get(name, -1)),
+            }
+            for name in sorted(hashed)
+        ],
+        "n_files": len(hashed),
+        "total_rows": int(sum(rows.values())),
+        "total_bytes": int(sum(v[0] for v in hashed.values())),
+    }
+    with open(f"{path}/{_MANIFEST}", "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_manifest(spark, path: str) -> dict:
+    """Re-hash a dataset and compare against its shipped manifest.
+    Returns {"ok": bool, "missing": [...], "extra": [...],
+    "corrupt": [...]} — corrupt = size, sha256, or row-count mismatch.
+    The verification a consumer runs after copying shards."""
+    import json as _json
+
+    with open(f"{path}/{_MANIFEST}") as f:
+        want = _json.load(f)
+    hashed, rows = _hash_dataset(spark, path)
+    seen = {
+        name: {
+            "bytes": int(hashed[name][0]),
+            "sha256": hashed[name][1],
+            "rows": int(rows.get(name, -1)),
+        }
+        for name in hashed
+    }
+    wanted = {e["name"]: e for e in want["files"]}
+    missing = sorted(set(wanted) - set(seen))
+    extra = sorted(set(seen) - set(wanted))
+    corrupt = sorted(
+        n
+        for n in set(wanted) & set(seen)
+        if (
+            wanted[n]["bytes"] != seen[n]["bytes"]
+            or wanted[n]["sha256"] != seen[n]["sha256"]
+            or wanted[n]["rows"] != seen[n]["rows"]
+        )
+    )
+    return {
+        "ok": not (missing or extra or corrupt),
+        "missing": missing,
+        "extra": extra,
+        "corrupt": corrupt,
+    }
