@@ -109,15 +109,21 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def zorder_layout(
     df: DataFrame,
-    x_col: str,
-    y_col: str,
+    cols: list[str] | tuple[str, ...],
     path: str,
     n_files: int = 16,
 ) -> None:
-    """Write `df` Z-order-clustered on (x_col, y_col): compute the
-    Morton key, range-repartition on it (contiguous key ranges per
-    file => tight per-file min/max on BOTH source columns), sort within
-    partitions, write parquet WITHOUT the helper key.
+    """Write `df` Z-order-clustered on 2..4 columns: compute the Morton
+    key (each column min-max normalized to floor(32/k) bits, bits
+    interleaved round-robin), range-repartition on it (contiguous key
+    ranges per file => tight per-file min/max on EVERY clustered
+    column), sort within partitions, write parquet WITHOUT the helper
+    key.
+
+    More dimensions buy pruning on more columns at the cost of per-
+    column resolution (32/k bits each) — the standard Z-order trade; at
+    4+ dims per-file ranges widen enough that most deployments stop at
+    2-3.
 
     repartitionByRange samples the key distribution, so skew in the
     source columns still yields balanced files — unlike hash
@@ -125,23 +131,41 @@ def zorder_layout(
     tests/test_layout.py measures the effect directly from parquet
     row-group stats: files prunable for a selective filter on EITHER
     column must far exceed the unclustered layout's."""
-    b = df.agg(
-        F.min(x_col).cast("double").alias("x_mn"),
-        F.max(x_col).cast("double").alias("x_mx"),
-        F.min(y_col).cast("double").alias("y_mn"),
-        F.max(y_col).cast("double").alias("y_mx"),
+    cols = list(cols)
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_layout clusters on 2..4 columns")
+    bits = 32 // len(cols)
+    keyed = df
+    bounds = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(c).cast("double").alias(f"__{c}_mn"),
+                F.max(c).cast("double").alias(f"__{c}_mx"),
+            )
+        ]
     )
-    keyed = (
-        df.crossJoin(F.broadcast(b))
-        .withColumn("__xi", F.expr(_norm_expr(x_col, "x_mn", "x_mx")))
-        .withColumn("__yi", F.expr(_norm_expr(y_col, "y_mn", "y_mx")))
-        .withColumn(
-            "__zkey", F.expr(_interleave_sql("__xi", "__yi", "div")).cast("long")
+    keyed = df.crossJoin(F.broadcast(bounds))
+    cells = []
+    for c in cols:
+        cell = f"__cell_{c}"
+        keyed = keyed.withColumn(
+            cell, F.expr(_norm_expr(c, f"__{c}_mn", f"__{c}_mx", bits))
         )
-        .drop("x_mn", "x_mx", "y_mn", "y_mx", "__xi", "__yi")
+        cells.append(cell)
+    # round-robin bit interleave: bit i of column j lands at i*k + j
+    k = len(cols)
+    terms = " + ".join(
+        f"((({cell}) div {1 << i}) % 2) * {2 ** (i * k + j)}"
+        for j, cell in enumerate(cells)
+        for i in range(bits)
     )
+    keyed = keyed.withColumn("__zkey", F.expr(terms).cast("long"))
+    drop = [f"__{c}_mn" for c in cols] + [f"__{c}_mx" for c in cols] + cells
     (
-        keyed.repartitionByRange(n_files, "__zkey")
+        keyed.drop(*drop)
+        .repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
         .write.mode("overwrite")

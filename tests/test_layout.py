@@ -38,7 +38,7 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     zed = str(tmp_path / "zorder")
     # unclustered baseline with the same file count
     orders.repartition(16).write.mode("overwrite").parquet(plain)
-    zorder_layout(orders, "o_custkey", "o_totalprice", zed, n_files=16)
+    zorder_layout(orders, ["o_custkey", "o_totalprice"], zed, n_files=16)
 
     # identical data back
     assert spark.read.parquet(zed).count() == orders.count()
@@ -92,3 +92,24 @@ def test_zorder_key_locality(spark):
         abs(xs2[i] - xs2[i - 1]) + abs(ys2[i] - ys2[i - 1]) for i in range(1, n)
     ) / (n - 1)
     assert adj * 4 < rnd, (adj, rnd)
+
+
+def test_zorder_layout_three_dims(spark, tmp_path):
+    """3-column clustering still prunes on every clustered column (at
+    reduced 10-bit per-column resolution)."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    zed = str(tmp_path / "z3")
+    plain = str(tmp_path / "p3")
+    li.repartition(16).write.mode("overwrite").parquet(plain)
+    zorder_layout(li, ["l_partkey", "l_suppkey", "l_extendedprice"], zed, n_files=16)
+    assert spark.read.parquet(zed).count() == li.count()
+    for col, lo, hi in (
+        ("l_partkey", 100.0, 180.0),
+        ("l_suppkey", 10.0, 16.0),
+        ("l_extendedprice", 20_000.0, 24_000.0),
+    ):
+        base = _prunable_fraction(plain, col, lo, hi)
+        z = _prunable_fraction(zed, col, lo, hi)
+        assert z > base + 0.25, (col, base, z)
