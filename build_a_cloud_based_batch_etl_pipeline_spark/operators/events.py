@@ -971,3 +971,154 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_touch_id",
         "n_touches",
     )
+
+
+@query(
+    "events_sliding_distinct",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               time_bucket(INTERVAL 1 HOUR, ts)
+                   - (o.off * INTERVAL 1 HOUR) AS win_start
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    )
+    SELECT win_start,
+           win_start + INTERVAL 2 HOUR AS win_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM assigned
+    GROUP BY win_start
+    """,
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 2-hour sliding window (1-hour slide) — the
+    time-window complement of window_distinct_frame's row-frame
+    distinct. Every event lands in exactly 2 overlapping windows
+    (window length / slide), so the explode fan-out is a constant 2x.
+
+    Scale shape: Spark's F.window generates the window assignment
+    scan-side; the exact distinct is a two-phase aggregate whose
+    partial step dedups (win, user) pairs map-side before the shuffle.
+    At 100 TB swap count_distinct for the HLL sketch column
+    (agg_hll_partial_merge) and the windows become mergeable to any
+    coarser grain."""
+    ev = t(spark, sf_dir, "events")
+    win = ev.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w")
+    ).agg(F.count_distinct("user_id").alias("distinct_users"))
+    return win.select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        F.col("distinct_users").cast("long").alias("distinct_users"),
+    )
+
+
+_LTTB_BUCKET_S = 21600  # 6-hour buckets
+
+
+@query(
+    "events_downsample_lttb",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id, event_type, ts, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS x,
+               CAST(floor(floor(epoch(ts)) / {_LTTB_BUCKET_S}) AS BIGINT)
+                   AS bucket
+        FROM events
+    ),
+    bagg AS (
+        SELECT event_type, bucket,
+               CAST(round(avg(x)) AS BIGINT)  AS ax,
+               round(avg(value), 3)           AS av
+        FROM pts GROUP BY event_type, bucket
+    ),
+    anch AS (
+        SELECT event_type, bucket,
+               coalesce(lag(ax)  OVER w, ax) AS px,
+               coalesce(lag(av)  OVER w, av) AS pv,
+               coalesce(lead(ax) OVER w, ax) AS nx,
+               coalesce(lead(av) OVER w, av) AS nv
+        FROM bagg
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ),
+    scored AS (
+        SELECT p.event_type, p.bucket, p.event_id, p.ts,
+               round(p.value, 2) AS value,
+               abs((a.px - a.nx) * (p.value - a.pv)
+                   - (a.px - p.x) * (a.nv - a.pv)) AS area,
+               row_number() OVER (
+                   PARTITION BY p.event_type, p.bucket
+                   ORDER BY abs((a.px - a.nx) * (p.value - a.pv)
+                                - (a.px - p.x) * (a.nv - a.pv)) DESC,
+                            p.event_id
+               ) AS rn
+        FROM pts p JOIN anch a
+          ON p.event_type = a.event_type AND p.bucket = a.bucket
+    )
+    SELECT event_type, bucket, event_id, ts, value, round(area, 4) AS area
+    FROM scored WHERE rn = 1
+    """,
+)
+def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling for dashboards: one representative point
+    per (series, 6-hour bucket) by largest triangle area against the
+    NEIGHBOR BUCKETS' mean points — the parallel mean-anchor variant of
+    LTTB (true LTTB anchors on the previously SELECTED point, a
+    sequential dependency; anchoring on bucket means is the standard
+    parallelization and keeps the visual-salience property). Endpoint
+    buckets coalesce the missing anchor to their own mean.
+
+    Determinism across engines: anchors are ROUNDED to integer seconds
+    / 3dp values, so every triangle area is exact double arithmetic —
+    the per-bucket argmax (event_id tie-break) cannot flip on a
+    floating-point ulp.
+
+    Scale shape: one (series, bucket) aggregate, a bucket-sequence
+    lag/lead window over the AGGREGATED rows (bounded by bucket count),
+    broadcast back onto the points via the same (series, bucket) key,
+    then a per-bucket row_number. Output is one row per bucket —
+    corpus-size-independent per unit time."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.unix_timestamp("ts").alias("x"),
+        F.floor(F.unix_timestamp("ts") / _LTTB_BUCKET_S).alias("bucket"),
+    )
+    bagg = pts.groupBy("event_type", "bucket").agg(
+        F.round(F.avg("x")).cast("long").alias("ax"),
+        F.round(F.avg("value"), 3).alias("av"),
+    )
+    wb = W.partitionBy("event_type").orderBy("bucket")
+    anch = bagg.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.lag("ax").over(wb), F.col("ax")).alias("px"),
+        F.coalesce(F.lag("av").over(wb), F.col("av")).alias("pv"),
+        F.coalesce(F.lead("ax").over(wb), F.col("ax")).alias("nx"),
+        F.coalesce(F.lead("av").over(wb), F.col("av")).alias("nv"),
+    )
+    j = pts.join(anch, ["event_type", "bucket"])
+    area = F.abs(
+        (F.col("px") - F.col("nx")) * (F.col("value") - F.col("pv"))
+        - (F.col("px") - F.col("x")) * (F.col("nv") - F.col("pv"))
+    )
+    wr = W.partitionBy("event_type", "bucket").orderBy(
+        area.desc(), "event_id"
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "bucket",
+            "event_id",
+            "ts",
+            F.round("value", 2).alias("value"),
+            F.round(area, 4).alias("area"),
+        )
+    )
