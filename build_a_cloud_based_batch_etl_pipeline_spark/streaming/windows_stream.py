@@ -190,3 +190,42 @@ def asof_enrich_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def join_streams_interval_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: like
+    join_streams_interval, but a left event with NO matching right event
+    inside [left.ts, left.ts + max_delay) is still emitted — with null
+    right columns — once the watermark proves no match can still arrive.
+
+    The outer semantics are exactly why the time bound is mandatory
+    here, not merely advisable: Spark can emit the null-completed row
+    only when the right watermark passes left.ts + max_delay (the
+    buffered row's match window is provably closed), so an unbounded
+    join could never emit an outer result at all. Null completion is
+    therefore DELAYED by watermark progress — downstream consumers see
+    matches promptly and non-matches one watermark later, the standard
+    streaming-outer-join contract."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") < F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "left_outer",
+    ).select("l_key", "l_event_id", "r_event_id", "l_ts", "r_ts")

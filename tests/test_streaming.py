@@ -914,3 +914,65 @@ def test_quantile_digest_maintenance_accumulates_and_guards_replay(spark, tmp_pa
     stored2 = {r.event_type: sum(r.weights)
                for r in spark.read.parquet(digest_path).collect()}
     assert stored2 == weights, "failed run must not have touched the table"
+
+
+def test_stream_stream_interval_outer_join_null_completion(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matches emit promptly; an
+    unmatched left event emits with null right columns only after the
+    watermark proves its match window closed (advanced by later events
+    in a second run over the same checkpoint)."""
+    def drop(dirname, fname, rows):
+        d = tmp_path / dirname
+        d.mkdir(exist_ok=True)
+        with open(d / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    base = "2024-01-01T00:{m:02d}:00"
+    drop("oclicks", "f1.json", [
+        {"event_id": 1, "ts": base.format(m=0), "user_id": 7},
+        {"event_id": 2, "ts": base.format(m=5), "user_id": 8},  # never matched
+    ])
+    drop("opurch", "f1.json", [
+        {"event_id": 10, "ts": base.format(m=30), "user_id": 7},
+    ])
+    schema = "event_id long, ts timestamp, user_id long"
+    out = str(tmp_path / "oout")
+    ckpt = str(tmp_path / "ockpt")
+
+    def run_once():
+        clicks = spark.readStream.schema(schema).json(str(tmp_path / "oclicks"))
+        purchases = spark.readStream.schema(schema).json(str(tmp_path / "opurch"))
+        joined = windows_stream.join_streams_interval_outer(clicks, purchases)
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {(1, 10)}, "match emits promptly; outer row must WAIT"
+
+    # watermark advancers on BOTH sides (3h > click2.ts + 1h + 10m)
+    drop("oclicks", "f2.json", [
+        {"event_id": 3, "ts": "2024-01-01T03:00:00", "user_id": 9},
+    ])
+    drop("opurch", "f2.json", [
+        {"event_id": 13, "ts": "2024-01-01T03:00:00", "user_id": 99},
+    ])
+    run_once()
+    got2 = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (2, None) in got2, got2
+    assert (1, 10) in got2
+    # the advancer click's own window is still open -> not emitted yet
+    assert not any(l == 3 for l, _ in got2)
