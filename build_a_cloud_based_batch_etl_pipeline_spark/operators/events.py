@@ -1022,14 +1022,15 @@ _LTTB_BUCKET_S = 21600  # 6-hour buckets
     WITH pts AS (
         SELECT event_id, event_type, ts, value,
                CAST(floor(epoch(ts)) AS BIGINT) AS x,
+               CAST(round(value * 100) AS BIGINT) AS vc,
                CAST(floor(floor(epoch(ts)) / {_LTTB_BUCKET_S}) AS BIGINT)
                    AS bucket
         FROM events
     ),
     bagg AS (
         SELECT event_type, bucket,
-               CAST(round(avg(x)) AS BIGINT)  AS ax,
-               round(avg(value), 3)           AS av
+               CAST(sum(x) // count(*) AS BIGINT)  AS ax,
+               CAST(sum(vc) // count(*) AS BIGINT) AS av
         FROM pts GROUP BY event_type, bucket
     ),
     anch AS (
@@ -1044,18 +1045,19 @@ _LTTB_BUCKET_S = 21600  # 6-hour buckets
     scored AS (
         SELECT p.event_type, p.bucket, p.event_id, p.ts,
                round(p.value, 2) AS value,
-               abs((a.px - a.nx) * (p.value - a.pv)
+               abs((a.px - a.nx) * (p.vc - a.pv)
                    - (a.px - p.x) * (a.nv - a.pv)) AS area,
                row_number() OVER (
                    PARTITION BY p.event_type, p.bucket
-                   ORDER BY abs((a.px - a.nx) * (p.value - a.pv)
+                   ORDER BY abs((a.px - a.nx) * (p.vc - a.pv)
                                 - (a.px - p.x) * (a.nv - a.pv)) DESC,
                             p.event_id
                ) AS rn
         FROM pts p JOIN anch a
           ON p.event_type = a.event_type AND p.bucket = a.bucket
     )
-    SELECT event_type, bucket, event_id, ts, value, round(area, 4) AS area
+    SELECT event_type, bucket, event_id, ts, value,
+           CAST(area AS BIGINT) AS area
     FROM scored WHERE rn = 1
     """,
 )
@@ -1068,10 +1070,15 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelization and keeps the visual-salience property). Endpoint
     buckets coalesce the missing anchor to their own mean.
 
-    Determinism across engines: anchors are ROUNDED to integer seconds
-    / 3dp values, so every triangle area is exact double arithmetic —
-    the per-bucket argmax (event_id tie-break) cannot flip on a
-    floating-point ulp.
+    Determinism across engines: the ENTIRE area computation is integer
+    arithmetic — timestamps as whole seconds, values as whole cents,
+    anchors as exact integer-division means (sum div count, both sums
+    exact bigints) — so no accumulation order, rounding mode, or float
+    ulp can flip the per-bucket argmax (a round(avg(..)) formulation
+    failed the partition sweep: Spark's HALF_UP vs DuckDB's rounding of
+    an exact .5 average diverged at shuffle.partitions=1). Area is in
+    second-cent units (the 0.5 triangle factor and unit scaling drop
+    out of an argmax).
 
     Scale shape: one (series, bucket) aggregate, a bucket-sequence
     lag/lead window over the AGGREGATED rows (bounded by bucket count),
@@ -1087,11 +1094,12 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
         F.unix_timestamp("ts").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
         F.floor(F.unix_timestamp("ts") / _LTTB_BUCKET_S).alias("bucket"),
     )
     bagg = pts.groupBy("event_type", "bucket").agg(
-        F.round(F.avg("x")).cast("long").alias("ax"),
-        F.round(F.avg("value"), 3).alias("av"),
+        F.expr("sum(x) div count(*)").cast("long").alias("ax"),
+        F.expr("sum(vc) div count(*)").cast("long").alias("av"),
     )
     wb = W.partitionBy("event_type").orderBy("bucket")
     anch = bagg.select(
@@ -1104,7 +1112,7 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = pts.join(anch, ["event_type", "bucket"])
     area = F.abs(
-        (F.col("px") - F.col("nx")) * (F.col("value") - F.col("pv"))
+        (F.col("px") - F.col("nx")) * (F.col("vc") - F.col("pv"))
         - (F.col("px") - F.col("x")) * (F.col("nv") - F.col("pv"))
     )
     wr = W.partitionBy("event_type", "bucket").orderBy(
@@ -1119,6 +1127,6 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ts",
             F.round("value", 2).alias("value"),
-            F.round(area, 4).alias("area"),
+            area.cast("long").alias("area"),
         )
     )
