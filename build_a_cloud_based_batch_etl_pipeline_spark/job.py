@@ -124,6 +124,35 @@ def run_compact(spark: SparkSession, cfg: IngestConfig) -> dict[str, Any]:
         return {"success": False, "error": f"compact failed: {exc}"}
 
 
+def run_validated_stream(
+    spark: SparkSession, cfg: IngestConfig
+) -> dict[str, Any]:
+    """Validated incremental load with the quarantine reject path
+    (streaming.ingest_stream.incremental_load_validated): valid rows
+    append idempotently, rule-failing rows land epoch-partitioned with
+    reason codes. The envelope carries both counts so the scheduler can
+    alert on a quarantine spike — the ops signal the reference's silent
+    per-row BigQuery insert errors (src/load/main.py:41-43) never gave
+    anyone."""
+    from .streaming.ingest_stream import incremental_load_validated
+
+    try:
+        got = incremental_load_validated(
+            spark, cfg, quarantine_uri=f"{cfg.warehouse_uri}/_quarantine"
+        )
+        return {
+            "success": True,
+            "message": (
+                f"validated load: {got['appended']} appended, "
+                f"{got['quarantined']} quarantined"
+            ),
+            "rows_appended": got["appended"],
+            "rows_quarantined": got["quarantined"],
+        }
+    except Exception as exc:
+        return {"success": False, "error": f"validated stream failed: {exc}"}
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI entry point:
     ``spark-submit path/to/build_a_cloud_based_batch_etl_pipeline_spark/job.py <step>`` or
@@ -134,7 +163,11 @@ def main(argv: list[str] | None = None) -> int:
     reference handlers' HTTP 500)."""
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
-        "step", choices=["extract", "load", "pipeline", "stream", "compact"]
+        "step",
+        choices=[
+            "extract", "load", "pipeline", "stream", "stream-validated",
+            "compact",
+        ],
     )
     args = ap.parse_args(argv)
 
@@ -147,6 +180,7 @@ def main(argv: list[str] | None = None) -> int:
         "load": run_load,
         "pipeline": run_pipeline,
         "stream": run_stream,
+        "stream-validated": run_validated_stream,
         "compact": run_compact,
     }[args.step]
     envelope = step(spark, cfg)

@@ -91,3 +91,26 @@ def test_job_compact_step(spark, tmp_path, monkeypatch):
     assert out["success"] is True and out["files"] >= 1
     from build_a_cloud_based_batch_etl_pipeline_spark import ingest
     assert ingest.read_table(spark, cfg).count() == 50
+
+
+def test_stream_validated_step_envelope(spark, tmp_path):
+    """The validated streaming step reports appended AND quarantined
+    counts in one envelope (the quarantine-spike alert signal), and a
+    drained rerun moves nothing."""
+    import json as _json
+
+    bad_fixture = POSTS_FIXTURE + [
+        {"userId": None, "id": 3, "title": "no-user", "body": "b3"},
+    ]
+    cfg = _cfg(tmp_path)
+    assert job.run_extract(
+        spark, cfg, fetcher=lambda url: _json.dumps(bad_fixture).encode()
+    )["success"]
+    env = job.run_validated_stream(spark, cfg)
+    assert env["success"] is True
+    assert env["rows_appended"] == 2
+    assert env["rows_quarantined"] == 1
+    quar = spark.read.parquet(f"{cfg.warehouse_uri}/_quarantine")
+    assert quar.count() == 1 and quar.first().reasons == "userid_null"
+    env2 = job.run_validated_stream(spark, cfg)
+    assert (env2["rows_appended"], env2["rows_quarantined"]) == (0, 0)
