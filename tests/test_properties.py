@@ -336,3 +336,78 @@ def test_diff_snapshots_matches_bruteforce(spark, old, new):
         elif old_d[k] != new_d[k]:
             want[k] = ("changed", old_d[k], new_d[k])
     assert got == want
+
+
+# intervals: (id-ordinal, start-day, length-days) per side; small domain
+# forces overlaps, bucket-straddling, and same-part collisions.
+iv_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 80), st.integers(0, 20)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lft=iv_strategy, rgt=iv_strategy)
+def test_interval_overlap_bucketing_matches_bruteforce(spark, lft, rgt):
+    """The bucketize-explode-equijoin-residual plan of
+    join_interval_overlap must find EXACTLY the brute-force overlap
+    pairs, for every bucket-straddling configuration — including
+    intervals longer than a bucket (fan-out > 2), zero-length
+    intervals, and boundary touches (closed-interval semantics)."""
+    from pyspark.sql import functions as F
+
+    def rows(side, tag):
+        return [
+            (tag * 1000 + i, k, s, s + ln)
+            for i, (k, s, ln) in enumerate(side)
+        ]
+
+    lrows, rrows = rows(lft, 1), rows(rgt, 2)
+    schema = "iv_id long, part long, s long, e long"
+    ldf = spark.createDataFrame(lrows, schema)
+    rdf = spark.createDataFrame(rrows, schema)
+
+    bucket_days = 7  # < max interval length: forces fan-out > 2
+
+    def side(df, prefix):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s") / bucket_days),
+                    F.floor(F.col("e") / bucket_days),
+                )
+            ),
+        ).select(
+            F.col("iv_id").alias(f"{prefix}_id"),
+            F.col("part").alias(f"{prefix}_part"),
+            F.col("s").alias(f"{prefix}_s"),
+            F.col("e").alias(f"{prefix}_e"),
+            "bucket",
+        )
+
+    l, r = side(ldf, "l"), side(rdf, "r")
+    got = {
+        (row.l_id, row.r_id)
+        for row in l.join(
+            r,
+            (F.col("l_part") == F.col("r_part"))
+            & (l.bucket == r.bucket)
+            & (F.col("l_s") <= F.col("r_e"))
+            & (F.col("r_s") <= F.col("l_e")),
+        )
+        .dropDuplicates(["l_id", "r_id"])
+        .collect()
+    }
+    want = {
+        (li, ri)
+        for (li, lk, ls, le) in lrows
+        for (ri, rk, rs, re) in rrows
+        if lk == rk and ls <= re and rs <= le
+    }
+    assert got == want
