@@ -135,7 +135,6 @@ def zorder_layout(
     if not 2 <= len(cols) <= 4:
         raise ValueError("zorder_layout clusters on 2..4 columns")
     bits = 32 // len(cols)
-    keyed = df
     bounds = df.agg(
         *[
             f

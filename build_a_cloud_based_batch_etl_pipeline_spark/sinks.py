@@ -362,6 +362,13 @@ def publish_version(spark, df, root: str) -> int:
       reader holding version <k> is never invalidated by a publish
       (snapshot isolation by immutability — files of a published
       version are never touched again).
+
+    Single-writer, like every swap-committed table in this engine
+    (SCALE.md "Crash-safety"): two concurrent publishers would race the
+    same staging name and pointer flip — serialized publishes (one
+    maintenance job / stream) are the contract; multi-writer commits
+    need a lakehouse format's metadata transaction, which this sandbox
+    lacks the jars for.
     """
     jvm, fs = _vfs(spark, root)
     published = current_version(spark, root)
