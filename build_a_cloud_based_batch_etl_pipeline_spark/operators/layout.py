@@ -42,11 +42,14 @@ def _interleave_sql(xcol: str, ycol: str, idiv: str, bits: int = _Z_BITS) -> str
 
 
 # Normalization to the 16-bit grid. Floating ops are written identically
-# on both engines (same IEEE double arithmetic => same result bits), and
-# the guard caps x == max onto the top cell.
+# on both engines (same IEEE double arithmetic => same result bits), the
+# guard caps x == max onto the top cell, and a constant column
+# (mx == mn => division by NULL) degrades to cell 0 for every row
+# instead of NULL keys — the clustering contribution of a constant
+# column is zero either way, but the key stays sortable.
 _NORM = (
-    "least(cast(floor(({col} - {mn}) * {scale} / nullif(({mx} - {mn}), 0.0)) "
-    "as bigint), {top})"
+    "coalesce(least(cast(floor(({col} - {mn}) * {scale} "
+    "/ nullif(({mx} - {mn}), 0.0)) as bigint), {top}), 0)"
 )
 
 

@@ -512,9 +512,14 @@ def write_manifest(spark, path: str) -> dict:
     copy BEFORE pointing a 10k-GPU job at it. Returns the manifest dict.
 
     The hashing runs distributed (binaryFile source + a Python sha256
-    per file — one Arrow batch each, no driver reads of data bytes);
-    row counts come from parquet footers via a metadata-only read.
-    The manifest is `_`-prefixed so parquet readers skip it."""
+    per file — no driver reads of data bytes); row counts come from
+    parquet footers via a metadata-only read. The manifest is
+    `_`-prefixed so parquet readers skip it. Memory note: binaryFile
+    materializes one whole file per row, so executor memory bounds the
+    shard size — size shards via write_sharded's target_rows_per_file
+    (a few hundred MB per shard is the usual training-data shape;
+    multi-GB shards would need a chunked Hadoop-stream hasher
+    instead)."""
     import json as _json
 
     hashed, rows = _hash_dataset(spark, path)
