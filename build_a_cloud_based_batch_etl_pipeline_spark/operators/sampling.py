@@ -750,3 +750,137 @@ def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# Bloom pre-filter demo geometry: DELIBERATELY tiny (2 x 62-bit words)
+# so the confusion matrix exhibits real false positives at fixture
+# scale; production sizes m ~ 10 bits/key (fp ~ 1%). k = 4 hashes.
+_BLOOM_WORDS = 2
+_BLOOM_BITS = 62 * _BLOOM_WORDS
+_BLOOM_K = 4
+
+_BLOOM_ORACLE = f"""
+WITH docs_fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VALID_LT}'
+               AS is_eval
+    FROM documents
+),
+eval_pos AS (
+    SELECT DISTINCT
+           ('0x' || substring(md5(i.i || ':' || fp), 1, 8))::BIGINT
+               % {_BLOOM_BITS} AS pos
+    FROM docs_fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+    WHERE is_eval
+),
+bitset AS (
+    SELECT pos // 62 AS word, bit_or(1::BIGINT << (pos % 62)) AS bits
+    FROM eval_pos GROUP BY pos // 62
+),
+eval_fps AS (SELECT DISTINCT fp FROM docs_fp WHERE is_eval),
+train_probe AS (
+    SELECT d.doc_id, d.fp,
+           ('0x' || substring(md5(i.i || ':' || d.fp), 1, 8))::BIGINT
+               % {_BLOOM_BITS} AS pos
+    FROM docs_fp d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+    WHERE NOT d.is_eval
+),
+probed AS (
+    SELECT t.doc_id, t.fp,
+           bool_and(coalesce((b.bits >> (t.pos % 62)) & 1, 0) = 1)
+               AS bloom_hit
+    FROM train_probe t
+    LEFT JOIN bitset b ON b.word = t.pos // 62
+    GROUP BY t.doc_id, t.fp
+)
+SELECT p.bloom_hit,
+       (e.fp IS NOT NULL) AS exact_hit,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM probed p LEFT JOIN eval_fps e ON p.fp = e.fp
+GROUP BY p.bloom_hit, (e.fp IS NOT NULL)
+"""
+
+
+@query("decontaminate_bloom_confusion", oracle=_BLOOM_ORACLE)
+def decontaminate_bloom_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter, with its own proof: build
+    a Bloom bitset over the eval split's normalized fingerprints
+    DISTRIBUTED (explode k=4 hash positions -> bit_or per 62-bit word —
+    the bitset is a 2-row table here, megabytes at production size, and
+    broadcasts), probe every training doc, and emit the
+    (bloom_hit, exact_hit) confusion matrix. The one-sided guarantee is
+    visible in the output: the (false, true) cell — an exact duplicate
+    the filter missed — must be zero ALWAYS; the (true, false) cell is
+    the false-positive cost, deliberately nonzero here (demo-tiny m =
+    124 bits; production sizes ~10 bits/key for ~1% fp).
+
+    Why a pipeline wants it: the exact decontamination sweep
+    (decontaminate_ngram_overlap) joins every candidate against the
+    full eval index; the Bloom probe is a broadcast-only scan-side
+    pre-filter that discards the overwhelming clean majority before
+    that join touches them. All hashing is md5 arithmetic, so the
+    whole filter — build, probe, matrix — is DuckDB-oracled.
+
+    Scale shape: build = one explode + word-keyed bit_or (map-side
+    combined, output bounded by m/62 rows); probe = k scan-side hashes
+    per doc + a broadcast join to the bitset + a doc-keyed bool_and;
+    matrix = constant-size aggregate."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp"),
+        (_split_bucket() < _VALID_LT).alias("is_eval"),
+    )
+    ks = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("fp"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_BITS
+    )
+    eval_pos = (
+        docs.filter("is_eval")
+        .select("fp", ks)
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+    bitset = eval_pos.groupBy(
+        (F.col("pos") / 62).cast("long").alias("word")
+    ).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 62 as int)))").alias(
+            "bits"
+        )
+    )
+    eval_fps = docs.filter("is_eval").select("fp").distinct()
+    probe = (
+        docs.filter(~F.col("is_eval"))
+        .select("doc_id", "fp", ks)
+        .select("doc_id", "fp", pos.alias("pos"))
+        .withColumn("word", (F.col("pos") / 62).cast("long"))
+    )
+    probed = (
+        probe.join(F.broadcast(bitset), "word", "left")
+        .withColumn(
+            "bit_set",
+            F.coalesce(
+                F.expr("shiftright(bits, cast(pos % 62 as int)) & 1"), F.lit(0)
+            )
+            == 1,
+        )
+        .groupBy("doc_id", "fp")
+        .agg(F.bool_and("bit_set").alias("bloom_hit"))
+    )
+    marked = probed.join(
+        F.broadcast(eval_fps.withColumn("exact_hit", F.lit(True))), "fp", "left"
+    ).select(
+        "bloom_hit", F.coalesce("exact_hit", F.lit(False)).alias("exact_hit")
+    )
+    return marked.groupBy("bloom_hit", "exact_hit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -152,3 +152,43 @@ def test_strata_threshold_clamps_and_keeps_all_at_full_fraction():
     assert _strata_hex_lt(0.5) == "8000"
     assert _strata_hex_lt(0.2) == "3333"
     assert _strata_hex_lt(0.0) == "0000"
+
+
+def test_bloom_confusion_one_sided_guarantee(spark, monkeypatch):
+    """The Bloom pre-filter can NEVER miss an exact duplicate (the
+    (bloom=False, exact=True) cell must be empty) and must flag a
+    PLANTED cross-split duplicate as (True, True); false positives are
+    allowed (and expected at the demo-tiny m)."""
+    import hashlib
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        sampling as sampling_mod,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.sampling import (
+        _TEST_LT,
+        _VALID_LT,
+        decontaminate_bloom_confusion,
+    )
+
+    def bucket(i: int) -> str:
+        return hashlib.md5(str(i).encode()).hexdigest()[:2]
+
+    eval_id = next(i for i in range(1000) if bucket(i) < _VALID_LT)
+    train_id = next(i for i in range(1000) if bucket(i) >= _TEST_LT)
+    others = [i for i in range(1000) if bucket(i) >= _TEST_LT and i != train_id][:40]
+
+    rows = [(eval_id, "the planted duplicate text", "en", "s", 20)]
+    rows += [(train_id, "the planted duplicate text", "en", "s", 20)]
+    rows += [(i, f"unique text number {i} with words", "en", "s", 30) for i in others]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(sampling_mod, "t", lambda s, d, n: docs)
+
+    cells = {
+        (r.bloom_hit, r.exact_hit): r.n_docs
+        for r in decontaminate_bloom_confusion(spark, "ignored").collect()
+    }
+    assert (False, True) not in cells, cells  # one-sided: no false negatives
+    assert cells.get((True, True), 0) == 1, cells  # the planted dup is caught
+    assert sum(cells.values()) == 1 + len(others)
