@@ -482,14 +482,19 @@ counts AS (
     FROM binned GROUP BY bin
 ),
 cum AS (
-    SELECT bin,
+    SELECT bin, ca, cb,
            sum(ca) OVER (ORDER BY bin) * 1.0
                / NULLIF((SELECT sum(ca) FROM counts), 0) AS fa,
            sum(cb) OVER (ORDER BY bin) * 1.0
-               / NULLIF((SELECT sum(cb) FROM counts), 0) AS fb
+               / NULLIF((SELECT sum(cb) FROM counts), 0) AS fb,
+           (ca + 0.5) / ((SELECT sum(ca) FROM counts) + 0.5 * 256.0)
+               AS pa,
+           (cb + 0.5) / ((SELECT sum(cb) FROM counts) + 0.5 * 256.0)
+               AS pb
     FROM counts
 )
 SELECT round(max(abs(fa - fb)), 4)  AS ks_distance,
+       round(sum((pa - pb) * ln(pa / pb)), 4) AS psi,
        CAST((SELECT sum(ca) FROM counts) AS BIGINT) AS n_a,
        CAST((SELECT sum(cb) FROM counts) AS BIGINT) AS n_b
 FROM cum
@@ -499,11 +504,12 @@ FROM cum
 @query("dq_ks_drift", oracle=_KS_ORACLE)
 def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift detection: the two-sample Kolmogorov-Smirnov
-    distance between two segments' value distributions (here the
-    'click' vs 'purchase' event types), computed on a fixed 256-bin
-    grid — the drift monitor a production pipeline runs between
-    yesterday's and today's feature distribution before trusting a
-    batch.
+    distance AND the population stability index (PSI, Laplace-smoothed
+    bin shares so empty bins can't hit ln(0)) between two segments'
+    value distributions (here the 'click' vs 'purchase' event types),
+    computed on a fixed 256-bin grid — the two standard drift monitors
+    a production pipeline runs between yesterday's and today's feature
+    distribution before trusting a batch.
 
     Grid-based on purpose: the exact KS statistic needs a global sort
     of every value (single-partition at 100 TB); quantizing to a fixed
@@ -537,14 +543,22 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    # PSI uses Laplace-smoothed bin shares (+0.5 per bin) so empty bins
+    # cannot produce ln(0) — same smoothing on both engines.
     cum = counts.crossJoin(F.broadcast(tot)).select(
         (F.sum("ca").over(w) * 1.0 / F.nullif(F.col("na"), F.lit(0))).alias("fa"),
         (F.sum("cb").over(w) * 1.0 / F.nullif(F.col("nb"), F.lit(0))).alias("fb"),
+        ((F.col("ca") + 0.5) / (F.col("na") + 0.5 * _KS_BINS)).alias("pa"),
+        ((F.col("cb") + 0.5) / (F.col("nb") + 0.5 * _KS_BINS)).alias("pb"),
         "na",
         "nb",
     )
     return cum.agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 4).alias("ks_distance"),
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+            4,
+        ).alias("psi"),
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
     )
