@@ -149,7 +149,10 @@ def test_r6_operators_handle_empty_inputs(spark, monkeypatch):
         agg_mod.sketch_tdigest_quantiles,
         text_mod.text_bm25_rank,
         events_mod.events_attribution,
+        events_mod.events_sliding_distinct,
+        events_mod.events_downsample_lttb,
         sampling_mod.sample_shuffle_shards,
+        sampling_mod.decontaminate_bloom_confusion,
     ):
         assert fn(spark, "ignored").count() == 0, fn.__name__
 
@@ -157,3 +160,5 @@ def test_r6_operators_handle_empty_inputs(spark, monkeypatch):
     assert dq_mod.dq_expectations(spark, "ignored").count() == 10
     card = dq_mod.pipeline_dataset_card(spark, "ignored")
     assert card.count() == 8
+    # global-agg report: one row of NULL statistics, not a crash
+    assert dq_mod.dq_ks_drift(spark, "ignored").count() == 1

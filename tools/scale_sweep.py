@@ -185,6 +185,12 @@ def main() -> None:
             "text_inverted_index",
             "text_phrase_search",
             "pipeline_dataset_card",
+            # BM25 scoring touches only the query terms' postings after
+            # the shared tf shuffle; the Bloom confusion build/probe is
+            # one explode + a broadcast bitset join — both must track
+            # the corpus linearly.
+            "text_bm25_rank",
+            "decontaminate_bloom_confusion",
         ]
         for name in sweep_queries:
             fn = reg[name].fn
