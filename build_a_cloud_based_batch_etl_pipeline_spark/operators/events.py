@@ -1130,3 +1130,59 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             area.cast("long").alias("area"),
         )
     )
+
+
+@query(
+    "events_lag_features",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 2) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, day, y,
+           lag(y, 1) OVER w AS lag_1,
+           lag(y, 7) OVER w AS lag_7,
+           round(avg(y) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS roll_mean_7,
+           round(stddev_samp(y)
+                     OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS roll_std_7,
+           round(y - lag(y, 7) OVER w, 4) AS diff_7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature matrix for per-series forecasting:
+    daily target plus lag-1/lag-7 values, trailing 7-day rolling
+    mean/std, and the week-over-week difference — the standard feature
+    set a gradient-boosted or linear forecaster trains on, generated
+    at warehouse scale.
+
+    Built on the ROUNDED daily target (2dp) so every downstream lag /
+    rolling stat starts from bit-identical inputs in both engines;
+    rolling stats round 4dp.
+
+    Scale shape: one (series, day) aggregate (map-side combined), then
+    every lag and rolling frame shares ONE series-keyed window
+    partitioning over the day-level rows — the input to the windows is
+    days x series, not raw events."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("y"))
+    w = W.partitionBy("event_type").orderBy("day")
+    wf = w.rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.lag("y", 1).over(w).alias("lag_1"),
+        F.lag("y", 7).over(w).alias("lag_7"),
+        F.round(F.avg("y").over(wf), 4).alias("roll_mean_7"),
+        F.round(F.stddev_samp("y").over(wf), 4).alias("roll_std_7"),
+        F.round(F.col("y") - F.lag("y", 7).over(w), 4).alias("diff_7"),
+    )
