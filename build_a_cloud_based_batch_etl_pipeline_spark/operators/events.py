@@ -1186,3 +1186,38 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("y").over(wf), 4).alias("roll_std_7"),
         F.round(F.col("y") - F.lag("y", 7).over(w), 4).alias("diff_7"),
     )
+
+
+@query(
+    "events_calendar_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT)      AS hour,
+           CAST(count(*) AS BIGINT)      AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(avg(value), 4)          AS avg_value
+    FROM events
+    GROUP BY dayofweek(ts), hour(ts)
+    """,
+)
+def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar activity heatmap: event volume, distinct users, and mean
+    value per (day-of-week, hour-of-day) cell — the seasonality profile
+    behind capacity planning and anomaly baselines (an hourly z-score
+    without this profile flags every Monday morning).
+
+    Dialect note: DuckDB's dayofweek() is 0=Sunday..6 while Spark's is
+    1=Sunday..7 — the Spark side subtracts 1 so both engines emit the
+    same 0-based day index.
+
+    Scale shape: one 168-group aggregate, map-side combined; the
+    distinct-user count is the only expand, bounded by 168 x users."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
