@@ -562,3 +562,83 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_column_profile — ANALYZE-style per-column statistics report
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT)   AS n_distinct,
+           CAST(min({c}) AS VARCHAR)             AS min_value,
+           CAST(max({c}) AS VARCHAR)             AS max_value,
+           (SELECT CAST(v AS VARCHAR) FROM (
+                SELECT {c} AS v, count(*) AS cnt FROM orders
+                WHERE {c} IS NOT NULL
+                GROUP BY {c}
+                ORDER BY cnt DESC, CAST({c} AS VARCHAR) LIMIT 1))
+               AS top_value
+    FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_column_profile", oracle=_profile_oracle())
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table: per column the
+    null count, exact distinct count, min/max (rendered as strings so
+    one report row type covers every column type), and the most
+    frequent value (count desc, string tie-break) — the statistics a
+    data catalog shows and a cost-based optimizer feeds on.
+
+    Scale shape: the null/distinct/min-max block is ONE shared
+    scan + per-column aggregates; each top-value needs its own grouped
+    count (cardinality-bounded by the column's domain). At 100 TB this
+    is the scheduled ANALYZE maintenance job, and the exact distinct
+    swaps for approx_count_distinct — same report schema."""
+    orders = t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    base = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    stats = base.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) as "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+    tops = None
+    for c in _PROFILE_COLS:
+        topc = (
+            orders.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "v")
+            .limit(1)
+            .select(F.lit(c).alias("column_name"), F.col("v").alias("top_value"))
+        )
+        tops = topc if tops is None else tops.unionByName(topc)
+    return stats.join(tops, "column_name", "left").select(
+        "column_name", "n_nulls", "n_distinct", "min_value", "max_value", "top_value"
+    )
