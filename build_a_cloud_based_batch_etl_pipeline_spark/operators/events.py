@@ -1195,7 +1195,8 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(hour(ts) AS BIGINT)      AS hour,
            CAST(count(*) AS BIGINT)      AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           round(avg(value), 4)          AS avg_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) * 1.0
+                 / count(*) / 100, 4)    AS avg_value
     FROM events
     GROUP BY dayofweek(ts), hour(ts)
     """,
@@ -1219,5 +1220,14 @@ def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        # exact-cents mean: the value column is 2dp, so summing cents is
+        # an exact bigint — the 4dp round cannot flip with accumulation
+        # order (a float avg() diverged at shuffle.partitions=1)
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            * 1.0
+            / F.count(F.lit(1))
+            / 100,
+            4,
+        ).alias("avg_value"),
     )
