@@ -642,3 +642,63 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(tops, "column_name", "left").select(
         "column_name", "n_nulls", "n_distinct", "min_value", "max_value", "top_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness — ingestion-freshness / staleness report
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_ORACLE = """
+WITH hwm AS (SELECT max(ts) AS global_max FROM events)
+SELECT event_type,
+       max(ts)                           AS last_event,
+       CAST(count(*) AS BIGINT)          AS n_events,
+       CAST(floor((floor(epoch(global_max)) - floor(epoch(max(ts)))) / 60)
+            AS BIGINT) AS minutes_behind,
+       CAST(sum(CASE WHEN ts >= global_max - INTERVAL 24 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h,
+       floor((floor(epoch(global_max)) - floor(epoch(max(ts)))) / 60) > 120
+           AS is_stale
+FROM events CROSS JOIN hwm
+GROUP BY event_type, global_max
+"""
+
+
+@query("dq_freshness", oracle=_FRESHNESS_ORACLE)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-freshness report: per source stream (event_type), the
+    last event seen, how many minutes it lags the newest data anywhere
+    (the high-water mark), last-24h volume, and a staleness flag at a
+    2-hour threshold — the monitor that catches one silent upstream
+    (the reference's Pub/Sub chain drops a subscription and nobody
+    notices until the dashboard flatlines; this query IS the notice).
+
+    The lag is measured against the data's own high-water mark, not
+    wall clock, so the report is deterministic over a fixture and
+    equally valid on a live table (the HWM then approximates now).
+
+    Scale shape: one global-max aggregate (1 row, broadcast back via
+    crossJoin) and one per-source aggregate pass — both map-side
+    combined; output is one row per source."""
+    ev = t(spark, sf_dir, "events")
+    hwm = ev.agg(F.max("ts").alias("global_max"))
+    j = ev.crossJoin(F.broadcast(hwm))
+    minutes_behind = F.floor(
+        (
+            F.unix_timestamp(F.max("global_max"))
+            - F.unix_timestamp(F.max("ts"))
+        )
+        / 60
+    ).cast("long")
+    return j.groupBy("event_type").agg(
+        F.max("ts").alias("last_event"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        minutes_behind.alias("minutes_behind"),
+        F.sum(
+            (
+                F.col("ts")
+                >= F.col("global_max") - F.expr("INTERVAL 24 HOURS")
+            ).cast("long")
+        ).alias("n_last_24h"),
+        (minutes_behind > 120).alias("is_stale"),
+    )

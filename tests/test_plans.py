@@ -102,6 +102,8 @@ INTENTIONAL_CROSS = {
     "agg_hll_intersection",
     # 1-row global min/max bounds + totals broadcasts for the KS grid
     "dq_ks_drift",
+    # 1-row ingestion high-water-mark broadcast onto the event scan
+    "dq_freshness",
 }
 
 
