@@ -190,6 +190,17 @@ def main() -> None:
         "text_vocab_coverage": 0.261,
         "dedup_ngram_containment": 0.413,
         "events_latency_percentiles": 0.362,
+        # r6 first-benched rows, anchored to their BENCH_r06 values
+        # (VERDICT r6 item 8 — every suite member now has an anchor).
+        # text_filter_funnel's anchor is its r6 three-scan composition;
+        # the r7 single-scan fusion should land well under 1.0.
+        "dedup_repeated_spans": 0.875,
+        "dedup_incremental_index": 1.458,
+        "embed_ann_pq_indexed": 1.460,
+        "text_filter_funnel": 2.581,
+        "snapshot_diff": 0.375,
+        "text_inverted_index": 0.478,
+        "sketch_tdigest_quantiles": 0.877,
     }
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
     if os.path.exists(anchor_path):

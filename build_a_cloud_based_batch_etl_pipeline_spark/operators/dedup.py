@@ -650,7 +650,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = members.select("doc_id", F.col("doc_id").alias("label"))
     linked = propagate_min_label(nodes, edges)
-    labels = docs.join(linked, "doc_id", "left").select(
+    # Pin the join strategy explicitly: `linked` is edge-participant
+    # bounded (|E|-sized, tiny next to |V| on a deduplicated corpus), so
+    # broadcasting it is the right call at 100 TB AND makes the physical
+    # plan deterministic — without the hint Catalyst's size estimate for
+    # the localCheckpoint subtree flips broadcast<->SMJ depending on
+    # whether the cache_once("mh_edges") subtree is already materialized
+    # (VERDICT r6: warm-captured PLANS.md budget busted from a cold
+    # session). The |V|-bounded `sizes` join stays sort-merge: one row
+    # per cluster label can approach one row per document, which must
+    # never be broadcast.
+    labels = docs.join(F.broadcast(linked), "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("label")
     )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
@@ -681,7 +691,9 @@ def dedup_clusters_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = members.select("doc_id", F.col("doc_id").alias("label"))
     linked = propagate_min_label_doubling(nodes, edges)
-    labels = docs.join(linked, "doc_id", "left").select(
+    # Same deterministic-plan pin as dedup_clusters: broadcast the
+    # |E|-bounded label map, keep the |V|-bounded sizes join sort-merge.
+    labels = docs.join(F.broadcast(linked), "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("label")
     )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
@@ -1084,4 +1096,77 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+_TRIANGLE_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                                 || ' ' || w[CAST(i AS INT) + 2] AS s
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz x ON doc_a = x.doc_id
+        JOIN sz y ON doc_b = y.doc_id
+        WHERE common * 1.0 / (x.n + y.n - common) >= 0.5
+    )
+    SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
+    FROM edges e1
+    JOIN edges e2 ON e1.doc_b = e2.doc_a
+    JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""
+
+
+@query("dedup_triangle_count", oracle=_TRIANGLE_ORACLE)
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-duplicate graph — the graph
+    quality metric behind duplicate-cluster density (a clique-heavy dup
+    graph means mass duplication and safe aggressive dropping; a
+    triangle-free one means chains of borderline pairs where
+    keep-one-per-cluster loses content). Output: one row per triangle
+    (doc_a < doc_b < doc_c).
+
+    Algorithm: with every edge oriented low->high id, a triangle
+    {a<b<c} appears EXACTLY once as edges (a,b), (b,c), (a,c) — two
+    equi-joins, no dedup pass, no direction explosion. The id ordering
+    is the standard degree-ordering surrogate: each wedge (a,b)x(b,c)
+    is generated once, then confirmed by the closing-edge hash join.
+
+    Scale shape: |E| is the LSH output (occupancy-capped, near-linear
+    in corpus size); wedges are sum-of-squares of VERTEX degrees in
+    the dup graph — bounded because near-dup cluster sizes are bounded
+    by the banding threshold, and a pathological hub would already
+    have blown up the LSH pair stage, not this one. Both joins shuffle
+    on a single id column; the edge set is |E|-bounded so at any SF
+    the whole stage is dwarfed by the LSH pass that produced it.
+
+    Oracled against the exact Jaccard >= 0.5 edge set (same
+    LSH-equals-exact fixture argument as dedup_clusters)."""
+    edges = cache_once(
+        spark,
+        ("mh_edges", sf_dir),
+        lambda: dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("c").alias("doc_c"),
+        )
     )

@@ -487,9 +487,9 @@ cum AS (
                / NULLIF((SELECT sum(ca) FROM counts), 0) AS fa,
            sum(cb) OVER (ORDER BY bin) * 1.0
                / NULLIF((SELECT sum(cb) FROM counts), 0) AS fb,
-           (ca + 0.5) / ((SELECT sum(ca) FROM counts) + 0.5 * 256.0)
+           (ca + 0.5) / ((SELECT sum(ca) FROM counts) + 0.5 * {_KS_BINS}.0)
                AS pa,
-           (cb + 0.5) / ((SELECT sum(cb) FROM counts) + 0.5 * 256.0)
+           (cb + 0.5) / ((SELECT sum(cb) FROM counts) + 0.5 * {_KS_BINS}.0)
                AS pb
     FROM counts
 )
@@ -701,4 +701,88 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("n_last_24h"),
         (minutes_behind > 120).alias("is_stale"),
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS rel,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the referential
+    half of the DQ surface (dq_expectations covers row-level rules,
+    this covers cross-table integrity): for each FK relationship, total
+    child rows and how many reference a missing parent. A warehouse
+    that ingests facts and dims from independent feeds (exactly the
+    reference's per-table load functions) drifts here first.
+
+    Scale shape: each relation is ONE left-anti join shuffled on the
+    key (map-side-combined count), with the small parents (nation,
+    customer key projection) broadcast under AQE; the five 1-row counts
+    union into a constant-size report. No driver collects."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def audit(rel: str, child: DataFrame, key, parent_keys: DataFrame):
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = child.join(parent_keys, key, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        return (
+            total.crossJoin(orphans)
+            .select(F.lit(rel).alias("rel"), "n_child", "n_orphans")
+        )
+
+    return (
+        audit("lineitem->orders", li.select("l_orderkey"),
+              li.l_orderkey == orders.o_orderkey,
+              orders.select("o_orderkey"))
+        .unionByName(audit("lineitem->part", li.select("l_partkey"),
+                           F.col("l_partkey") == F.col("p_partkey"),
+                           t(spark, sf_dir, "part").select("p_partkey")))
+        .unionByName(audit("lineitem->supplier", li.select("l_suppkey"),
+                           F.col("l_suppkey") == F.col("s_suppkey"),
+                           t(spark, sf_dir, "supplier").select("s_suppkey")))
+        .unionByName(audit("orders->customer", orders.select("o_custkey"),
+                           F.col("o_custkey") == F.col("c_custkey"),
+                           cust.select("c_custkey")))
+        .unionByName(audit("customer->nation", cust.select("c_nationkey"),
+                           F.col("c_nationkey") == F.col("n_nationkey"),
+                           t(spark, sf_dir, "nation").select("n_nationkey")))
     )

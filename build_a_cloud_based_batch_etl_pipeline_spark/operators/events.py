@@ -1072,8 +1072,9 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism across engines: the ENTIRE area computation is integer
     arithmetic — timestamps as whole seconds, values as whole cents,
-    anchors as exact integer-division means (sum div count, both sums
-    exact bigints) — so no accumulation order, rounding mode, or float
+    anchors as exact FLOOR-division means (pmod-adjusted bigint div,
+    matching DuckDB's flooring `//` even for negative sums) — so no
+    accumulation order, rounding mode, or float
     ulp can flip the per-bucket argmax (a round(avg(..)) formulation
     failed the partition sweep: Spark's HALF_UP vs DuckDB's rounding of
     an exact .5 average diverged at shuffle.partitions=1). Area is in
@@ -1097,9 +1098,19 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("vc"),
         F.floor(F.unix_timestamp("ts") / _LTTB_BUCKET_S).alias("bucket"),
     )
+    # FLOOR-division means, not `div` (which truncates toward zero):
+    # DuckDB's `//` floors, so a negative sum (possible for vc — values
+    # can be negative cents) would diverge between engines under plain
+    # `div`. pmod() is non-negative for a positive divisor, so
+    # (s - pmod(s, n)) is the largest multiple of n <= s and the `div`
+    # is exact — floor semantics in pure bigint arithmetic (ADVICE r6).
     bagg = pts.groupBy("event_type", "bucket").agg(
-        F.expr("sum(x) div count(*)").cast("long").alias("ax"),
-        F.expr("sum(vc) div count(*)").cast("long").alias("av"),
+        F.expr("(sum(x) - pmod(sum(x), count(*))) div count(*)")
+        .cast("long")
+        .alias("ax"),
+        F.expr("(sum(vc) - pmod(sum(vc), count(*))) div count(*)")
+        .cast("long")
+        .alias("av"),
     )
     wb = W.partitionBy("event_type").orderBy("bucket")
     anch = bagg.select(

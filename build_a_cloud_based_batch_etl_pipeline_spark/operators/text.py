@@ -1186,8 +1186,6 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
     wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
-    ra AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_words
-           FROM wc GROUP BY doc_id),
     bi AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_toks,
@@ -1197,25 +1195,26 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                         string_split(text, ' ')[i + 1]))) AS uniq_bigrams
         FROM documents
     ),
+    freq AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf FROM wc GROUP BY w),
+    tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_corpus FROM freq),
+    rl AS (
+        SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_words,
+               sum(c * ln(cf * 1.0 / n_corpus)) AS wlp
+        FROM wc JOIN freq USING (w) CROSS JOIN tot
+        GROUP BY doc_id
+    ),
     r AS (
-        SELECT ra.doc_id,
+        SELECT rl.doc_id,
                round(top_cnt * 1.0 / n_words, 4) <= 0.2
                  AND coalesce(round(uniq_bigrams * 1.0
                                     / NULLIF(n_toks - 1, 0), 4) >= 0.5,
-                              TRUE) AS p_r
-        FROM ra JOIN bi ON ra.doc_id = bi.doc_id
-    ),
-    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM freq),
-    l AS (
-        SELECT doc_id,
-               round(-avg(ln(c * 1.0 / n_corpus)), 4) <= 8.0 AS p_l
-        FROM toks JOIN freq USING (w) CROSS JOIN tot
-        GROUP BY doc_id
+                              TRUE) AS p_r,
+               round(-wlp / n_words, 4) <= 8.0 AS p_l
+        FROM rl JOIN bi ON rl.doc_id = bi.doc_id
     ),
     flags AS (
         SELECT g.doc_id, p_g, p_r, p_l
-        FROM g JOIN r ON g.doc_id = r.doc_id JOIN l ON g.doc_id = l.doc_id
+        FROM g JOIN r ON g.doc_id = r.doc_id
     ),
     c AS (
         SELECT CAST(count(*) AS BIGINT) AS n0,
@@ -1248,24 +1247,94 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous stage's n_out, so the report reads as the funnel a
     pipeline dashboard would chart.
 
-    Composition, not reimplementation: the per-doc pass flags come from
-    the registered text_gopher_quality / text_repetition /
-    text_unigram_logprob plans joined on doc_id — identical gate
-    arithmetic (same ROUNDED comparisons), one source of truth.
+    FUSED single-scan formulation (VERDICT r6 item 3): the r5
+    composition of the three registered plans read the raw `documents`
+    text three times — 3x I/O for 1x information at 100 TB. Here every
+    in-row signal (all four gopher gates, token count, distinct-bigram
+    count) is computed in ONE projection over ONE scan, the tokens are
+    exploded once, and everything downstream runs on the REDUCED
+    (doc_id, word, count) rows: word frequencies aggregate the counts
+    (not raw tokens), and the unigram-LM score becomes the
+    count-weighted sum sum(c * ln(cf/N)) / sum(c) — algebraically the
+    same per-token mean, computed on both engines in the identical
+    weighted form so rounding decisions agree. Gate arithmetic (the
+    ROUNDED comparisons) is unchanged from text_gopher_quality /
+    text_repetition / text_unigram_logprob.
 
-    Scale shape: the flag joins are doc_id-keyed shuffles over per-doc
-    rows (never raw tokens at the join), the funnel itself is ONE
-    global aggregate producing a single 4-counter row, and the 3-row
-    report is an in-row explode of that scalar struct array — output
-    size is constant regardless of corpus size."""
-    g = text_gopher_quality(spark, sf_dir).select("doc_id", "passes_gopher")
-    rp = text_repetition(spark, sf_dir).select("doc_id", "passes_repetition")
-    lm = text_unigram_logprob(spark, sf_dir).select("doc_id", "passes_lm")
-    flags = g.join(rp, "doc_id").join(lm, "doc_id")
-    p_g = F.col("passes_gopher")
-    p_r = F.col("passes_repetition")
-    p_l = F.col("passes_lm")
-    c = flags.agg(
+    Scale shape: one raw-text scan, one token-level shuffle (the
+    (doc_id, word) partial-aggregated count), then word-frequency agg,
+    frequency join, and per-doc rollup all on reduced rows; the funnel
+    is ONE global aggregate producing a single 4-counter row, and the
+    3-row report is an in-row explode of that scalar struct array —
+    output size is constant regardless of corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    chars = F.length("text")
+    n_words_g = _word_count_expr("text")
+    alpha_words = F.size(
+        F.filter(F.split("text", " "), lambda w: w.rlike("[a-z]"))
+    )
+    n_symbols = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0))
+    mean_wl = r4((chars - n_words_g + 1) * 1.0 / n_words_g)
+    alpha_frac = r4(alpha_words * 1.0 / n_words_g)
+    sym_ratio = r4(n_symbols * 1.0 / n_words_g)
+    gate_g = (
+        n_words_g.between(50, 100000)
+        & mean_wl.between(3.0, 10.0)
+        & (alpha_frac >= 0.8)
+        & (sym_ratio <= 0.1)
+    )
+    bigrams = F.transform(
+        seq1(F.size(words) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    pre = docs.select(
+        "doc_id",
+        gate_g.alias("p_g"),
+        F.size(words).alias("n_toks"),
+        F.size(F.array_distinct(bigrams)).alias("uniq_bigrams"),
+        words.alias("w_arr"),
+    )
+    toks = pre.select(
+        "doc_id", "p_g", "n_toks", "uniq_bigrams",
+        F.explode("w_arr").alias("w"),
+    )
+    # the ONLY token-granularity shuffle; per-doc flags ride along as
+    # three tiny columns collapsed by first() (constant per doc)
+    wc = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("p_g").alias("p_g"),
+        F.first("n_toks").alias("n_toks"),
+        F.first("uniq_bigrams").alias("uniq_bigrams"),
+    )
+    freq = wc.groupBy("w").agg(F.sum("c").alias("cf"))
+    tot = freq.agg(F.sum("cf").alias("n_corpus"))
+    per_doc = (
+        wc.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.first("p_g").alias("p_g"),
+            F.first("n_toks").alias("n_toks"),
+            F.first("uniq_bigrams").alias("uniq_bigrams"),
+            F.max("c").alias("top_cnt"),
+            F.sum("c").alias("n_words"),
+            F.sum(
+                F.col("c")
+                * F.log(F.col("cf") * 1.0 / F.col("n_corpus"))
+            ).alias("wlp"),
+        )
+    )
+    top_frac = r4(F.col("top_cnt") * 1.0 / F.col("n_words"))
+    bi_ratio = r4(
+        F.col("uniq_bigrams") * 1.0 / F.nullif(F.col("n_toks") - 1, F.lit(0))
+    )
+    p_g = F.col("p_g")
+    p_r = (top_frac <= 0.2) & F.coalesce(bi_ratio >= 0.5, F.lit(True))
+    p_l = r4(-F.col("wlp") / F.col("n_words")) <= 8.0
+    c = per_doc.agg(
         F.count(F.lit(1)).alias("n0"),
         F.sum(p_g.cast("long")).alias("s1"),
         F.sum((p_g & p_r).cast("long")).alias("s2"),
@@ -1437,9 +1506,13 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.split("bigram", " "), 2).alias("t2"),
         )
     )
-    posts = ws.select(
-        "doc_id", F.posexplode("w").alias("pos", "term")
-    ).filter(F.length("term") > 0)
+    # No empty-token filter here: the oracle's positional list_filter
+    # counts adjacency over the RAW token array, empties included, and
+    # the phrase itself could legally contain an empty token (consecutive
+    # spaces). Both engines must see identical postings (ADVICE r6); the
+    # phrase equi-join already discards every non-phrase term, so the
+    # filter bought nothing.
+    posts = ws.select("doc_id", F.posexplode("w").alias("pos", "term"))
     ph = F.broadcast(phrase)
     p1 = posts.join(ph, posts.term == ph.t1).select(
         F.col("doc_id").alias("d1"), F.col("pos").alias("pos1"), "phrase"

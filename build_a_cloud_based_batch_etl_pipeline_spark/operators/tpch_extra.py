@@ -585,3 +585,300 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: bilateral trade volume between two nations by
+    year. Completes the classic suite (with q14/q19/q22 below every
+    TPC-H shape the fixture schema can express is registered).
+
+    Scale shape: both nation lookups broadcast (25 rows); the nation
+    filter reaches the supplier and customer sides BEFORE the big
+    fact joins, so only the two nations' suppliers/customers shuffle
+    against lineitem/orders; the shipdate range prunes the fact scan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1995-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+    )
+    nat = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("s_nk"),
+                                   F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("c_nk"),
+                                   F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2)
+               AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: share of one month's revenue from PROMO-type
+    parts (the fixture's p_type domain is flat labels, so equality
+    stands in for LIKE 'PROMO%').
+
+    Scale shape: the shipdate month prunes the lineitem scan to ~1/80th
+    before the join; the part side carries only (p_partkey, p_type) —
+    two columns, prunable scan — and the conditional/total sums fold
+    into ONE aggregate pass (no second scan for the denominator)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1996-02-01 00:00:00"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            r2(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from three disjunctive brand/size/
+    quantity bands (the fixture has no l_shipmode/p_container, so the
+    brand+size+quantity core of the predicate carries the shape).
+
+    Scale shape: the disjunction couples part and lineitem columns so it
+    can only be fully applied post-join — but its single-table
+    IMPLICATIONS are pre-filtered manually (p_brand IN the three brands
+    AND p_size <= 30 on the part scan; l_quantity <= 30 on the lineitem
+    scan), the classic Q19 rewrite that turns an unpushable OR into
+    pushed scan predicates plus a residual filter. The surviving part
+    side is 3 brands' rows — broadcast-sized at any SF."""
+    part = (
+        t(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= 30)
+        )
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH pos AS (
+        SELECT round(avg(c_acctbal), 4) AS avg_bal FROM customer
+        WHERE c_acctbal > 0.00 AND c_nationkey IN (1, 3, 5, 7, 9)
+    ),
+    cand AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer CROSS JOIN pos
+        WHERE c_nationkey IN (1, 3, 5, 7, 9) AND c_acctbal > avg_bal
+    )
+    SELECT c_nationkey                       AS cntry,
+           CAST(count(*) AS BIGINT)          AS numcust,
+           round(sum(c_acctbal), 2)          AS totacctbal
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: wealthy-but-inactive customers per country —
+    above-average account balance (among positive balances in the
+    target countries), no orders in the final ~20 months of the
+    fixture's order history (every fixture customer has SOME order, so
+    the literal never-ordered predicate would be vacuously empty; the
+    recency cutoff keeps Q22's anti-join shape with a non-trivial
+    answer). The fixture has no c_phone, so c_nationkey stands in for
+    the phone country code.
+
+    Scale shape: the average-balance threshold is a 1-row aggregate
+    broadcast onto the customer scan (crossJoin(broadcast), the
+    scalar-threshold pattern — never a driver collect); the
+    "never ordered" test is a LEFT ANTI join against the o_custkey
+    projection, shuffled on custkey with map-side-combined distinct;
+    the threshold is rounded 4dp on BOTH engines so the float average
+    makes identical boundary decisions (2dp balances cannot straddle a
+    4dp-rounded mean)."""
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        r4(F.avg("c_acctbal")).alias("avg_bal")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    cand = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    return (
+        cand.join(orders, cand.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            r2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate)                 AS last_order,
+               count(*)                         AS frequency,
+               round(sum(o_totalprice), 2)      AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_seg,
+               ntile(4) OVER (ORDER BY frequency, o_custkey)  AS f_seg,
+               ntile(4) OVER (ORDER BY monetary, o_custkey)   AS m_seg,
+               monetary
+        FROM rfm
+    )
+    SELECT r_seg, f_seg, m_seg,
+           CAST(count(*) AS BIGINT)     AS n_customers,
+           round(sum(monetary), 2)      AS total_monetary
+    FROM seg GROUP BY r_seg, f_seg, m_seg
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics rollup: per
+    customer recency (last order date), frequency (order count), and
+    monetary (lifetime spend), each cut into quartiles by ntile, then
+    counted per (R, F, M) cell. Deterministic across engines because
+    every ntile orders on (metric, custkey) — a TOTAL order, so tile
+    boundaries cannot flip with partitioning.
+
+    Scale shape: one custkey-keyed aggregate over orders (map-side
+    combined), then three window passes over the CUSTOMER-level rows
+    (|C|, not |O|), then a 64-cell-max aggregate. The unpartitioned
+    ntile windows are a deliberate single-partition sort over per-key
+    aggregates — the documented global-window tradeoff (same class as
+    orderby_nulls); at 100 TB swap ntile for approx-percentile
+    boundaries (feature_quantile_bins) if |C| outgrows one node."""
+    orders = t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        r2(F.sum("o_totalprice")).alias("monetary"),
+    )
+    wr = Window.orderBy("last_order", "o_custkey")
+    wf = Window.orderBy("frequency", "o_custkey")
+    wm = Window.orderBy("monetary", "o_custkey")
+    seg = rfm.select(
+        F.ntile(4).over(wr).alias("r_seg"),
+        F.ntile(4).over(wf).alias("f_seg"),
+        F.ntile(4).over(wm).alias("m_seg"),
+        "monetary",
+    )
+    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        r2(F.sum("monetary")).alias("total_monetary"),
+    )

@@ -453,16 +453,15 @@ _MANIFEST = "_MANIFEST.json"
 
 
 def _hash_dataset(spark, path: str):
-    """Distributed per-file (size, sha256) via the binaryFile source —
-    one Arrow batch per file, hashing on executors, no driver reads of
-    data bytes — plus per-file row counts from parquet footers
-    (metadata-only). Shared by write_manifest and verify_manifest so
-    producer and consumer measure the same way."""
-    import glob as _glob
-    import hashlib
-
-    import pyarrow.parquet as pq
-
+    """Distributed per-file (size, sha256, row count) via the binaryFile
+    source — one Arrow batch per file; hashing AND parquet-footer parsing
+    happen on executors against the in-memory bytes, so the driver never
+    reads data bytes and NO local-filesystem access is assumed: the same
+    code path verifies file://, hdfs://, gs://, s3a:// datasets (ADVICE
+    r6 — the old implementation globbed the driver's local disk for
+    footers, silently reporting rows=-1 on any remote warehouse URI).
+    Shared by write_manifest and verify_manifest so producer and consumer
+    measure the same way."""
     # drop any cached file listing for this path: a consumer verifying
     # a copy that changed since an earlier read must see current sizes
     spark.catalog.refreshByPath(path)
@@ -474,35 +473,48 @@ def _hash_dataset(spark, path: str):
     )
 
     def _sha(it):
+        import hashlib
+
         import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _rows(buf) -> int:
+            try:
+                return pq.ParquetFile(pa.BufferReader(buf)).metadata.num_rows
+            except Exception:
+                # unreadable footer IS corruption — surface as a
+                # row-count mismatch instead of failing the whole pass
+                return -2
 
         for pdf in it:
+            raw = [bytes(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
                     "length": pdf["length"],
-                    "sha256": [
-                        hashlib.sha256(bytes(c)).hexdigest()
-                        for c in pdf["content"]
-                    ],
+                    "sha256": [hashlib.sha256(b).hexdigest() for b in raw],
+                    "rows": [_rows(b) for b in raw],
                 }
             )
 
-    hashed = {
-        r.path.rsplit("/", 1)[-1]: (r.length, r.sha256)
-        for r in files_df.mapInPandas(
-            _sha, "path string, length long, sha256 string"
-        ).collect()
-    }
-    rows = {}
-    for f in _glob.glob(f"{path}/*.parquet"):
-        try:
-            rows[f.rsplit("/", 1)[-1]] = pq.ParquetFile(f).metadata.num_rows
-        except Exception:
-            # unreadable footer IS corruption — surface as a row-count
-            # mismatch instead of failing the whole verification pass
-            rows[f.rsplit("/", 1)[-1]] = -2
+    hashed, rows = {}, {}
+    for r in files_df.mapInPandas(
+        _sha, "path string, length long, sha256 string, rows long"
+    ).collect():
+        name = r.path.rsplit("/", 1)[-1]
+        hashed[name] = (r.length, r.sha256)
+        rows[name] = int(r.rows)
     return hashed, rows
+
+
+def _manifest_io(spark, path: str):
+    """(jvm, fs, Path) for manifest read/write through the Hadoop
+    FileSystem API — works on any warehouse URI, like the rest of the
+    swap/publish machinery."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST}")
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
 
 def write_manifest(spark, path: str) -> dict:
@@ -537,8 +549,16 @@ def write_manifest(spark, path: str) -> dict:
         "total_rows": int(sum(rows.values())),
         "total_bytes": int(sum(v[0] for v in hashed.values())),
     }
-    with open(f"{path}/{_MANIFEST}", "w") as f:
-        _json.dump(manifest, f, indent=1, sort_keys=True)
+    _jvm, fs, mpath = _manifest_io(spark, path)
+    out = fs.create(mpath, True)
+    try:
+        out.write(
+            bytearray(
+                _json.dumps(manifest, indent=1, sort_keys=True).encode()
+            )
+        )
+    finally:
+        out.close()
     return manifest
 
 
@@ -549,8 +569,13 @@ def verify_manifest(spark, path: str) -> dict:
     The verification a consumer runs after copying shards."""
     import json as _json
 
-    with open(f"{path}/{_MANIFEST}") as f:
-        want = _json.load(f)
+    jvm, fs, mpath = _manifest_io(spark, path)
+    stream = fs.open(mpath)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    want = _json.loads(bytes(raw).decode())
     hashed, rows = _hash_dataset(spark, path)
     seen = {
         name: {

@@ -104,6 +104,12 @@ INTENTIONAL_CROSS = {
     "dq_ks_drift",
     # 1-row ingestion high-water-mark broadcast onto the event scan
     "dq_freshness",
+    # 1-row average-balance threshold broadcast onto the customer scan
+    # (TPC-H Q22's correlated scalar subquery, decorrelated)
+    "q22_global_sales_opportunity",
+    # five (total x orphans) 1-row count pairs assembled by crossJoin
+    # (the events_funnel constant-assembly pattern)
+    "dq_referential_integrity",
 }
 
 
@@ -172,6 +178,10 @@ GLOBAL_WINDOW_BOUNDED = {
     # cumulative CDF over the fixed 256-bin KS grid (aggregate below
     # the window; bounded by the bin count, not event volume)
     "dq_ks_drift",
+    # ntile quartiles over CUSTOMER-level aggregates (aggregate below
+    # the window: |C| rows, not |O|; docstring states the
+    # approx-percentile swap for |C| beyond one node)
+    "customer_rfm_segments",
 }
 
 _BOUNDED_DIM_SCANS = ("supplier", "nation", "region")

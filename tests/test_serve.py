@@ -1,0 +1,112 @@
+"""HTTP service-surface parity (VERDICT r6 item 7): the reference's
+Cloud Function handlers (src/extract/main.py:57-76 — 200/500 envelope;
+src/load/main.py:58-84 — Pub/Sub push envelope, 400 on malformed, 500 on
+failure) served by the stdlib http.server wrapper, POSTed over a real
+socket."""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import HTTPServer
+
+import pytest
+
+from build_a_cloud_based_batch_etl_pipeline_spark.config import IngestConfig
+from build_a_cloud_based_batch_etl_pipeline_spark.serve import make_handler
+
+POSTS_FIXTURE = [
+    {"userId": 1, "id": 1, "title": "t1", "body": "b1"},
+    {"userId": 2, "id": 2, "title": "t2", "body": "b2"},
+]
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    cfg = IngestConfig(
+        source_url="fake://posts",
+        landing_uri=str(tmp_path / "landing"),
+        warehouse_uri=str(tmp_path / "warehouse"),
+        checkpoint_uri=str(tmp_path / "ckpt"),
+    )
+    handler = make_handler(
+        spark, cfg, fetcher=lambda url: json.dumps(POSTS_FIXTURE).encode()
+    )
+    httpd = HTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", cfg
+    finally:
+        httpd.shutdown()
+        thread.join(timeout=10)
+
+
+def _post(url: str, payload: bytes = b"") -> tuple[int, dict]:
+    req = urllib.request.Request(url, data=payload, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def _pubsub_envelope(bucket: str, name: str) -> bytes:
+    event = json.dumps({"bucket": bucket, "name": name}).encode()
+    return json.dumps(
+        {"message": {"data": base64.b64encode(event).decode()}}
+    ).encode()
+
+
+def test_extract_then_pubsub_load_roundtrip(server):
+    """The full reference trigger chain over HTTP: POST /extract lands a
+    batch (200 + file), then POST /load with the storage-style Pub/Sub
+    envelope for that object appends it (200 + rows)."""
+    base, cfg = server
+    status, env = _post(f"{base}/extract")
+    assert status == 200 and env["success"] is True
+    landed = env["file"]
+    assert landed.startswith(cfg.landing_uri)
+
+    name = landed[len(cfg.landing_uri) + 1 :]
+    status, env = _post(
+        f"{base}/load", _pubsub_envelope(cfg.landing_uri, name)
+    )
+    assert status == 200 and env["success"] is True
+    assert env["rows_appended"] == 2
+
+    # retried trigger: idempotent, still 200, zero appended
+    status, env = _post(
+        f"{base}/load", _pubsub_envelope(cfg.landing_uri, name)
+    )
+    assert status == 200 and env["rows_appended"] == 0
+
+
+def test_load_invalid_envelope_is_400(server):
+    """Malformed trigger payloads get the reference's exact 400 body
+    (src/load/main.py:82), not a 500."""
+    base, _cfg = server
+    for bad in (b"", b"not json", b'{"message": {}}', b'{"nope": 1}'):
+        status, env = _post(f"{base}/load", bad)
+        assert status == 400
+        assert env == {"success": False, "error": "Invalid request format"}
+
+
+def test_load_failure_is_500(server):
+    """A well-formed envelope pointing at a missing object fails the
+    load step: 500 with the error envelope (src/load/main.py:84)."""
+    base, cfg = server
+    status, env = _post(
+        f"{base}/load", _pubsub_envelope(cfg.landing_uri, "does/not/exist")
+    )
+    assert status == 500
+    assert env["success"] is False and env["error"]
+
+
+def test_unknown_route_is_400(server):
+    base, _cfg = server
+    status, env = _post(f"{base}/whatever")
+    assert status == 400 and env["success"] is False

@@ -191,6 +191,17 @@ def main() -> None:
             # the corpus linearly.
             "text_bm25_rank",
             "decontaminate_bloom_confusion",
+            # r7: the ITERATIVE-GRAPH operators (VERDICT r6 item 4) —
+            # convergence-loop operators are the classic 100x-scale
+            # surprise. The suffixed copies share nothing cross-copy, so
+            # the duplicate graph replicates k-fold with UNCHANGED
+            # component diameters: round count must stay constant and
+            # per-round shuffle volume must scale linearly, i.e. a
+            # measured exponent ~1. (cache_once makes min-of-runs time
+            # the propagation loop + cluster joins on a warm edge set —
+            # the edge-build cost is dedup_minhash_pairs' own sweep row.)
+            "dedup_clusters",
+            "dedup_semantic_keep_best",
         ]
         for name in sweep_queries:
             fn = reg[name].fn
