@@ -70,6 +70,13 @@ HEADLINE = [
     "snapshot_diff",
     "text_inverted_index",
     "sketch_tdigest_quantiles",
+    # r7 additions (this round becomes their anchor): the dup-graph
+    # triangle diagnostic (edge-set equi-joins over the shared cached
+    # LSH pairs), the star-schema FK orphan audit (five anti-joins),
+    # and the RFM quartile segmentation (customer-level ntile windows).
+    "dedup_triangle_count",
+    "dq_referential_integrity",
+    "customer_rfm_segments",
 ]
 
 
@@ -201,6 +208,10 @@ def main() -> None:
         "snapshot_diff": 0.375,
         "text_inverted_index": 0.478,
         "sketch_tdigest_quantiles": 0.877,
+        # r7 suite additions, anchored to their first (r7) warm-bests
+        "dedup_triangle_count": 0.304,
+        "dq_referential_integrity": 0.806,
+        "customer_rfm_segments": 0.317,
     }
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
     if os.path.exists(anchor_path):

@@ -728,3 +728,66 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_union.alias("est_union"),
         (est_a + est_b - est_union).alias("est_intersection"),
     )
+
+
+@query(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag, avg(l_extendedprice) AS mu,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+        SELECT l.l_returnflag, m.n,
+               avg(pow(l_extendedprice - mu, 2)) AS m2,
+               avg(pow(l_extendedprice - mu, 3)) AS m3,
+               avg(pow(l_extendedprice - mu, 4)) AS m4
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag, m.n
+    )
+    SELECT l_returnflag, n,
+           round(m3 / pow(m2, 1.5), 4)    AS skewness,
+           round(m4 / pow(m2, 2) - 3, 4)  AS excess_kurtosis
+    FROM c
+    """,
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth-moment shape statistics per group (population
+    skewness g1 and excess kurtosis g2) — the distribution-shape half of
+    the stats surface agg_stats' mean/stddev doesn't carry, and the
+    inputs to any normality/heavy-tail screen.
+
+    Deliberately TWO-PASS (group means joined back, then central-moment
+    averages) rather than one-pass raw power sums: E[x^4] of 1e4-scale
+    prices overflows double significance (~1e21 sums) and the central
+    correction then catastrophically cancels — the two-pass form keeps
+    every aggregate well-conditioned, so 4dp rounding is stable across
+    engines and partitionings. Spark's skewness()/kurtosis() built-ins
+    are avoided for the same cross-engine-formula reason (sample vs
+    population corrections differ by dialect).
+
+    Scale shape: two map-side-combined aggregates and one broadcast-able
+    join of GROUP-level means onto the scan — the canonical two-pass
+    moments pattern at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d = F.col("l_extendedprice") - F.col("mu")
+    c = (
+        li.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag", "n")
+        .agg(
+            F.avg(d * d).alias("m2"),
+            F.avg(d * d * d).alias("m3"),
+            F.avg(d * d * d * d).alias("m4"),
+        )
+    )
+    return c.select(
+        "l_returnflag",
+        "n",
+        r4(F.col("m3") / F.pow("m2", 1.5)).alias("skewness"),
+        r4(F.col("m4") / F.pow("m2", 2.0) - 3.0).alias("excess_kurtosis"),
+    )

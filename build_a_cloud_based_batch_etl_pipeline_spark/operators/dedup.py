@@ -454,17 +454,25 @@ def propagate_min_label(
     until a round changes no label (labels propagate one hop per round,
     so the round count is the component diameter + 1); duplicate
     clusters are near-cliques (diameter 1-2), so convergence lands in
-    2-3 rounds. `max_iters` is a hard cap: an adversarial long-chain
-    graph (diameter > cap — e.g. a path of documents each near-dup to
-    the next) raises rather than silently returning fragmented
-    components. For genuinely large-diameter graphs, raise the cap
-    (cost is linear in rounds) or use a pointer-doubling/GraphFrames
-    variant (O(log d) rounds); this engine targets dedup graphs, where
-    diameter is structurally small. Iterative algorithms are the one
-    place the driver loops — each round is still a fully distributed
-    plan, and the eager `localCheckpoint` both truncates lineage (the
-    plan cannot grow superlinearly) and materializes the round so the
-    convergence count never recomputes prior rounds.
+    2-3 rounds. A graph that is NOT converged after `max_iters` rounds
+    has a large-diameter component (e.g. a path of documents each
+    near-dup to the next, or a near-critical random similarity graph);
+    instead of failing — or silently returning fragmented components —
+    the loop ESCALATES to pointer doubling
+    (propagate_min_label_doubling) seeded with the current labels, which
+    finishes any remaining diameter D in O(log D) rounds. Escalation is
+    sound because partial labels are a valid doubling seed: every label
+    already points to a smaller node in the same component, which is the
+    only invariant doubling needs. So the cheap per-round path handles
+    the structurally-small diameters dedup graphs actually have, and the
+    adversarial graph costs log rounds more instead of a dead job
+    (found by SCALE_SWEEP r7: the random-gaussian embedding fixture
+    builds a near-critical cosine graph with diameter > 15).
+    Iterative algorithms are the one place the driver loops — each
+    round is still a fully distributed plan, and the eager
+    `localCheckpoint` both truncates lineage (the plan cannot grow
+    superlinearly) and materializes the round so the convergence count
+    never recomputes prior rounds.
     """
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -495,12 +503,9 @@ def propagate_min_label(
         # limit(1); no prior round is recomputed.
         if stepped.filter(F.col("label") < F.col("_prev")).limit(1).isEmpty():
             return labels
-    raise RuntimeError(
-        f"propagate_min_label did not converge within {max_iters} rounds: "
-        "the duplicate graph has a component with diameter >= the cap "
-        "(e.g. a long chain of pairwise near-duplicates). Raise max_iters, "
-        "or use propagate_min_label_doubling — O(log diameter) rounds."
-    )
+    # Large-diameter component: escalate to the O(log D) path, seeded
+    # with the partial labels (valid seed — see docstring).
+    return propagate_min_label_doubling(labels, edges)
 
 
 def propagate_min_label_doubling(
@@ -508,7 +513,7 @@ def propagate_min_label_doubling(
 ) -> DataFrame:
     """Connected components in O(log diameter) rounds: min-label
     propagation plus POINTER DOUBLING — the large-diameter scale path
-    behind propagate_min_label's convergence error.
+    propagate_min_label escalates to when its round cap trips.
 
     Each round does (a) the same one-hop neighbor-min as
     propagate_min_label, then (b) a label-composition hop: every node
@@ -1152,7 +1157,14 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole stage is dwarfed by the LSH pass that produced it.
 
     Oracled against the exact Jaccard >= 0.5 edge set (same
-    LSH-equals-exact fixture argument as dedup_clusters)."""
+    LSH-equals-exact fixture argument as dedup_clusters).
+
+    PLANS.md note: the committed cold-plan exchange count is inflated —
+    the three branches each print the full un-materialized
+    cache_once("mh_edges") subtree, but at runtime the cache
+    materializes ONCE and the effective data motion is that subtree
+    plus the two id-keyed joins (ReusedExchange/InMemoryTableScan
+    collapse the rest)."""
     edges = cache_once(
         spark,
         ("mh_edges", sf_dir),

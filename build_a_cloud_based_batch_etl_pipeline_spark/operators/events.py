@@ -1242,3 +1242,78 @@ def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_value"),
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 2) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    m AS (
+        SELECT event_type, avg(x) AS mu FROM daily GROUP BY event_type
+    ),
+    cu AS (
+        SELECT d.event_type, day, x,
+               sum(x - mu) OVER (PARTITION BY d.event_type ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cusum
+        FROM daily d JOIN m ON d.event_type = m.event_type
+    ),
+    ranked AS (
+        SELECT event_type, day, round(cusum, 2) AS cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(round(cusum, 2)) DESC, day)
+                   AS rn
+        FROM cu
+    )
+    SELECT event_type, day AS change_day, cusum AS peak_cusum
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint detection per series (CUSUM): cumulative
+    sum of daily deviations from the series mean; the |CUSUM| peak marks
+    the most likely single change day (classic offline CUSUM estimator —
+    the day the running total is furthest from where a constant-mean
+    series would be). Complements events_anomaly_zscore/_mad (point
+    outliers) with LEVEL-SHIFT detection.
+
+    Cross-engine determinism: the running sum is a sequential ordered
+    frame — both engines accumulate in day order, so the float result is
+    bit-identical, then rounded 2dp BEFORE the argmax tie-break so
+    boundary days cannot flip; ties break to the earliest day.
+
+    Scale shape: one day-level aggregate (map-side combined), group
+    means joined back broadcast, one series-partitioned ordered window
+    over DAY-level rows (bounded by the calendar, not event volume),
+    one argmax row per series."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(r2(F.sum("value")).alias("x"))
+    m = daily.groupBy("event_type").agg(F.avg("x").alias("mu"))
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cu = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "day",
+        r2(F.sum(F.col("x") - F.col("mu")).over(wcum)).alias("cusum"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.abs("cusum").desc(), "day")
+    return (
+        cu.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("cusum").alias("peak_cusum"),
+        )
+    )

@@ -1247,21 +1247,24 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous stage's n_out, so the report reads as the funnel a
     pipeline dashboard would chart.
 
-    FUSED single-scan formulation (VERDICT r6 item 3): the r5
-    composition of the three registered plans read the raw `documents`
-    text three times — 3x I/O for 1x information at 100 TB. Here every
-    in-row signal (all four gopher gates, token count, distinct-bigram
-    count) is computed in ONE projection over ONE scan, the tokens are
-    exploded once, and everything downstream runs on the REDUCED
-    (doc_id, word, count) rows: word frequencies aggregate the counts
-    (not raw tokens), and the unigram-LM score becomes the
-    count-weighted sum sum(c * ln(cf/N)) / sum(c) — algebraically the
-    same per-token mean, computed on both engines in the identical
-    weighted form so rounding decisions agree. Gate arithmetic (the
-    ROUNDED comparisons) is unchanged from text_gopher_quality /
-    text_repetition / text_unigram_logprob.
+    FUSED formulation (VERDICT r6 item 3): the r5 composition of the
+    three registered plans read the raw `documents` text three times —
+    3x I/O for 1x information at 100 TB. Here every in-row signal (all
+    four gopher gates, token count, distinct-bigram count) is computed
+    in ONE projection, the tokens are exploded once, and everything
+    downstream runs on the REDUCED (doc_id, word, count) rows: word
+    frequencies aggregate the counts (not raw tokens, unlike the r5 LM
+    plan's token-level frequency join), and the unigram-LM score
+    becomes the count-weighted sum sum(c * ln(cf/N)) / sum(c) —
+    algebraically the same per-token mean, computed on both engines in
+    the identical weighted form so rounding decisions agree. Gate
+    arithmetic (the ROUNDED comparisons) is unchanged from
+    text_gopher_quality / text_repetition / text_unigram_logprob.
 
-    Scale shape: one raw-text scan, one token-level shuffle (the
+    Scale shape: two raw-text scans (in-row flag projection; token
+    explode — profiled r7: fusing them into one scan requires the
+    per-doc flags to ride the token shuffle, which measured SLOWER than
+    the doc-level flag join), one token-level shuffle (the narrow
     (doc_id, word) partial-aggregated count), then word-frequency agg,
     frequency join, and per-doc rollup all on reduced rows; the funnel
     is ONE global aggregate producing a single 4-counter row, and the
@@ -1290,25 +1293,18 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(words, i), F.element_at(words, i + 1)
         ),
     )
-    pre = docs.select(
+    flags_inrow = docs.select(
         "doc_id",
         gate_g.alias("p_g"),
         F.size(words).alias("n_toks"),
         F.size(F.array_distinct(bigrams)).alias("uniq_bigrams"),
-        words.alias("w_arr"),
     )
-    toks = pre.select(
-        "doc_id", "p_g", "n_toks", "uniq_bigrams",
-        F.explode("w_arr").alias("w"),
-    )
-    # the ONLY token-granularity shuffle; per-doc flags ride along as
-    # three tiny columns collapsed by first() (constant per doc)
-    wc = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.first("p_g").alias("p_g"),
-        F.first("n_toks").alias("n_toks"),
-        F.first("uniq_bigrams").alias("uniq_bigrams"),
-    )
+    toks = docs.select("doc_id", F.explode(words).alias("w"))
+    # the ONLY token-granularity shuffle: the (doc, word) count, two
+    # narrow columns wide (profiled r7: carrying the per-doc flags
+    # through this shuffle via first() cost ~0.6 s at sf0.1 — the
+    # doc-level flag join below is cheaper than widening the token rows)
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     freq = wc.groupBy("w").agg(F.sum("c").alias("cf"))
     tot = freq.agg(F.sum("cf").alias("n_corpus"))
     per_doc = (
@@ -1316,9 +1312,6 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.first("p_g").alias("p_g"),
-            F.first("n_toks").alias("n_toks"),
-            F.first("uniq_bigrams").alias("uniq_bigrams"),
             F.max("c").alias("top_cnt"),
             F.sum("c").alias("n_words"),
             F.sum(
@@ -1326,6 +1319,7 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log(F.col("cf") * 1.0 / F.col("n_corpus"))
             ).alias("wlp"),
         )
+        .join(flags_inrow, "doc_id")
     )
     top_frac = r4(F.col("top_cnt") * 1.0 / F.col("n_words"))
     bi_ratio = r4(

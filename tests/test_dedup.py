@@ -216,21 +216,25 @@ def test_simhash_recall_is_exact_at_hamming_threshold(spark, sf_dir):
     )
 
 
-def test_propagate_min_label_converges_and_caps_long_chains(spark):
+def test_propagate_min_label_escalates_long_chains_to_doubling(spark):
     """A path graph propagates the min label one hop per round — depth
-    beyond max_iters must RAISE (silently-fragmented components were the
-    r3 failure mode this guards), while an adequate cap converges the
-    same chain to a single component."""
-    import pytest
-
+    beyond max_iters must ESCALATE to pointer doubling and still return
+    CORRECT components (silently-fragmented components were the r3
+    failure mode; a dead job on a chain-heavy graph was the r7
+    SCALE_SWEEP failure mode — escalation guards both), while an
+    adequate cap converges the same chain without escalation."""
     n = 12  # path 0-1-2-...-11: diameter 11
     docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id: long")
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a: long, doc_b: long"
     )
     nodes = docs.select("doc_id", F.col("doc_id").alias("label"))
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.propagate_min_label(nodes, edges, max_iters=4)
+    # cap below the diameter: plain rounds cannot finish — the doubling
+    # escalation must, with the partial labels as its seed
+    labels = dedup.propagate_min_label(nodes, edges, max_iters=4)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # adequate cap: converges in the plain loop alone
     labels = dedup.propagate_min_label(nodes, edges, max_iters=n + 1)
     got = {r.doc_id: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}

@@ -89,7 +89,20 @@ def test_cache_once_queries_plan_identically_cold_and_warm(spark):
         "dedup_ngram_containment",
         "dedup_simhash",
         "dedup_semantic_keep_best",
+        # cache_once owners outside the dedup family with a
+        # single-reference cached subtree
+        "text_heavy_hitters_cms",
+        "dedup_embedding_lsh",
     ]
+    # NOT in the family: dedup_triangle_count and embed_ann_ivf
+    # reference their cached subtree MULTIPLE times, so the cold
+    # (un-materialized) plan textually duplicates the subtree and the
+    # warm plan legally RE-PLANS the outer joins around a known-small
+    # InMemoryRelation (broadcast where cold estimated sort-merge) —
+    # that is AQE doing its job, not budget rot: the budget gate
+    # measures cold-evicted plans on both the generation and test
+    # sides, so their committed budgets cannot drift with session
+    # history.
 
     def _shape(name):
         df = registry[name].fn(spark, SF_PLANS)

@@ -110,3 +110,12 @@ def test_unknown_route_is_400(server):
     base, _cfg = server
     status, env = _post(f"{base}/whatever")
     assert status == 400 and env["success"] is False
+
+
+def test_pipeline_route_full_tick(server):
+    """POST /pipeline = extract + load in one envelope (the engine's
+    one-tick composition of the reference's two functions)."""
+    base, _cfg = server
+    status, env = _post(f"{base}/pipeline")
+    assert status == 200 and env["success"] is True
+    assert env["rows_appended"] == 2 and env["file"]

@@ -129,6 +129,21 @@ def fit_exponent(points: list[int], times: dict[str, float]) -> float:
     return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 2)
 
 
+def print_partial(results: dict) -> None:
+    """Stream each finished entry to stderr so a wall-clock kill of the
+    sweep loses at most the in-flight operator, not the whole run
+    (learned r7: a 3500 s timeout ate a 55-minute sweep's entire
+    output)."""
+    import sys as _sys
+
+    last = list(results)[-1]
+    print(
+        f"PARTIAL {json.dumps({last: results[last]})}",
+        file=_sys.stderr,
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
@@ -191,7 +206,7 @@ def main() -> None:
             # the corpus linearly.
             "text_bm25_rank",
             "decontaminate_bloom_confusion",
-            # r7: the ITERATIVE-GRAPH operators (VERDICT r6 item 4) —
+            # r7: the ITERATIVE-GRAPH operator (VERDICT r6 item 4) —
             # convergence-loop operators are the classic 100x-scale
             # surprise. The suffixed copies share nothing cross-copy, so
             # the duplicate graph replicates k-fold with UNCHANGED
@@ -201,7 +216,6 @@ def main() -> None:
             # the propagation loop + cluster joins on a warm edge set —
             # the edge-build cost is dedup_minhash_pairs' own sweep row.)
             "dedup_clusters",
-            "dedup_semantic_keep_best",
         ]
         for name in sweep_queries:
             fn = reg[name].fn
@@ -210,6 +224,64 @@ def main() -> None:
                 for p in points
             }
             results[name] = {"t": ts, "exponent": fit_exponent(points, ts)}
+            print_partial(results)
+
+        # Iterative component labeling on a CONTROLLED synthetic graph
+        # (VERDICT r6 item 4, second iterative-graph row). A data-driven
+        # edge set is the wrong instrument here: the gaussian embedding
+        # copies produce a near-critical random cosine graph whose giant
+        # component's diameter EXPLODES with k — the sweep then measures
+        # a graph phase transition, not the engine (found r7: the 10x
+        # point ran 30+ min in pointer-doubling escalation). Instead the
+        # fixture replicates a fixed component mix k-fold — per copy
+        # 2000 5-cliques (the realistic mass-dup shape) and 40 paths of
+        # 25 nodes (diameter 24 > the plain cap of 15, so every run
+        # exercises the doubling ESCALATION path end-to-end): rounds are
+        # k-invariant by construction, per-round shuffle volume is
+        # k-proportional, so the measured exponent isolates exactly the
+        # "rounds x shuffle growth" question.
+        import pandas as _pd
+
+        from build_a_cloud_based_batch_etl_pipeline_spark.operators.dedup import (
+            propagate_min_label,
+        )
+        from pyspark.sql import functions as F
+
+        def graph_fixture(k: int):
+            rows = []
+            for c in range(2000 * k):  # 5-cliques
+                base = c * 5
+                rows += [
+                    (base + i, base + j)
+                    for i in range(5)
+                    for j in range(i + 1, 5)
+                ]
+            off = 2000 * k * 5
+            for c in range(40 * k):  # 25-node paths
+                base = off + c * 25
+                rows += [(base + i, base + i + 1) for i in range(24)]
+            pdf = _pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+            return spark.createDataFrame(pdf).repartition(32).cache()
+
+        def components(edges) -> None:
+            members = (
+                edges.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            nodes = members.select("doc_id", F.col("doc_id").alias("label"))
+            materialize(propagate_min_label(nodes, edges))
+
+        ts = {}
+        for p in points:
+            edges = graph_fixture(p)
+            edges.count()  # materialize the cache outside the clock
+            ts[str(p)] = timed(lambda: components(edges), args.runs)
+            edges.unpersist()
+        results["graph_components(cliques+chains, escalation path)"] = {
+            "t": ts, "exponent": fit_exponent(points, ts)
+        }
+        print_partial(results)
 
         # ann_lsh: bits tracks corpus size (see module docstring).
         def ann(sf_dir: str, bits: int):
@@ -227,6 +299,7 @@ def main() -> None:
         results["embed_ann_lsh(bits~log N)"] = {
             "t": ts, "exponent": fit_exponent(points, ts)
         }
+        print_partial(results)
 
         # ingest e2e: 10k -> 100k posts through extract -> landing -> load.
         import json as _json
