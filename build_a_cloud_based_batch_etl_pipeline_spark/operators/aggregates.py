@@ -791,3 +791,65 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("m3") / F.pow("m2", 1.5)).alias("skewness"),
         r4(F.col("m4") / F.pow("m2", 2.0) - 3.0).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_covariance_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               avg(l_quantity)      AS mx,
+               avg(l_extendedprice) AS my,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, n,
+           round(sum((l_quantity - mx) * (l_extendedprice - my)) / (n - 1),
+                 4) AS covar,
+           round(sum((l_quantity - mx) * (l_extendedprice - my))
+                 / sqrt(sum(pow(l_quantity - mx, 2))
+                        * sum(pow(l_extendedprice - my, 2))),
+                 4) AS corr
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, n
+    """,
+)
+def agg_covariance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation between quantity and
+    price per return flag — the bivariate half of the statistics
+    surface (agg_stats/agg_skewness_kurtosis cover univariate moments).
+
+    Same two-pass central-moment discipline as agg_skewness_kurtosis:
+    group means joined back, then centered cross-products — NOT the
+    built-in covar_samp/corr, whose one-pass updating formulas
+    accumulate in engine-specific order against E[xy]-scale
+    intermediates; the centered two-pass sums are well-conditioned, so
+    the 4dp rounding is partition- and dialect-stable.
+
+    Scale shape: two map-side-combined aggregates + one broadcast join
+    of group-level means onto the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dx = F.col("l_quantity") - F.col("mx")
+    dy = F.col("l_extendedprice") - F.col("my")
+    return (
+        li.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag", "n")
+        .agg(
+            F.sum(dx * dy).alias("sxy"),
+            F.sum(dx * dx).alias("sxx"),
+            F.sum(dy * dy).alias("syy"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            r4(F.col("sxy") / (F.col("n") - 1)).alias("covar"),
+            r4(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))).alias(
+                "corr"
+            ),
+        )
+    )

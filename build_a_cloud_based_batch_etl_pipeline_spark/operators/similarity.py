@@ -1848,3 +1848,77 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.col("v").cast("double")), 4).alias("hi"),
         )
     )
+
+
+@query(
+    "embed_outlier_detection",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i, avg(v) AS c FROM u GROUP BY label, i
+    ),
+    dist AS (
+        SELECT u.vec_id, u.label,
+               round(sqrt(sum((u.v - cent.c) * (u.v - cent.c))), 4) AS d
+        FROM u JOIN cent ON u.label = cent.label AND u.i = cent.i
+        GROUP BY u.vec_id, u.label
+    ),
+    stats AS (
+        SELECT label, avg(d) AS mu, stddev_samp(d) AS sd
+        FROM dist GROUP BY label
+    )
+    SELECT vec_id, dist.label AS label, d AS dist_to_centroid,
+           round((d - mu) / sd, 4) AS z,
+           round((d - mu) / sd, 4) > 2.0 AS is_outlier
+    FROM dist JOIN stats ON dist.label = stats.label
+    """,
+)
+def embed_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier screening per cluster label: every vector's
+    euclidean distance to its label centroid, z-scored within the label;
+    z > 2 flags vectors that sit far from their own cluster — the
+    mislabeled/garbage-embedding sweep run before similarity indexes are
+    built (an outlier poisons its inverted list's centroid and drags
+    recall for the whole bucket).
+
+    Determinism: distances are rounded 4dp BEFORE the per-label
+    mean/stddev so both engines z-score identical inputs; the gate
+    compares the ROUNDED z.
+
+    Scale shape: one posexplode pass feeds both the centroid aggregate
+    (label x dim cells — tiny) and the distance aggregate; centroids
+    broadcast back onto the (vec, dim) rows; the label-level moment
+    stats are a second tiny aggregate broadcast onto per-vector rows.
+    Everything shuffles scalars keyed by (label, dim) or vec_id — the
+    embedding arrays themselves never move."""
+    emb = t(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "v")
+    ).select("vec_id", "label", "i", F.col("v").cast("double").alias("v"))
+    cent = u.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    dist = (
+        u.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))),
+                4,
+            ).alias("d")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_samp("d").alias("sd")
+    )
+    z = F.round((F.col("d") - F.col("mu")) / F.col("sd"), 4)
+    return dist.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.col("d").alias("dist_to_centroid"),
+        z.alias("z"),
+        (z > 2.0).alias("is_outlier"),
+    )

@@ -1626,3 +1626,65 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 4).alias("bm25"))
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_BM25_TOPK)
+
+
+@query(
+    "doc_quality_percentile_filter",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, source,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / (length(text) - length(replace(text, ' ', '')) + 1),
+                     4) AS uniq_ratio
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, uniq_ratio,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY uniq_ratio, doc_id) AS pr
+        FROM f
+    )
+    SELECT doc_id, source, uniq_ratio,
+           round(pr, 6)   AS quality_pct,
+           pr >= 0.3      AS keep
+    FROM ranked
+    """,
+)
+def doc_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source relative quality filtering: rank every document's
+    lexical-diversity score WITHIN its source and keep the top 70% —
+    the "drop each domain's worst X%" policy real training pipelines
+    prefer over one absolute threshold (an absolute gate would wipe out
+    whole low-register domains like forums while keeping boilerplate
+    from high-register ones; a relative gate preserves the mixture).
+    Output carries the percentile so downstream mixing can re-cut
+    without recomputing.
+
+    Determinism: percent_rank over a TOTAL order (score, doc_id) —
+    identical tile boundaries on both engines; the rank is rounded 6dp
+    for the hash compare but the keep gate uses the raw rank, which is
+    exact rational arithmetic (rank/(n-1)) on identically-ordered rows.
+
+    Scale shape: one in-row scoring projection, one source-partitioned
+    window (each source's rows sort within their shuffle partition;
+    sources are the partition key, so skew follows domain size — salt
+    a mega-domain or swap percent_rank for approx-percentile thresholds
+    if one source dwarfs the cluster, the feature_quantile_bins swap).
+    No joins, no global sort."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    words = _word_count_expr("text")
+    uniq = F.size(F.array_distinct(F.split("text", " ")))
+    f = docs.select(
+        "doc_id", "source", r4(uniq * 1.0 / words).alias("uniq_ratio")
+    )
+    w = W.partitionBy("source").orderBy("uniq_ratio", "doc_id")
+    pr = F.percent_rank().over(w)
+    return f.select(
+        "doc_id",
+        "source",
+        "uniq_ratio",
+        F.round(pr, 6).alias("quality_pct"),
+        (pr >= 0.3).alias("keep"),
+    )
