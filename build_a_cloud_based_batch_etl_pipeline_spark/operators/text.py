@@ -407,15 +407,18 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_cnt"), F.sum("c").alias("n_words")
     )
     words = F.split("text", " ")
-    bigrams = F.transform(
-        seq1(F.size(words) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
-        ),
+    # Distinct bigrams as STRUCT pairs (arrays_zip of the two shifted
+    # slices), not concatenated strings: identical count — tokens are
+    # split on the separator so the string join is injective — and the
+    # struct distinct avoids per-bigram string allocation (profiled r7:
+    # 0.29 s vs 1.94 s at sf0.1 for this expression alone).
+    n_toks_c = F.size(words)
+    bigrams = F.arrays_zip(
+        F.slice(words, 1, n_toks_c - 1), F.slice(words, 2, n_toks_c - 1)
     )
     bi = docs.select(
         "doc_id",
-        F.size(words).alias("n_toks"),
+        n_toks_c.alias("n_toks"),
         F.size(F.array_distinct(bigrams)).alias("uniq_bigrams"),
     )
     top_frac = r4(F.col("top_cnt") * 1.0 / F.col("n_words"))
@@ -1287,16 +1290,15 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha_frac >= 0.8)
         & (sym_ratio <= 0.1)
     )
-    bigrams = F.transform(
-        seq1(F.size(words) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
-        ),
+    # struct-pair bigrams — see text_repetition for the 6.7x profile note
+    n_toks_c = F.size(words)
+    bigrams = F.arrays_zip(
+        F.slice(words, 1, n_toks_c - 1), F.slice(words, 2, n_toks_c - 1)
     )
     flags_inrow = docs.select(
         "doc_id",
         gate_g.alias("p_g"),
-        F.size(words).alias("n_toks"),
+        n_toks_c.alias("n_toks"),
         F.size(F.array_distinct(bigrams)).alias("uniq_bigrams"),
     )
     toks = docs.select("doc_id", F.explode(words).alias("w"))

@@ -249,3 +249,103 @@ def test_hll_intersection_accuracy_and_symmetry(spark, sf_dir):
         assert abs(r.est_intersection - exact) <= 0.07 * exact + 2, (
             r.type_a, r.type_b, r.est_intersection, exact,
         )
+
+
+def test_skewness_kurtosis_matches_numpy(spark, sf_dir):
+    """Independent cross-validation of the two-pass moment formulas
+    against numpy on the raw parquet — a third engine beyond the
+    Spark/DuckDB pair, so a shared formula mistake in the oracle cannot
+    self-confirm."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.aggregates import (
+        agg_skewness_kurtosis,
+    )
+
+    rows = {r.l_returnflag: r for r in agg_skewness_kurtosis(spark, sf_dir).collect()}
+    pdf = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_extendedprice"].to_numpy(dtype=float)
+        mu = x.mean()
+        m2, m3, m4 = ((x - mu) ** 2).mean(), ((x - mu) ** 3).mean(), ((x - mu) ** 4).mean()
+        assert rows[flag].n == len(x)
+        assert abs(rows[flag].skewness - m3 / m2**1.5) < 1e-3
+        assert abs(rows[flag].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-3
+
+
+def test_covariance_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.aggregates import (
+        agg_covariance_corr,
+    )
+
+    rows = {r.l_returnflag: r for r in agg_covariance_corr(spark, sf_dir).collect()}
+    pdf = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_quantity"].to_numpy(dtype=float)
+        y = grp["l_extendedprice"].to_numpy(dtype=float)
+        cov = np.cov(x, y, ddof=1)[0, 1]
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(rows[flag].covar - cov) < max(1e-3, 1e-6 * abs(cov))
+        assert abs(rows[flag].corr - corr) < 1e-3
+
+
+def test_changepoint_cusum_matches_numpy(spark, sf_dir):
+    """Brute-force CUSUM per series in numpy/pandas: daily sums, running
+    deviation from the mean, |peak| argmax with earliest-day ties."""
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        events_changepoint_cusum,
+    )
+
+    got = {
+        r.event_type: (r.change_day, r.peak_cusum)
+        for r in events_changepoint_cusum(spark, sf_dir).collect()
+    }
+    pdf = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    pdf["day"] = pdf["ts"].dt.date
+    daily = (
+        pdf.groupby(["event_type", "day"])["value"].sum().round(2).reset_index()
+    )
+    for etype, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        dev = grp["value"] - grp["value"].mean()
+        cusum = dev.cumsum().round(2)
+        peak_idx = cusum.abs().values.argmax()  # argmax = first max = earliest day
+        day, peak = grp["day"].iloc[peak_idx], cusum.iloc[peak_idx]
+        assert got[etype][0] == day, (etype, got[etype], day)
+        assert abs(got[etype][1] - peak) < 0.02, (etype, got[etype], peak)
+
+
+def test_triangle_edges_close_in_pair_set(spark, sf_dir):
+    """Structural property independent of the oracle: every reported
+    triangle's three edges must each be a reported near-dup pair, and
+    every wedge in the pair set whose closing edge exists must be
+    reported — i.e. the output IS the triangle set of the pair graph."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dedup import (
+        dedup_minhash_pairs,
+        dedup_triangle_count,
+    )
+
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_pairs(spark, sf_dir).collect()
+    }
+    tris = {
+        (r.doc_a, r.doc_b, r.doc_c)
+        for r in dedup_triangle_count(spark, sf_dir).collect()
+    }
+    for a, b, c in tris:
+        assert a < b < c
+        assert (a, b) in edges and (b, c) in edges and (a, c) in edges
+    brute = {
+        (a, b, c)
+        for (a, b) in edges
+        for (b2, c) in edges
+        if b == b2 and (a, c) in edges
+    }
+    assert tris == brute
