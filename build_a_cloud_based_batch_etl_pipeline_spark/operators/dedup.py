@@ -56,13 +56,18 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """
     docs = spread_small_input(docs, "doc_id")
     w = F.split("text", " ")
-    idx = seq1(F.size(w) - (n - 1))  # empty (not [1,0]!) for short docs
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(n)]
-        ),
-    )
+    # Shingles as STRUCT n-tuples (arrays_zip of n shifted slices), not
+    # concatenated strings: the column is only ever a join/distinct KEY,
+    # and tokens are split on the separator so the string join is
+    # injective — identical pairs/counts, no per-shingle string
+    # allocation (profiled r7: 2x on the explode+distinct at sf0.1,
+    # same trick as the funnel's struct-pair bigrams).
+    # greatest(..., 0): a doc shorter than the shingle width must slice
+    # ZERO elements — ANSI slice() errors on a negative length (the
+    # struct-key rewrite's version of the sequence(1, 0) pitfall;
+    # caught by test_shingle_helpers_handle_short_docs)
+    take = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    grams = F.arrays_zip(*[F.slice(w, j + 1, take) for j in range(n)])
     return (
         docs.select("doc_id", F.explode(grams).alias("s"))
         .distinct()
