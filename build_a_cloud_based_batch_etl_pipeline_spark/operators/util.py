@@ -110,6 +110,40 @@ def cap_bucket_occupancy(
     )
 
 
+_LABEL_MAP_BROADCAST_ROWS = 4_000_000
+
+
+def hint_label_map(linked: DataFrame) -> DataFrame:
+    """Deterministic, size-safe join hint for a MATERIALIZED label map.
+
+    The connected-component label maps (propagate_min_label output) are
+    |E|-participant bounded — tiny on a deduplicated corpus — but on a
+    duplicate-HEAVY corpus they approach one row per document, and an
+    unconditional F.broadcast() would bypass Catalyst's size estimate
+    and blow the broadcast limit / driver memory exactly where the job
+    matters most (ADVICE r7). The unconditional hint existed to make
+    cold/warm plans deterministic (VERDICT r6: Catalyst's size estimate
+    for the localCheckpoint subtree flips broadcast<->SMJ with cache
+    state); this keeps that determinism while bounding the build side:
+
+    - the input is always localCheckpoint'ed (propagate_min_label
+      materializes every round), so `count()` is a cheap scan of
+      in-memory partitions, no recompute;
+    - under the row gate -> F.broadcast (the common, near-free case);
+    - over it -> an explicit shuffle_hash hint: still deterministic
+      (hint, not estimate), still avoids a sort on the big probe side,
+      and the build side is distributed across partitions instead of
+      replicated to every executor.
+
+    The gate is rows, not bytes, because the map is two fixed-width id
+    columns — 4M rows ~ 64 MB serialized, comfortably under the 8 GB
+    broadcast ceiling with margin for row overhead.
+    """
+    if linked.count() <= _LABEL_MAP_BROADCAST_ROWS:
+        return F.broadcast(linked)
+    return linked.hint("shuffle_hash")
+
+
 def spread_small_input(df: DataFrame, *key: str) -> DataFrame:
     """Repartition ONLY when the plan has fewer input splits than cores.
 

@@ -110,6 +110,13 @@ INTENTIONAL_CROSS = {
     # five (total x orphans) 1-row count pairs assembled by crossJoin
     # (the events_funnel constant-assembly pattern)
     "dq_referential_integrity",
+    # 1-row (nq, np) smoothing-total aggregate broadcast onto the 4096
+    # bucket rows (DSIR log-ratio table — scalar-threshold pattern)
+    "sample_importance_weights",
+    "sample_dsir_resample",
+    # nearest-centroid assignment broadcasts the tiny codebook against
+    # every vector (same O(N * nlist) fan-out as embed_ann_ivf)
+    "sample_diversity_quota",
 }
 
 

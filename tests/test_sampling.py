@@ -192,3 +192,47 @@ def test_bloom_confusion_one_sided_guarantee(spark, monkeypatch):
     assert (False, True) not in cells, cells  # one-sided: no false negatives
     assert cells.get((True, True), 0) == 1, cells  # the planted dup is caught
     assert sum(cells.values()) == 1 + len(others)
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark, sf_dir):
+    """DSIR sanity: target-language (en) documents must score a higher
+    MEAN importance weight than off-target docs — the whole point of the
+    estimator — and every weight must be finite (Laplace smoothing
+    guarantees no -inf/0-division even for buckets absent from the
+    target)."""
+    import math
+
+    w = REGISTRY["sample_importance_weights"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    rows = w.join(docs, "doc_id").collect()
+    assert all(math.isfinite(r.avg_logratio) for r in rows)
+    en = [r.avg_logratio for r in rows if r.lang == "en"]
+    other = [r.avg_logratio for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_dsir_resample_is_weight_biased_and_deterministic(spark, sf_dir):
+    """The Gumbel top-k draw is (a) exactly k rows, (b) a subset of the
+    corpus with keys consistent with the weight table, (c) identical
+    across two runs (hash noise, no RNG state), and (d) biased toward
+    high-weight docs (selected mean weight > corpus mean weight)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.sampling import (
+        _DSIR_TOPK,
+    )
+
+    fn = REGISTRY["sample_dsir_resample"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    assert len(a) == _DSIR_TOPK
+    w = {
+        r.doc_id: r.avg_logratio
+        for r in REGISTRY["sample_importance_weights"].fn(spark, sf_dir).collect()
+    }
+    assert all(r.doc_id in w and r.avg_logratio == w[r.doc_id] for r in a)
+    sel_mean = sum(r.avg_logratio for r in a) / len(a)
+    corpus_mean = sum(w.values()) / len(w)
+    assert sel_mean > corpus_mean

@@ -568,3 +568,45 @@ def test_mrl_energy_curve_invariants(spark, sf_dir):
     assert rows[64].mean_energy_frac == 1.0 and rows[64].min_energy_frac == 1.0
     for r in rows.values():
         assert 0.0 < r.min_energy_frac <= r.mean_energy_frac <= 1.0
+
+
+def test_diversity_quota_covers_planted_clusters(spark, tmp_path):
+    """Planted 3 well-separated gaussian clusters with skewed sizes
+    (100/50/5). The quota sampler must (a) assign every vector to its
+    own planted cluster (tight clusters -> nearest centroid is the
+    planted one), (b) cap each cluster's picks at the quota, (c) keep
+    ALL of an under-quota cluster, and (d) replay identically."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        _DIVQ_QUOTA,
+        sample_diversity_quota,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(3, 64) * 10.0
+    rows, vid = [], 0
+    sizes = {0: 100, 1: 50, 2: 5}
+    for lbl, n in sizes.items():
+        for _ in range(n):
+            v = centers[lbl] + rng.randn(64) * 0.1
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = sample_diversity_quota(spark, str(tmp_path)).collect()
+    planted = {r[0]: r[2] for r in rows}
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        assert r.cluster_id == planted[r.vec_id], "assignment crossed clusters"
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert set(by_cluster) == {0, 1, 2}, "a planted cluster is unrepresented"
+    for lbl, picks in by_cluster.items():
+        assert len(picks) == min(sizes[lbl], _DIVQ_QUOTA)
+        assert sorted(p.pick_rank for p in picks) == list(range(1, len(picks) + 1))
+    again = sample_diversity_quota(spark, str(tmp_path)).collect()
+    assert sorted((r.vec_id, r.cluster_id) for r in again) == sorted(
+        (r.vec_id, r.cluster_id) for r in out
+    )
