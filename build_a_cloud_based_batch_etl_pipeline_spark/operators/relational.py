@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import r2, r4, t, ts
+from .util import r2, r4, rbin, t, ts
 
 
 @query(
@@ -247,7 +247,8 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proj_computed",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+               / 100                                                  AS charge,
            CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END     AS qty_class,
            l_quantity * 2.0                                            AS double_qty
     FROM lineitem
@@ -255,13 +256,18 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def proj_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projection with computed/aliased columns and CASE WHEN."""
+    """Projection with computed/aliased columns and CASE WHEN. Per-row
+    money rounding uses rbin (binary-faithful half-up), not F.round —
+    Spark's round() re-reads the double through its shortest decimal
+    string and diverges from DuckDB at half boundaries (43395.75*0.94 =
+    40792.004999999997 rounded 40792.01 vs 40792.00; caught by the r8
+    sf0.1 gate)."""
     li = t(spark, sf_dir, "lineitem")
     return li.filter(F.col("l_orderkey") < 500).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        rbin(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
         ).alias("charge"),
         F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
         (F.col("l_quantity") * 2.0).alias("double_qty"),

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..queries import query
-from .util import t
+from .util import rbin, t
 
 
 @F.pandas_udf(T.DoubleType())
@@ -33,7 +33,8 @@ def _charge_udf(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Ser
     "udf_pandas_charge",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+               / 100 AS charge
     FROM lineitem
     WHERE l_orderkey < 400
     """,
@@ -41,12 +42,15 @@ def _charge_udf(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Ser
 def udf_pandas_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas UDF (Arrow-batched) vs the built-in expression the
     oracle uses — identical results, demonstrating the vectorized Python
-    escape hatch."""
+    escape hatch. Per-row money rounding uses rbin (binary-faithful
+    half-up) — Spark's round() re-reads the double through its decimal
+    string and diverges from DuckDB at half boundaries (caught by the
+    r8 sf0.1 gate)."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(_charge_udf("l_extendedprice", "l_discount", "l_tax"), 2).alias("charge"),
+        rbin(_charge_udf("l_extendedprice", "l_discount", "l_tax")).alias("charge"),
     )
 
 

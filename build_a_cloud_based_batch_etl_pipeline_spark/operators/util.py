@@ -36,6 +36,25 @@ def r4(c: Column | str) -> Column:
     return F.round(c if isinstance(c, Column) else F.col(c), 4)
 
 
+def rbin(c: Column | str, decimals: int = 2) -> Column:
+    """Binary-faithful round-half-up: floor(x * 10^d + 0.5) / 10^d.
+
+    For PER-ROW derived money columns (not aggregates), Spark's round()
+    and DuckDB's round() can disagree ON THE SAME DOUBLE at a decimal
+    half boundary: Spark re-reads the double's shortest decimal string
+    through BigDecimal (40792.004999999997 -> "40792.005" -> HALF_UP ->
+    40792.01) while DuckDB rounds the binary value itself (-> 40792.00).
+    Found by the r8 sf0.1 gate on proj_computed/udf_pandas_charge —
+    invisible at sf0.01 because no row landed on a boundary. This
+    formulation is the same three IEEE ops (multiply, add, floor) on
+    both engines, so the result is bit-identical by construction; valid
+    for non-negative values (all money columns here). Oracle side must
+    use the literal `floor(x * 100 + 0.5) / 100` form, NOT round()."""
+    x = c if isinstance(c, Column) else F.col(c)
+    p = float(10**decimals)
+    return F.floor(x * p + F.lit(0.5)) / p
+
+
 def ts(lit: str) -> Column:
     """Timestamp literal (session TZ is pinned to UTC => bit-equal to DuckDB)."""
     return F.lit(lit).cast("timestamp")
@@ -84,6 +103,21 @@ def cap_bucket_occupancy(
     with the default 10k cap, one entry per TEN THOUSAND member rows,
     and each entry is just the key plus an int.
     """
+    sizes = over_cap_sizes(keyed, key_cols, cap)
+    return attach_sub(keyed, sizes, key_cols, id_col)
+
+
+def over_cap_sizes(
+    keyed: DataFrame, key_cols: list[str], cap: int
+) -> DataFrame | None:
+    """The over-cap bucket list cap_bucket_occupancy splits on, exposed so
+    an ASYMMETRIC join (multiprobe LSH: probe rows vs index rows) can
+    attach the SAME sub assignment to both sides — the probe side must
+    derive `sub` from the INDEX side's occupancy, not its own probe
+    fan-out counts, or the two sides' sub keys would partition the same
+    bucket differently and matching pairs would never meet. Returns None
+    when no bucket exceeds the cap (the common case — callers degrade to
+    a literal sub=0, zero plan change)."""
     sizes = (
         keyed.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_occ"))
@@ -93,10 +127,21 @@ def cap_bucket_occupancy(
             F.ceil(F.col("_occ") / F.lit(cap)).cast("int").alias("_nsub"),
         )
     )
-    if sizes.isEmpty():
-        return keyed.withColumn("sub", F.lit(0))
+    return None if sizes.isEmpty() else sizes
+
+
+def attach_sub(
+    df: DataFrame, sizes: DataFrame | None, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Append the sub-bucket column for a given over-cap sizes table (see
+    cap_bucket_occupancy for the splitting rationale). The sub hash mixes
+    `id_col` with the bucket key so identical members land in different
+    subs across tables/bands; any two rows (from EITHER side of a join)
+    carrying the same id and bucket get the same sub."""
+    if sizes is None:
+        return df.withColumn("sub", F.lit(0))
     return (
-        keyed.join(F.broadcast(sizes), key_cols, "left")
+        df.join(F.broadcast(sizes), key_cols, "left")
         .withColumn(
             "sub",
             F.pmod(
