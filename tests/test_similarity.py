@@ -33,9 +33,15 @@ def exact(spark, sf_dir):
 
 
 # Thresholds from the parameter sweep on sf0.001 (see similarity.py
-# defaults): LSH(4,8) measured 0.644, IVF(nprobe=3) measured 0.532.
+# defaults): LSH(4,8) measured 0.644, IVF(nprobe=3) measured 0.532,
+# multiprobe LSH(5,3,H1) measured 0.699 at sf0.01.
 @pytest.mark.parametrize(
-    "ann,min_recall", [("embed_ann_lsh", 0.55), ("embed_ann_ivf", 0.45)]
+    "ann,min_recall",
+    [
+        ("embed_ann_lsh", 0.55),
+        ("embed_ann_ivf", 0.45),
+        ("embed_ann_lsh_multiprobe", 0.55),
+    ],
 )
 def test_ann_recall_vs_exact(spark, sf_dir, exact, ann, min_recall):
     approx = _pairs(REGISTRY[ann].fn(spark, sf_dir))
@@ -47,7 +53,9 @@ def test_ann_recall_vs_exact(spark, sf_dir, exact, ann, min_recall):
         assert abs(exact[key] - approx[key]) < 1e-9, f"{ann} corrupted score {key}"
 
 
-@pytest.mark.parametrize("ann", ["embed_ann_lsh", "embed_ann_ivf"])
+@pytest.mark.parametrize(
+    "ann", ["embed_ann_lsh", "embed_ann_ivf", "embed_ann_lsh_multiprobe"]
+)
 def test_ann_output_shape(spark, sf_dir, ann):
     df = REGISTRY[ann].fn(spark, sf_dir)
     rows = df.collect()
@@ -610,3 +618,74 @@ def test_diversity_quota_covers_planted_clusters(spark, tmp_path):
     assert sorted((r.vec_id, r.cluster_id) for r in again) == sorted(
         (r.vec_id, r.cluster_id) for r in out
     )
+
+
+def test_multiprobe_candidates_superset_of_exact_match(spark, sf_dir):
+    """At identical (bits, tables), the Hamming-1 probe set CONTAINS the
+    exact-bucket match set (probe 0 is the query's own bucket), so the
+    multiprobe candidate pairs must be a strict superset whenever any
+    Hamming-1 collision exists — the mechanism by which fewer tables
+    recover recall."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        lsh_multiprobe_candidates,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    exact_ids = {
+        (r.qid, r.nid)
+        for r in lsh_candidate_pairs(emb, bits=5, tables=3).select(
+            "qid", "nid"
+        ).collect()
+    }
+    mp_ids = {
+        (r.qid, r.nid)
+        for r in lsh_multiprobe_candidates(emb, bits=5, tables=3).select(
+            "qid", "nid"
+        ).collect()
+    }
+    assert exact_ids <= mp_ids, "multiprobe lost exact-bucket candidates"
+    assert len(mp_ids) > len(exact_ids), "no Hamming-1 collisions probed"
+
+
+def test_multiprobe_occupancy_cap_asymmetric_sub(spark):
+    """The multiprobe join is asymmetric (probe rows vs index rows), so
+    the degenerate-bucket sub split must come from the INDEX side's
+    occupancy for BOTH sides. Planted: a 200-member near-identical hub
+    (one bucket per table) + 20 well-separated jitter pairs. Under a
+    small cap the hub's candidate volume must collapse toward occ*cap
+    while the sparse planted pairs keep perfect recall."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        lsh_multiprobe_candidates,
+    )
+
+    rng = np.random.RandomState(13)
+    hub = rng.randn(64)
+    rows = [
+        (i, [float(x) for x in hub + rng.randn(64) * 0.005]) for i in range(200)
+    ]
+    base = rng.randn(20, 64)
+    planted = []
+    for j, v in enumerate(base):
+        a, b = 1000 + j * 2, 1000 + j * 2 + 1
+        rows.append((a, [float(x) for x in v]))
+        rows.append((b, [float(x) for x in v + rng.randn(64) * 0.005]))
+        planted.append((a, b))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    uncapped = lsh_multiprobe_candidates(emb, bits=12, tables=2, occupancy_cap=10**9)
+    capped = lsh_multiprobe_candidates(emb, bits=12, tables=2, occupancy_cap=20)
+    n_unc = uncapped.count()
+    n_cap = capped.count()
+    # hub members share their bucket in every table AND probe each
+    # other's buckets: ~200*199 directed pairs uncapped
+    assert n_unc >= 38_000
+    assert n_cap < 0.75 * n_unc, f"cap did not prune: {n_cap} vs {n_unc}"
+    got = {(r.qid, r.nid) for r in capped.select("qid", "nid").collect()}
+    for a, b in planted:
+        assert (a, b) in got and (b, a) in got, f"cap broke sparse pair {(a, b)}"

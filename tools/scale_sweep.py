@@ -148,8 +148,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--points", default="1,3,10")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated substring filters: run only matching rows "
+        "(targeted re-measurement after touching one family — the full "
+        "sweep is ~an hour)",
+    )
     args = ap.parse_args()
     points = sorted({int(p) for p in args.points.split(",")} | {1})
+    only = [s.strip() for s in args.only.split(",")] if args.only else None
+
+    def want(name: str) -> bool:
+        return only is None or any(s in name for s in only)
 
     from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
     from build_a_cloud_based_batch_etl_pipeline_spark.session import get_spark
@@ -216,7 +227,16 @@ def main() -> None:
             # the propagation loop + cluster joins on a warm edge set —
             # the edge-build cost is dedup_minhash_pairs' own sweep row.)
             "dedup_clusters",
+            # r8: DSIR importance weights (one (doc,bucket) tf shuffle +
+            # 4096-row bounded bucket stats — must track the token
+            # stream linearly) and the centroid-quota diversity sampler
+            # (assignment is the same N x nlist fan-out as
+            # embed_ann_ivf under the label-shift rule; the quota draw
+            # is a cluster-partitioned window).
+            "sample_importance_weights",
+            "sample_diversity_quota",
         ]
+        sweep_queries = [n for n in sweep_queries if want(n)]
         for name in sweep_queries:
             fn = reg[name].fn
             ts = {
@@ -226,6 +246,7 @@ def main() -> None:
             results[name] = {"t": ts, "exponent": fit_exponent(points, ts)}
             print_partial(results)
 
+        run_graph = want("graph_components")
         # Iterative component labeling on a CONTROLLED synthetic graph
         # (VERDICT r6 item 4, second iterative-graph row). A data-driven
         # edge set is the wrong instrument here: the gaussian embedding
@@ -272,16 +293,17 @@ def main() -> None:
             nodes = members.select("doc_id", F.col("doc_id").alias("label"))
             materialize(propagate_min_label(nodes, edges))
 
-        ts = {}
-        for p in points:
-            edges = graph_fixture(p)
-            edges.count()  # materialize the cache outside the clock
-            ts[str(p)] = timed(lambda: components(edges), args.runs)
-            edges.unpersist()
-        results["graph_components(cliques+chains, escalation path)"] = {
-            "t": ts, "exponent": fit_exponent(points, ts)
-        }
-        print_partial(results)
+        if run_graph:
+            ts = {}
+            for p in points:
+                edges = graph_fixture(p)
+                edges.count()  # materialize the cache outside the clock
+                ts[str(p)] = timed(lambda: components(edges), args.runs)
+                edges.unpersist()
+            results["graph_components(cliques+chains, escalation path)"] = {
+                "t": ts, "exponent": fit_exponent(points, ts)
+            }
+            print_partial(results)
 
         # ann_lsh: bits tracks corpus size (see module docstring).
         def ann(sf_dir: str, bits: int):
@@ -290,16 +312,49 @@ def main() -> None:
                 ann_lsh_topk(emb, bits=bits, tables=8, cache_key=("sweep", sf_dir, bits))
             )
 
-        ts = {
-            str(p): timed(
-                lambda: ann(fixture[p], 4 + round(math.log2(p))), args.runs
+        if want("embed_ann_lsh(bits~log N)"):
+            ts = {
+                str(p): timed(
+                    lambda: ann(fixture[p], 4 + round(math.log2(p))), args.runs
+                )
+                for p in points
+            }
+            results["embed_ann_lsh(bits~log N)"] = {
+                "t": ts, "exponent": fit_exponent(points, ts)
+            }
+            print_partial(results)
+
+        # multiprobe variant (r8, VERDICT r7 item 5): same bits rule +1
+        # (finer buckets than the exact-match path can afford), tables
+        # pinned at 3 — Hamming-1 probes recover the recall the extra
+        # bits lose, so the per-vector signature/shuffle cost is CONSTANT
+        # in N (3 keyed rows) instead of 8, and only the id-only probe
+        # fan-out grows with bits (log N).
+        from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+            ann_lsh_topk_multiprobe,
+        )
+
+        def ann_mp(sf_dir: str, bits: int):
+            emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+            materialize(
+                ann_lsh_topk_multiprobe(
+                    emb, bits=bits, tables=3,
+                    cache_key=("sweep_mp", sf_dir, bits),
+                )
             )
-            for p in points
-        }
-        results["embed_ann_lsh(bits~log N)"] = {
-            "t": ts, "exponent": fit_exponent(points, ts)
-        }
-        print_partial(results)
+
+        if want("embed_ann_lsh_multiprobe"):
+            ts = {
+                str(p): timed(
+                    lambda: ann_mp(fixture[p], 5 + round(math.log2(p))),
+                    args.runs,
+                )
+                for p in points
+            }
+            results["embed_ann_lsh_multiprobe(bits~log N, tables=3)"] = {
+                "t": ts, "exponent": fit_exponent(points, ts)
+            }
+            print_partial(results)
 
         # ingest e2e: 10k -> 100k posts through extract -> landing -> load.
         import json as _json
@@ -324,11 +379,14 @@ def main() -> None:
             ingest.extract_to_landing(spark, cfg, fetcher=lambda url: payload)
             assert ingest.load_landing_to_table(spark, cfg) == n_posts
 
-        ts = {
-            str(p): timed(lambda: ingest_run(10_000 * p), args.runs)
-            for p in points
-        }
-        results["ingest_e2e"] = {"t": ts, "exponent": fit_exponent(points, ts)}
+        if want("ingest_e2e"):
+            ts = {
+                str(p): timed(lambda: ingest_run(10_000 * p), args.runs)
+                for p in points
+            }
+            results["ingest_e2e"] = {
+                "t": ts, "exponent": fit_exponent(points, ts)
+            }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
