@@ -821,3 +821,150 @@ def read_quantiles(
         f"p{int(q * 100)} double" for q in qs
     )
     return digests.mapInPandas(_extract, schema)
+
+def maintain_drift_profile(
+    spark: SparkSession,
+    events_path: str,
+    profile_table_path: str,
+    checkpoint_path: str,
+    events_schema,
+    lo: float,
+    hi: float,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """Streaming drift-profile maintenance: keep the per-(key, bin)
+    histogram tables the batch drift monitors (dq_ks_drift's KS + PSI,
+    operators/dq.py) compute from, current as event files arrive — the
+    streaming twin that closes the batch-monitor loop (VERDICT r7 item
+    7). Readers get KS distance / PSI between any two keys at any time
+    from the stored 256-bin tables via read_drift_stats, never
+    re-scanning raw events.
+
+    The grid is FIXED and caller-supplied (`lo`/`hi` — in production the
+    reference/training distribution's bounds): dq_ks_drift's
+    data-dependent min/max grid cannot be maintained incrementally (a
+    new extreme value would re-bin every stored count), and a drift
+    monitor's grid SHOULD be pinned to the reference distribution
+    anyway — today's batch is binned on the same grid yesterday's was,
+    or the statistic compares apples to oranges. Out-of-range values
+    clamp to the edge bins, exactly like the batch monitor's `least()`
+    clamp on its own grid.
+
+    Merge semantics: bin counts merge by ADDITION — commutative and
+    associative but NOT idempotent — so the merge takes the same
+    stamped-swap epoch guard as the CMS maintainer
+    (maintain_frequency_sketch): the merged-epoch high-water mark
+    commits WITH the table in one rename, replayed epochs are skipped,
+    and a checkpoint reset against a kept table raises a lineage
+    mismatch instead of silently skipping.
+
+    State is O(keys x 256 bins) regardless of event volume; per batch
+    the work is one conditional-count shuffle on (key, bin) — the same
+    shape as the batch monitor minus its global min/max pass."""
+    from ..operators.dq import _KS_BINS
+
+    stream = spark.readStream.schema(events_schema).json(events_path)
+    if not hi > lo:
+        raise ValueError(f"drift grid needs hi > lo, got [{lo}, {hi}]")
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks import swap_recover
+
+        swap_recover(spark, profile_table_path)  # mid-swap crash artifact
+        lineage = _checkpoint_lineage(spark, checkpoint_path)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(profile_table_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        current = None
+        if fs.exists(hpath):
+            hwm = _table_epoch_hwm(spark, profile_table_path, lineage)
+            if hwm is not None and epoch_id <= hwm:
+                return  # replayed epoch: count addition is NOT idempotent
+            current = spark.read.parquet(profile_table_path)
+        bin_expr = F.greatest(
+            F.least(
+                F.floor(
+                    (F.col(value_col).cast("double") - F.lit(float(lo)))
+                    * float(_KS_BINS)
+                    / F.lit(float(hi) - float(lo))
+                ).cast("long"),
+                F.lit(_KS_BINS - 1),
+            ),
+            F.lit(0),
+        )
+        delta = (
+            batch.select(
+                F.col(key_col).alias("key"), bin_expr.alias("bin")
+            )
+            .groupBy("key", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if current is not None:
+            merged = (
+                current.unionByName(delta)
+                .groupBy("key", "bin")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = delta
+        _atomic_swap_in(
+            spark, merged, profile_table_path, epoch_id,
+            stamp_epoch=True, lineage=lineage,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_drift_stats(
+    spark: SparkSession,
+    profile_table_path: str,
+    key_a: str,
+    key_b: str,
+) -> DataFrame:
+    """Query side of maintain_drift_profile: KS distance + PSI between
+    two keys' maintained bin tables — IDENTICAL gate arithmetic to the
+    batch monitor dq_ks_drift (cumulative-share window over <=256
+    aggregated rows, Laplace-smoothed PSI shares), so a threshold tuned
+    on the batch monitor transfers to the stream unchanged. One row out;
+    cost is O(bins), no event scan."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dq import _KS_BINS
+    from ..sinks import swap_recover
+
+    swap_recover(spark, profile_table_path)
+    prof = spark.read.parquet(profile_table_path)
+    counts = (
+        prof.filter(F.col("key").isin(key_a, key_b))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("key") == key_a, F.col("c")).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("key") == key_b, F.col("c")).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("ca").over(w) * 1.0 / F.nullif(F.col("na"), F.lit(0))).alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.nullif(F.col("nb"), F.lit(0))).alias("fb"),
+        ((F.col("ca") + 0.5) / (F.col("na") + 0.5 * _KS_BINS)).alias("pa"),
+        ((F.col("cb") + 0.5) / (F.col("nb") + 0.5 * _KS_BINS)).alias("pb"),
+        "na",
+        "nb",
+    )
+    return cum.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 4).alias("ks_distance"),
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+            4,
+        ).alias("psi"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+    )

@@ -976,3 +976,116 @@ def test_stream_stream_interval_outer_join_null_completion(spark, tmp_path):
     assert (1, 10) in got2
     # the advancer click's own window is still open -> not emitted yet
     assert not any(l == 3 for l, _ in got2)
+
+
+def test_drift_profile_maintenance_matches_batch_and_guards_replay(spark, tmp_path):
+    """The streaming drift profile must (a) accumulate per-(key, bin)
+    counts across file drops such that the maintained table equals a
+    one-shot batch binning of ALL events on the same fixed grid, (b)
+    produce KS/PSI via read_drift_stats with the batch monitor's exact
+    arithmetic (cross-checked against an independent numpy/duckdb-free
+    recomputation), and (c) guard the non-idempotent count addition: a
+    re-run with no new files leaves the table bit-unchanged."""
+    import math
+
+    evdir = tmp_path / "drift_events"
+    evdir.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    lo, hi = 0.0, 100.0
+    BINS = 256
+
+    def drop(name, rows):
+        with open(evdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # two shifted distributions + out-of-range values to exercise the clamp
+    vals_a = [5.0 + (i * 7 % 40) for i in range(60)] + [-3.0, 250.0]
+    vals_b = [45.0 + (i * 11 % 50) for i in range(80)] + [120.0]
+    rows1 = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": i,
+         "event_type": "click", "value": v}
+        for i, v in enumerate(vals_a[:30])
+    ] + [
+        {"event_id": 1000 + i, "ts": "2024-01-01T00:00:00", "user_id": i,
+         "event_type": "purchase", "value": v}
+        for i, v in enumerate(vals_b[:40])
+    ]
+    rows2 = [
+        {"event_id": 2000 + i, "ts": "2024-01-01T01:00:00", "user_id": i,
+         "event_type": "click", "value": v}
+        for i, v in enumerate(vals_a[30:])
+    ] + [
+        {"event_id": 3000 + i, "ts": "2024-01-01T01:00:00", "user_id": i,
+         "event_type": "purchase", "value": v}
+        for i, v in enumerate(vals_b[40:])
+    ]
+    prof = str(tmp_path / "drift_profile")
+    ckpt = str(tmp_path / "drift_ckpt")
+
+    drop("d1.json", rows1)
+    ingest_stream.maintain_drift_profile(
+        spark, str(evdir), prof, ckpt, schema, lo=lo, hi=hi
+    )
+    drop("d2.json", rows2)
+    ingest_stream.maintain_drift_profile(
+        spark, str(evdir), prof, ckpt, schema, lo=lo, hi=hi
+    )
+
+    # (a) one-shot equivalence on the same grid
+    def bin_of(v):
+        return max(0, min(BINS - 1, math.floor((v - lo) * BINS / (hi - lo))))
+
+    expect: dict[tuple[str, int], int] = {}
+    for key, vals in (("click", vals_a), ("purchase", vals_b)):
+        for v in vals:
+            k = (key, bin_of(v))
+            expect[k] = expect.get(k, 0) + 1
+    got = {
+        (r.key, r.bin): r.c for r in spark.read.parquet(prof).collect()
+    }
+    assert got == expect
+
+    # (b) reader arithmetic equals an independent recomputation
+    stats = ingest_stream.read_drift_stats(spark, prof, "click", "purchase").collect()[0]
+    na, nb = len(vals_a), len(vals_b)
+    ca = [0] * BINS
+    cb = [0] * BINS
+    for v in vals_a:
+        ca[bin_of(v)] += 1
+    for v in vals_b:
+        cb[bin_of(v)] += 1
+    # cumulative shares over OCCUPIED bins (the maintained table has no
+    # zero rows — same as the batch monitor's aggregated-bin window)
+    occupied = [b for b in range(BINS) if ca[b] or cb[b]]
+    fa = fb = 0.0
+    ks = 0.0
+    psi = 0.0
+    for b in occupied:
+        fa += ca[b] / na
+        fb += cb[b] / nb
+        ks = max(ks, abs(fa - fb))
+        pa = (ca[b] + 0.5) / (na + 0.5 * BINS)
+        pb = (cb[b] + 0.5) / (nb + 0.5 * BINS)
+        psi += (pa - pb) * math.log(pa / pb)
+    assert stats.n_a == na and stats.n_b == nb
+    assert abs(stats.ks_distance - round(ks, 4)) < 1e-9
+    assert abs(stats.psi - round(psi, 4)) < 1e-9
+    assert stats.ks_distance > 0.3  # the shifted distributions DO drift
+
+    # (c) replay guard: no new files -> no new epochs -> bit-unchanged
+    ingest_stream.maintain_drift_profile(
+        spark, str(evdir), prof, ckpt, schema, lo=lo, hi=hi
+    )
+    again = {
+        (r.key, r.bin): r.c for r in spark.read.parquet(prof).collect()
+    }
+    assert again == expect
+
+    # degenerate grid refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hi > lo"):
+        ingest_stream.maintain_drift_profile(
+            spark, str(evdir), prof, ckpt, schema, lo=5.0, hi=5.0
+        )
