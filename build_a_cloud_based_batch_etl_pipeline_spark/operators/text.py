@@ -1036,8 +1036,12 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one term-count shuffle (map-side combined), then a
     global window over the DISTINCT-TERM table — bounded by vocabulary
     size, not corpus size; vocabularies are millions of rows at web
-    scale, fine for a single sort, and the K-membership aggregate
-    collapses to |K| rows."""
+    scale, fine for a single sort. The cumulative sum is MONOTONE in
+    rank, so coverage(k) is read directly off the single ranked row at
+    rk = least(k, n_terms) via a 3-row broadcast equi-join — the r7
+    formulation fanned EVERY vocab row x |K| through a crossJoin and
+    max-aggregated them back, shuffling 3x the vocabulary to recover 3
+    numbers the window had already computed."""
     docs = t(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("term"))
@@ -1053,16 +1057,86 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_terms")
     )
-    ks = F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k")
-    fanned = ranked.crossJoin(F.broadcast(tot)).select("rk", "cum", "n", "n_terms", ks)
-    return fanned.groupBy("k").agg(
-        F.round(
-            F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum")).otherwise(0))
-            * 1.0
-            / F.first("n"),
-            4,
-        ).alias("coverage"),
-        F.first("n_terms").cast("bigint").alias("vocab_size"),
+    ktab = tot.select(
+        F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k"),
+        "n",
+        "n_terms",
+    ).withColumn("target_rk", F.least(F.col("k"), F.col("n_terms")))
+    return ranked.join(
+        F.broadcast(ktab), F.col("rk") == F.col("target_rk")
+    ).select(
+        "k",
+        F.round(F.col("cum") * 1.0 / F.col("n"), 4).alias("coverage"),
+        F.col("n_terms").cast("bigint").alias("vocab_size"),
+    )
+
+
+_BPE_TOPK = 20
+
+
+@query(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+        SELECT w, count(*) AS c FROM toks GROUP BY w
+    ),
+    pairs AS (
+        SELECT substring(w, CAST(i AS INT), 2) AS pair, c
+        FROM wc, UNNEST(range(1, length(w))) AS t(i)
+        WHERE length(w) >= 2
+    ),
+    pc AS (
+        SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+    )
+    SELECT rk, pair, pair_count FROM (
+        SELECT row_number() OVER (ORDER BY pair_count DESC, pair) AS rk,
+               pair, pair_count
+        FROM pc
+    ) WHERE rk <= {_BPE_TOPK}
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-step statistics (tokenizer training, Sennrich et
+    al. 2016): the top-20 most frequent ADJACENT CHARACTER
+    PAIRS across the corpus, each word's pairs weighted by the word's
+    corpus frequency — exactly the count a BPE trainer computes to pick
+    its first merge. Deterministic rank order (count desc, pair).
+
+    Scale shape — the reason this is cheap at 100 TB: the character
+    explode runs over the DISTINCT-WORD table (vocabulary-bounded),
+    never the corpus — the token stream collapses to (word, count) via
+    one map-side-combined shuffle first, and each distinct word emits
+    len-1 pairs carrying its count. The pair aggregate is bounded by
+    alphabet^2 rows, and the final ranking window runs over that
+    constant-size table (allow-listed bounded global window, same
+    argument as text_zipf_slope). Words shorter than 2 chars emit
+    nothing on both engines (Spark's sequence(1, 0) would DESCEND, so
+    the filter is correctness, not just cost)."""
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.filter(F.length("w") >= 2).select(
+        "c",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("c").cast("long").alias("pair_count"))
+    w = W.orderBy(F.col("pair_count").desc(), "pair")
+    return (
+        pc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BPE_TOPK)
+        .select("rk", "pair", "pair_count")
     )
 
 

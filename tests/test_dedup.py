@@ -497,3 +497,28 @@ def test_cluster_stats_partitions_corpus(spark, sf_dir):
         assert r.n_docs == r.cluster_size * r.n_clusters
     by_size = {r.cluster_size: r.n_docs for r in rows}
     assert by_size.get(1, 0) > n_docs_total * 0.5
+
+
+def test_hint_label_map_size_gate(spark, monkeypatch):
+    """The label-map join pin must be deterministic AND size-safe: under
+    the row gate the hint is a broadcast (BroadcastHashJoin in the
+    plan); above it the hint degrades to shuffle_hash (ShuffledHashJoin
+    — still deterministic, never an unbounded broadcast)."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import util
+
+    linked = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("label")
+    )
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+
+    small_plan = docs.join(
+        util.hint_label_map(linked), "doc_id", "left"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in small_plan
+
+    monkeypatch.setattr(util, "_LABEL_MAP_BROADCAST_ROWS", 10)
+    big_plan = docs.join(
+        util.hint_label_map(linked), "doc_id", "left"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in big_plan
+    assert "BroadcastHashJoin" not in big_plan

@@ -219,3 +219,43 @@ def test_filter_funnel_telescopes_and_matches_flags(spark, sf_dir):
           for r in REGISTRY["text_unigram_logprob"].fn(spark, sf_dir).collect()}
     survivors = sum(1 for d in g if g[d] and rp[d] and lm[d])
     assert rows[-1].n_out == survivors
+
+
+def test_bpe_pair_stats_matches_bruteforce(spark, tmp_path):
+    """Planted corpus: the pair table must equal a Python brute-force BPE
+    first-iteration count (each word's adjacent pairs weighted by corpus
+    frequency), in (count desc, pair) rank order; 1-char words and empty
+    tokens contribute nothing."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        text_bpe_pair_stats,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the theme of the thesis",
+        "a b c abba abba",
+        "x  doubled  spaces here",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    expect = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            expect[w[i : i + 2]] += c
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = text_bpe_pair_stats(spark, str(tmp_path)).collect()
+    assert [(r.rk, r.pair, r.pair_count) for r in sorted(got, key=lambda r: r.rk)] == [
+        (i + 1, p, c) for i, (p, c) in enumerate(ranked)
+    ]

@@ -162,3 +162,29 @@ def test_r6_operators_handle_empty_inputs(spark, monkeypatch):
     assert card.count() == 8
     # global-agg report: one row of NULL statistics, not a crash
     assert dq_mod.dq_ks_drift(spark, "ignored").count() == 1
+
+
+def test_rbin_half_boundary_matches_duckdb(spark):
+    """The cross-engine landmine rbin exists for: Spark round() re-reads
+    a double's shortest decimal string (HALF_UP on "40792.005") while
+    DuckDB rounds the binary value (40792.004999999997 -> down). rbin
+    must agree with DuckDB's floor-form on the boundary value AND on
+    ordinary values, from the same binary doubles."""
+    import duckdb
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import rbin
+
+    vals = [43395.75 * 0.94, 38951.50 * 1.05, 0.005, 2.675, 1.0049999]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        round(r.x, 6): r.y
+        for r in df.select("x", rbin(F.col("x")).alias("y")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        expect = con.execute(
+            "SELECT floor(? * 100 + 0.5) / 100", [v]
+        ).fetchone()[0]
+        assert got[round(v, 6)] == expect, (v, got[round(v, 6)], expect)
+    # the motivating boundary: Spark's own round() would say 40792.01
+    assert got[round(43395.75 * 0.94, 6)] == 40792.00

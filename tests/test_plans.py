@@ -86,7 +86,6 @@ INTENTIONAL_CROSS = {
     "sample_temperature_mix",
     "text_unigram_logprob",
     "text_heavy_hitters_cms",
-    "text_vocab_coverage",
     "sample_balanced_classes",
     # composes text_unigram_logprob, inheriting its 1-row corpus-total
     # broadcast crossJoin
@@ -173,6 +172,9 @@ GLOBAL_WINDOW_BOUNDED = {
     # cumulative coverage over the distinct-term vocabulary (aggregate
     # below the window; bounded by vocabulary size, not corpus size)
     "text_vocab_coverage",
+    # BPE pair ranking over the alphabet^2-bounded pair-count table
+    # (aggregate below the window; same boundedness argument)
+    "text_bpe_pair_stats",
     # range frame over the supplier dim (bounded dim scan, stated in its
     # docstring)
     "window_range_frame",
