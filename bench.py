@@ -77,6 +77,14 @@ HEADLINE = [
     "dedup_triangle_count",
     "dq_referential_integrity",
     "customer_rfm_segments",
+    # r8 additions (this round becomes their anchor): PMI collocation
+    # extraction (the one-scan cached pair dictionary), the distributed
+    # Lloyd iteration (seed broadcast + scalar-cell centroid shuffle),
+    # and the exact radius search (threshold twin of the top-k BLAS
+    # path).
+    "text_collocation_pmi",
+    "embed_kmeans_step",
+    "embed_range_search",
 ]
 
 

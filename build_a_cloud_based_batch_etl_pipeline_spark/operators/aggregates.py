@@ -853,3 +853,71 @@ def agg_covariance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               avg(l_quantity)      AS mx,
+               avg(l_extendedprice) AS my,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    s AS (
+        SELECT l.l_returnflag, n, mx, my,
+               sum((l_quantity - mx) * (l_extendedprice - my)) AS sxy,
+               sum((l_quantity - mx) * (l_quantity - mx))      AS sxx,
+               sum((l_extendedprice - my) * (l_extendedprice - my)) AS syy
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT l_returnflag, n,
+           round(sxy / sxx, 4)                      AS slope,
+           round(my - (sxy / sxx) * mx, 4)          AS intercept,
+           round((sxy * sxy) / (sxx * syy), 4)      AS r2
+    FROM s
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS — slope, intercept, R² of extendedprice on
+    quantity per return flag: the regr_slope / regr_intercept / regr_r2
+    aggregate family (ANSI SQL:2003, exposed by BigQuery/Postgres/
+    Trino), which the reference gets for free from its warehouse and a
+    native engine must own.
+
+    Same two-pass centered-sums discipline as agg_covariance_corr (its
+    docstring carries the conditioning argument): group means joined
+    back, then centered products — slope = Sxy/Sxx, intercept =
+    my - slope*mx, R² = Sxy²/(Sxx*Syy), each computed with IDENTICAL
+    arithmetic in both engines and rounded 4dp. Scale shape: two
+    map-side-combined aggregates + one broadcast join of group means
+    onto the scan — the same two scans any exact two-pass moment needs
+    (the one-pass updating form is the documented-rejected alternative:
+    engine-specific accumulation order against E[xy]-scale terms)."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dx = F.col("l_quantity") - F.col("mx")
+    dy = F.col("l_extendedprice") - F.col("my")
+    s = (
+        li.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag", "n", "mx", "my")
+        .agg(
+            F.sum(dx * dy).alias("sxy"),
+            F.sum(dx * dx).alias("sxx"),
+            F.sum(dy * dy).alias("syy"),
+        )
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return s.select(
+        "l_returnflag",
+        "n",
+        r4(slope).alias("slope"),
+        r4(F.col("my") - slope * F.col("mx")).alias("intercept"),
+        r4(F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy"))).alias("r2"),
+    )

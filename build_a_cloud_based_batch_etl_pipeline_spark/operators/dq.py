@@ -791,3 +791,76 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("c_nationkey") == F.col("n_nationkey"),
                            t(spark, sf_dir, "nation").select("n_nationkey")))
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_benford — first-significant-digit distribution test
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+    SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders
+),
+c AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+w AS (
+    SELECT digit, n, sum(n) OVER () AS tot FROM c
+)
+SELECT digit, n,
+       round(n * 1.0 / tot, 4)                    AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 4)         AS exp_share,
+       round(tot * pow(n * 1.0 / tot - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 4)       AS chi2_term
+FROM w
+"""
+
+
+@query("dq_benford", oracle=_BENFORD_ORACLE)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance test over order
+    totals — the classic fabricated-/corrupted-numeric-column screen
+    (auditing lineage: Nigrini 1996; a synthetic or truncated money
+    column deviates from log10(1+1/d) immediately). Emits per digit the
+    observed count/share, the Benford expectation, and the chi-square
+    contribution; a reviewer thresholds the chi-square sum.
+
+    Scale shape: one map-side-combined 9-group aggregate over a single
+    projected column — the cheapest possible full-scan profile — then a
+    global window over the fixed 9-row digit table (bounded by
+    construction, allow-listed). The per-row digit extraction is a
+    string head on a bigint cast, identical in both engines (no
+    float-format round-trip: floor-to-bigint first).
+
+    Reference parity: the reference trusts BigQuery's load-job checks
+    and ships no numeric-forensics pass (src/load/main.py:58-84); this
+    is part of the validation family a native engine owns itself
+    (SURVEY.md §2.2 DQ row)."""
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(W.partitionBy())
+    obs = F.col("n") * 1.0 / F.col("tot")
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counts.withColumn("tot", tot)
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 4).alias("obs_share"),
+            F.round(exp, 4).alias("exp_share"),
+            F.round(F.col("tot") * F.pow(obs - exp, 2) / exp, 4).alias(
+                "chi2_term"
+            ),
+        )
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import r2, r4, t
+from .util import r2, r4, rbin, t
 
 
 @query(
@@ -1316,4 +1316,96 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("change_day"),
             F.col("cusum").alias("peak_cusum"),
         )
+    )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               sum(CAST(round(value * 100) AS BIGINT)) * 1.0
+                   / count(*) / 100 AS x
+        FROM events GROUP BY 1, 2, 3
+    ),
+    acc AS (
+        SELECT event_type, day, x,
+               sum(x * pow(1.0 / (1.0 - {_EWMA_ALPHA}), d))
+                   OVER (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS s1,
+               sum(pow(1.0 / (1.0 - {_EWMA_ALPHA}), d))
+                   OVER (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS s2
+        FROM daily
+    )
+    SELECT event_type, day,
+           floor(x * 10000 + 0.5) / 10000       AS daily_avg,
+           floor(s1 / s2 * 10000 + 0.5) / 10000 AS ewma
+    FROM acc
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily mean value per
+    event type (alpha = 0.3, adjusted/normalized form) — the standard
+    smoothed-trend monitor line that sits next to the z-score/MAD
+    anomaly twins.
+
+    The recursive definition s_t = a*x_t + (1-a)*s_(t-1) is not
+    SQL-expressible, but the closed adjusted form
+    ewma_t = sum_i((1-a)^(t-i) * x_i) / sum_i((1-a)^(t-i)) is: weight
+    every daily point by (1/(1-a))^d on a fixed day index and take the
+    ratio of two running sums — the common (1-a)^t scale cancels in the
+    division, so it is never materialized and nothing overflows (the
+    weights grow to ~2e9 over a 60-day span, comfortably inside double
+    range, and the ratio renormalizes the representation error). Both
+    engines accumulate the SAME ordered running sums, so after the
+    cancel the 4dp round is far above residual float noise.
+
+    Scale shape: the corpus collapses to (type, day) rows in one
+    map-side-combined aggregate before any window; the window is
+    keyed by event_type (parallel across series) over day-level rows —
+    series length, not event count, bounds the frame."""
+    ev = t(spark, sf_dir, "events")
+    growth = 1.0 / (1.0 - _EWMA_ALPHA)
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "value",
+        )
+        .withColumn("d", F.datediff("day", F.lit("2024-01-01").cast("date")))
+        .groupBy("event_type", "day", "d")
+        # exact-cents mean (the calendar-heatmap pattern): value is 2dp,
+        # so the bigint cent sum is order-free exact in both engines —
+        # a float avg() flipped daily_avg's 4dp round at sf0.001
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) * 1.0
+                / F.count(F.lit(1))
+                / 100
+            ).alias("x")
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s1 = F.sum(F.col("x") * F.pow(F.lit(growth), F.col("d"))).over(w)
+    s2 = F.sum(F.pow(F.lit(growth), F.col("d"))).over(w)
+    # rbin, not F.round: the exact-cents mean lands EXACTLY on 4dp half
+    # boundaries (cents/n terminating decimals), where Spark's
+    # decimal-string HALF_UP and DuckDB's binary round disagree on the
+    # same double — caught by the sf0.001 sweep (values non-negative).
+    return daily.select(
+        "event_type",
+        "day",
+        rbin("x", 4).alias("daily_avg"),
+        rbin(s1 / s2, 4).alias("ewma"),
     )

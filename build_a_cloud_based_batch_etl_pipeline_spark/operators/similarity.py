@@ -33,6 +33,7 @@ from .util import (
     cap_bucket_occupancy,
     hint_label_map,
     over_cap_sizes,
+    spread_small_input,
     t,
 )
 
@@ -2158,4 +2159,225 @@ def sample_diversity_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.withColumn("pick_rank", F.row_number().over(wp).cast("long"))
         .filter(F.col("pick_rank") <= _DIVQ_QUOTA)
         .select("cluster_id", "vec_id", "csim", "pick_rank")
+    )
+
+
+_RANGE_TAU = 0.4
+
+
+@query(
+    "embed_range_search",
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dp
+        FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT qid, nid, cosine FROM (
+        SELECT qid, nid, round(dp / (x.nrm * y.nrm), 4) AS cosine
+        FROM dots
+        JOIN norms x ON qid = x.vec_id
+        JOIN norms y ON nid = y.vec_id
+    ) WHERE cosine >= {_RANGE_TAU}
+    """,
+)
+def embed_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius (range) similarity search: every directed neighbor
+    pair with cosine >= tau — the fixed-threshold retrieval API that
+    complements top-k (dedup candidate generation, recall auditing of
+    the ANN paths, near-duplicate blocklists all want "everything this
+    similar", not "the 5 best").
+
+    Same bounded-index BLAS plumbing as embed_cosine_topk (footer-
+    guarded collect, one broadcast, one matmul per Arrow batch); the
+    filter compares the ROUNDED cosine on both engines so a boundary
+    pair cannot flip membership. Output size is data-dependent (unlike
+    top-k) — the tau-band count is exactly what the operator reports.
+    For unbounded corpora the scale path is the LSH/IVF candidate
+    generation feeding the same exact rescore, as in
+    dedup_embedding_lsh."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_index = _parquet_num_rows(table_path(sf_dir, "embeddings"))
+    if n_index is not None and n_index <= _MAX_INDEX_ROWS:
+        index_rows = emb.collect()
+    else:
+        index_rows = emb.limit(_MAX_INDEX_ROWS + 1).collect()
+    if len(index_rows) > _MAX_INDEX_ROWS:
+        raise ValueError(
+            f"embed_range_search is the exact bounded-index baseline: "
+            f"index side exceeds the {_MAX_INDEX_ROWS}-row cap. Use LSH/"
+            f"IVF candidates + exact rescore for unbounded corpora."
+        )
+    ids = np.array([r.vec_id for r in index_rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in index_rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_index = spark.sparkContext.broadcast((ids, mat_n))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        nids, nmat = b_index.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(qn @ nmat.T, 4)
+            qids = pdf["vec_id"].to_numpy()
+            res_q, res_n, res_c = [], [], []
+            for i, qid in enumerate(qids):
+                hit = (sims[i] >= _RANGE_TAU) & (nids != qid)
+                res_q.extend([qid] * int(hit.sum()))
+                res_n.extend(nids[hit].tolist())
+                res_c.extend(sims[i][hit].tolist())
+            yield pd.DataFrame({"qid": res_q, "nid": res_n, "cosine": res_c})
+
+    return spread_small_input(emb, "vec_id").mapInPandas(score, out_schema)
+
+
+_KMEANS_K = 8
+
+
+@query(
+    "embed_kmeans_step",
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id, i, v FROM u WHERE vec_id < {_KMEANS_K}
+    ),
+    d2 AS (
+        SELECT u.vec_id, s.seed_id,
+               round(sum((u.v - s.v) * (u.v - s.v)), 6) AS d2
+        FROM u JOIN seeds s ON u.i = s.i
+        GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cluster_id FROM (
+            SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, seed_id) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    centroid AS (
+        SELECT a.cluster_id, u.i, avg(u.v) AS m
+        FROM assign a JOIN u ON a.vec_id = u.vec_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+        FROM assign GROUP BY 1
+    )
+    SELECT c.cluster_id, sizes.size,
+           round(sqrt(sum((c.m - s.v) * (c.m - s.v))), 4) AS shift
+    FROM centroid c
+    JOIN seeds s ON c.cluster_id = s.seed_id AND c.i = s.i
+    JOIN sizes ON sizes.cluster_id = c.cluster_id
+    GROUP BY 1, 2
+    """,
+)
+def embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration of k-means (k = 8, seeds =
+    vec_id 0..7): assign every vector to its nearest seed by squared L2,
+    recompute the element-wise mean centroid per cluster, and report
+    (cluster_id, size, centroid shift) — the clustering-primitive
+    building block under IVF training (similarity's PQ/IVF trainers run
+    this loop driver-side over a SAMPLE; this is the distributed
+    full-corpus step a billion-vector training pass needs).
+
+    Determinism across engines: distances are ROUNDED (6dp) before the
+    argmin and ties break on seed_id, so an accumulation-order ulp in
+    the 64-term sum cannot flip an assignment; the centroid mean is the
+    only cross-engine float aggregate and the 4dp-rounded shift is far
+    above its noise. Scale shape: the assignment is a broadcast of k
+    seed vectors (k rows) against one corpus scan; the recompute
+    shuffles (cluster, dim) partial sums — k*64 scalar cells, never
+    vectors; no iteration loop lives in this operator (a trainer calls
+    it repeatedly, checkpointing assignments)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < _KMEANS_K).select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("seed_vec"),
+        )
+    )
+    d2 = (
+        emb.crossJoin(seeds)
+        .select(
+            "vec_id",
+            "seed_id",
+            "embedding",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "seed_vec",
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                ),
+                6,
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy("d2", "seed_id")
+    )
+    assigned = (
+        d2.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"), "embedding")
+    )
+    cells = assigned.select(
+        "cluster_id", F.posexplode("embedding").alias("i", "v")
+    ).select("cluster_id", (F.col("i") + 1).alias("i"), F.col("v").cast("double").alias("v"))
+    centroid = cells.groupBy("cluster_id", "i").agg(F.avg("v").alias("m"))
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    seed_cells = seeds.select(
+        F.col("seed_id").alias("cluster_id"),
+        F.posexplode("seed_vec").alias("j", "sv"),
+    ).select(
+        "cluster_id", (F.col("j") + 1).alias("i"), F.col("sv").cast("double").alias("sv")
+    )
+    return (
+        centroid.join(F.broadcast(seed_cells), ["cluster_id", "i"])
+        .groupBy("cluster_id")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("m") - F.col("sv")) * (F.col("m") - F.col("sv")))),
+                4,
+            ).alias("shift")
+        )
+        .join(F.broadcast(sizes), "cluster_id")
+        .select("cluster_id", "size", "shift")
     )

@@ -1785,3 +1785,234 @@ def doc_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(pr, 6).alias("quality_pct"),
         (pr >= 0.3).alias("keep"),
     )
+
+
+_PMI_MIN_COUNT = 20
+_PMI_TOPK = 20
+
+
+@query(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH ws AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (
+        SELECT unnest(w) AS term FROM ws
+    ),
+    uni AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term
+    ),
+    n_tok AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM uni
+    ),
+    grams AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> struct_pack(w1 := w[i], w2 := w[i + 1])
+               )) AS g
+        FROM ws WHERE len(w) >= 2
+    ),
+    big AS (
+        SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM grams GROUP BY 1, 2
+    ),
+    n_pair AS (
+        SELECT CAST(sum(c_xy) AS BIGINT) AS np FROM big
+    ),
+    scored AS (
+        SELECT w1, w2, c_xy,
+               round(ln((c_xy * 1.0 / np) * (n * 1.0 / a.c)
+                        * (n * 1.0 / b.c)), 4) AS pmi
+        FROM big
+        JOIN uni a ON big.w1 = a.term
+        JOIN uni b ON big.w2 = b.term
+        CROSS JOIN n_tok CROSS JOIN n_pair
+        WHERE c_xy >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_xy, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-K adjacent word pairs by pointwise
+    mutual information, pmi = ln(P(xy) / (P(x)P(y))) with a minimum
+    pair-count support — the phrase-mining / tokenizer-merge-candidate
+    statistic (Church & Hanks 1990; the multi-word-expression detector
+    every corpus-analysis stack ships).
+
+    Scale shape: ONE corpus scan — each token is emitted exactly once
+    as (w1, w2-or-null) where w2 is its right neighbor (the document's
+    last token carries null), and one map-side-combined count collapses
+    that stream to the pair dictionary. Unigram counts are a ROLLUP of
+    that dictionary (sum over w1 — pair-dictionary-bounded, the corpus
+    is never re-read), both corpus totals are 1-row aggregates of the
+    same dictionary (ReuseExchange makes all four consumers share the
+    single shuffle), and the final top-K is TakeOrderedAndProject
+    (per-partition heaps, never a global sort of the pair dictionary).
+    PMI is computed as a product of three ratios — never a bigint
+    triple product — so the arithmetic cannot overflow at corpus scale
+    and is bit-identical across engines; ranking orders by the ROUNDED
+    pmi with (w1, w2) tie-break so the cut is engine-stable."""
+    docs = t(spark, sf_dir, "documents")
+
+    def _build_pair_dict() -> DataFrame:
+        return (
+            docs.select(F.split("text", " ").alias("w"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(w)),"
+                        " i -> struct(element_at(w, i) AS w1,"
+                        "   CASE WHEN i < size(w) THEN element_at(w, i + 1)"
+                        "        END AS w2))"
+                    )
+                ).alias("g")
+            )
+            .select("g.w1", "g.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c_xy"))
+        )
+
+    # cache the pair dictionary: five consumers (uni, a, b, both totals,
+    # big) would each re-expand the corpus otherwise — ReuseExchange
+    # only collapsed one of the duplicate subtrees in the AQE plan. The
+    # cached table is pair-dictionary-bounded (vocabulary^2 worst case,
+    # Zipf-small in practice), never corpus-sized.
+    grouped = cache_once(
+        spark, ("pmi_pair_dict", sf_dir), _build_pair_dict
+    )
+    uni = grouped.groupBy("w1").agg(F.sum("c_xy").alias("c"))
+    n_tok = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    pairs_only = grouped.filter(F.col("w2").isNotNull())
+    n_pair = pairs_only.agg(F.sum("c_xy").cast("bigint").alias("np"))
+    big = pairs_only.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    a = uni.select(F.col("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("w1").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        big.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") * 1.0 / F.col("np"))
+                    * (F.col("n") * 1.0 / F.col("c_a"))
+                    * (F.col("n") * 1.0 / F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(_PMI_TOPK)
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    c AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_terms,
+               sum(a.c * 1.0 / ta.n) AS sh_p,
+               sum(b.c * 1.0 / tb.n) AS sh_q,
+               sum((a.c * 1.0 / ta.n)
+                   * ln(2.0 * (a.c * 1.0 / ta.n)
+                        / (a.c * 1.0 / ta.n + b.c * 1.0 / tb.n))
+                 + (b.c * 1.0 / tb.n)
+                   * ln(2.0 * (b.c * 1.0 / tb.n)
+                        / (a.c * 1.0 / ta.n + b.c * 1.0 / tb.n))) AS core
+        FROM c a
+        JOIN c b ON a.term = b.term AND a.source < b.source
+        JOIN tot ta ON a.source = ta.source
+        JOIN tot tb ON b.source = tb.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared_terms,
+           round(0.5 * core + 0.5 * (2.0 - sh_p - sh_q) * ln(2.0), 4)
+               AS jsd
+    FROM shared
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions — the domain-shift / corpus-mixture distance
+    (the statistic behind "how different is crawl batch B from A",
+    DSIR's KL cousin; bounded [0, ln 2], symmetric, defined without
+    smoothing).
+
+    The union-vocabulary sum is decomposed so only SHARED terms are
+    joined: a term present in one source only contributes p*ln(2p/p) =
+    p*ln2, and those tails telescope to (1 - sum_shared p) * ln2 — so
+    the full-outer join over the vocabulary union (with zero-fill rows
+    shuffling for every pair) is replaced by an inner equi-join on the
+    term dictionary plus per-source totals. Scale shape: ONE corpus
+    scan collapses to the (source, term) count table; the pair
+    enumeration is that vocabulary-bounded table self-joined on term
+    (every pair of sources sharing the term meets in one term-keyed
+    shuffle — domains^2 pair rows per term, never corpus rows), with
+    the |sources|-row totals broadcast on both sides. All-float sums
+    are order-wobble only, far under the 4dp round."""
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = c.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("c").alias("ca"),
+    ).join(
+        F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+        "source_a",
+    )
+    b = c.select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("c").alias("cb"),
+    ).join(
+        F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+        "source_b",
+    )
+    p = F.col("ca") * 1.0 / F.col("na")
+    q = F.col("cb") * 1.0 / F.col("nb")
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum(p).alias("sh_p"),
+            F.sum(q).alias("sh_q"),
+            F.sum(
+                p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q))
+            ).alias("core"),
+        )
+    )
+    ln2 = float(__import__("math").log(2.0))
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        F.round(
+            0.5 * F.col("core")
+            + 0.5 * (2.0 - F.col("sh_p") - F.col("sh_q")) * F.lit(ln2),
+            4,
+        ).alias("jsd"),
+    )

@@ -349,3 +349,202 @@ def test_triangle_edges_close_in_pair_set(spark, sf_dir):
         if b == b2 and (a, c) in edges
     }
     assert tris == brute
+
+
+def test_benford_digit_table_is_complete_and_consistent(spark, sf_dir):
+    """dq_benford invariants: all 9 digits present, counts sum to the
+    table row count, shares sum to 1, expectation matches the closed
+    form, chi-square terms non-negative — plus a numpy recompute of the
+    first-digit histogram as the third engine."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dq import dq_benford
+
+    rows = {r.digit: r for r in dq_benford(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    tp = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    vals = tp.column("o_totalprice").to_pylist()
+    assert sum(r.n for r in rows.values()) == len(vals)
+    # numpy/python third engine for the histogram itself
+    expect = {d: 0 for d in range(1, 10)}
+    for v in vals:
+        expect[int(str(int(math.floor(v)))[0])] += 1
+    for d, r in rows.items():
+        assert r.n == expect[d]
+        assert abs(r.exp_share - round(math.log10(1 + 1 / d), 4)) <= 1e-9
+        assert r.chi2_term >= 0
+    assert abs(sum(r.obs_share for r in rows.values()) - 1.0) < 1e-2
+
+
+def test_collocation_pmi_matches_python_recompute(spark, sf_dir):
+    """Full PMI recompute in plain python over the raw parquet (third
+    engine): token/pair counts, the ratio-product formula, identical
+    rounding, identical (pmi desc, w1, w2) top-K cut."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        _PMI_MIN_COUNT,
+        _PMI_TOPK,
+        text_collocation_pmi,
+    )
+
+    got = [
+        (r.w1, r.w2, r.c_xy, r.pmi)
+        for r in text_collocation_pmi(spark, sf_dir).collect()
+    ]
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    uni, big = Counter(), Counter()
+    n_pair = 0
+    for txt in texts:
+        ws = txt.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+        n_pair += max(len(ws) - 1, 0)
+    n_tok = sum(uni.values())
+    scored = [
+        (
+            round(
+                math.log(
+                    (c / n_pair) * (n_tok / uni[w1]) * (n_tok / uni[w2])
+                ),
+                4,
+            ),
+            w1,
+            w2,
+            c,
+        )
+        for (w1, w2), c in big.items()
+        if c >= _PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(w1, w2, c, pmi) for pmi, w1, w2, c in scored[:_PMI_TOPK]]
+    assert sorted(got) == sorted(want)
+
+
+def test_ewma_matches_pandas_recursion(spark, sf_dir):
+    """The closed-form two-running-sums EWMA must equal pandas'
+    recursive ewm(adjust=True) on every series — the property that the
+    algebraic reformulation (weights (1/(1-a))^d, common scale
+    cancelled by the ratio) is in fact the same estimator. Daily means
+    recomputed exact-cents like the operator; gap days contribute
+    decayed weights exactly as the day-index exponent encodes."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        _EWMA_ALPHA,
+        events_ewma,
+    )
+
+    got = {
+        (r.event_type, r.day): (r.daily_avg, r.ewma)
+        for r in events_ewma(spark, sf_dir).collect()
+    }
+    pdf = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).to_pandas()
+    pdf["day"] = pdf["ts"].dt.normalize()
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    for etype, grp in pdf.groupby("event_type"):
+        daily = (
+            grp.groupby("day")
+            .agg(s=("cents", "sum"), n=("cents", "size"))
+            .sort_index()
+        )
+        x = daily["s"] / daily["n"] / 100.0
+        # hand-rolled recursive adjusted EWMA with calendar-gap decay:
+        # num_t = x_t + (1-a)^gap * num_(t-1); den likewise — the
+        # textbook recursion the closed form must reproduce
+        decay = 1.0 - _EWMA_ALPHA
+        num = den = 0.0
+        prev_d = None
+        for day, xt in x.items():
+            d = (day - pd.Timestamp("2024-01-01")).days
+            gap = d - prev_d if prev_d is not None else 0
+            num = xt + (decay**gap) * num
+            den = 1.0 + (decay**gap) * den
+            prev_d = d
+            g = got[(etype, day.date())]
+            assert abs(g[1] - num / den) < 5e-4, (etype, day, g, num / den)
+            assert abs(g[0] - xt) < 5e-4
+
+
+def test_linear_regression_matches_numpy(spark, sf_dir):
+    """OLS cross-check vs numpy.polyfit per group (third engine)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.aggregates import (
+        agg_linear_regression,
+    )
+
+    rows = {
+        r.l_returnflag: r for r in agg_linear_regression(spark, sf_dir).collect()
+    }
+    pdf = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_quantity"].to_numpy(dtype=float)
+        y = grp["l_extendedprice"].to_numpy(dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert rows[flag].n == len(x)
+        assert abs(rows[flag].slope - slope) < max(1e-3, 1e-5 * abs(slope))
+        assert abs(rows[flag].intercept - intercept) < max(
+            1e-3, 1e-5 * abs(intercept)
+        )
+        assert abs(rows[flag].r2 - r * r) < 1e-3
+
+
+def test_js_divergence_matches_full_union_recompute(spark, sf_dir):
+    """The shared-terms decomposition must equal the textbook
+    union-vocabulary JSD — recomputed in plain python over the raw
+    parquet (third engine), including the p*ln2 tails the inner join
+    never materializes. Also pins symmetry-free bounds [0, ln 2]."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        text_js_divergence,
+    )
+
+    got = {
+        (r.source_a, r.source_b): (r.n_shared_terms, r.jsd)
+        for r in text_js_divergence(spark, sf_dir).collect()
+    }
+    tb = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    dist = defaultdict(Counter)
+    for src, txt in zip(
+        tb.column("source").to_pylist(), tb.column("text").to_pylist()
+    ):
+        dist[src].update(txt.split(" "))
+    srcs = sorted(dist)
+    assert set(got) == {(x, y) for x in srcs for y in srcs if x < y}
+    for (sa, sb), (n_shared, jsd) in got.items():
+        pa, pb = dist[sa], dist[sb]
+        na, nb = sum(pa.values()), sum(pb.values())
+        union = set(pa) | set(pb)
+        want = 0.0
+        for w in union:
+            p, q = pa[w] / na, pb[w] / nb
+            m = (p + q) / 2
+            if p:
+                want += 0.5 * p * math.log(p / m)
+            if q:
+                want += 0.5 * q * math.log(q / m)
+        assert n_shared == len(set(pa) & set(pb))
+        assert abs(jsd - want) < 5e-4
+        assert -1e-9 <= jsd <= math.log(2) + 1e-9

@@ -96,6 +96,12 @@ INTENTIONAL_CROSS = {
     "feature_quantile_bins",
     # 1-row (N, avgdl) BM25 constants broadcast onto the postings scan
     "text_bm25_rank",
+    # 1-row corpus totals (n_tok, n_pair) broadcast onto the
+    # vocabulary-bounded pair dictionary
+    "text_collocation_pmi",
+    # k-row (k=8) seed-vector broadcast against the corpus scan — the
+    # nearest-seed assignment join
+    "embed_kmeans_step",
     # pairwise sketch self-join over the handful of per-type sketch
     # rows (type_a < type_b theta predicate on a broadcast of O(types))
     "agg_hll_intersection",
@@ -187,6 +193,9 @@ GLOBAL_WINDOW_BOUNDED = {
     # cumulative CDF over the fixed 256-bin KS grid (aggregate below
     # the window; bounded by the bin count, not event volume)
     "dq_ks_drift",
+    # grand total over the fixed 9-row first-digit table (aggregate
+    # below the window; bounded by construction)
+    "dq_benford",
     # ntile quartiles over CUSTOMER-level aggregates (aggregate below
     # the window: |C| rows, not |O|; docstring states the
     # approx-percentile swap for |C| beyond one node)

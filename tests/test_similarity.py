@@ -689,3 +689,65 @@ def test_multiprobe_occupancy_cap_asymmetric_sub(spark):
     got = {(r.qid, r.nid) for r in capped.select("qid", "nid").collect()}
     for a, b in planted:
         assert (a, b) in got and (b, a) in got, f"cap broke sparse pair {(a, b)}"
+
+
+def test_range_search_matches_numpy_brute_force(spark, sf_dir):
+    """Third-engine recompute: full pairwise cosine in numpy, same 4dp
+    round before the tau comparison, exact set equality of (qid, nid)
+    membership and scores."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        _RANGE_TAU,
+        embed_range_search,
+    )
+
+    got = {
+        (r.qid, r.nid): r.cosine
+        for r in embed_range_search(spark, sf_dir).collect()
+    }
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(tb.column("vec_id").to_pylist())
+    mat = np.array(tb.column("embedding").to_pylist(), dtype=np.float64)
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(n @ n.T, 4)
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if i != j and sims[i, j] >= _RANGE_TAU:
+                want[(ids[i], ids[j])] = sims[i, j]
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-9
+
+
+def test_kmeans_step_matches_numpy_lloyd_iteration(spark, sf_dir):
+    """One Lloyd iteration recomputed in numpy with the operator's
+    determinism contract (6dp-rounded distances, seed-id tie-break):
+    cluster sizes and centroid shifts must match; sizes sum to N."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        _KMEANS_K,
+        embed_kmeans_step,
+    )
+
+    rows = {r.cluster_id: r for r in embed_kmeans_step(spark, sf_dir).collect()}
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(tb.column("vec_id").to_pylist())
+    mat = np.array(tb.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    seeds = mat[ids < _KMEANS_K]
+    d2 = np.round(
+        ((mat[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2), 6
+    )
+    assign = d2.argmin(axis=1)  # argmin takes first max -> seed-id tie-break
+    assert sum(r.size for r in rows.values()) == len(ids)
+    for c in range(_KMEANS_K):
+        members = mat[assign == c]
+        assert rows[c].size == len(members)
+        shift = np.sqrt(((members.mean(axis=0) - seeds[c]) ** 2).sum())
+        assert abs(rows[c].shift - shift) < 5e-4

@@ -235,6 +235,17 @@ def main() -> None:
             # is a cluster-partitioned window).
             "sample_importance_weights",
             "sample_diversity_quota",
+            # r8 session additions: PMI collocations (suffixed copies
+            # share no terms, so the cached pair dictionary scales
+            # exactly k-fold — the one-scan + vocab-bounded-derivations
+            # shape must stay linear), source-pair JS divergence (the
+            # term-keyed dictionary self-join grows k-fold in terms
+            # while the pair fan-out stays |sources|^2-bounded), and the
+            # distributed Lloyd iteration (N x k seed fan-out + the
+            # (cluster, dim) scalar-cell shuffle — both linear in N).
+            "text_collocation_pmi",
+            "text_js_divergence",
+            "embed_kmeans_step",
         ]
         sweep_queries = [n for n in sweep_queries if want(n)]
         for name in sweep_queries:
