@@ -670,6 +670,70 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 15/32 the plane-matmul columns.
 _MP_BITS = 5
 _MP_TABLES = 3
+_MP_NPROBE = 6  # probed buckets per (query, table): own + nprobe-1 flips
+
+
+def _lsh_keyed_mp(
+    emb: DataFrame, bits: int, tables: int, nprobe: int
+) -> DataFrame:
+    """(vec_id, tbl, bkt, probes): _lsh_keyed plus, per (vector, table),
+    the XOR masks of the `nprobe` most-likely probe buckets in
+    Lv-et-al. margin order — mask 0 (the own bucket) first, then the
+    single-plane flips ordered by |projection margin| ascending (the
+    planes the vector sat closest to, i.e. the votes most likely
+    wrong). Computed inside the same Arrow matmul batch that signs the
+    buckets; the masks are `nprobe` small ints per keyed row, so the
+    probe budget is explicit data, not a bits-dependent expansion."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [_plane(tb, j) for tb in range(tables) for j in range(bits)],
+        dtype=np.float64,
+    ).T  # (dim, tables*bits)
+    weights = np.tile(np.array([1 << j for j in range(bits)]), tables)
+    n_flip = min(nprobe - 1, bits)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bkt", T.IntegerType()),
+            T.StructField("probes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            proj = V @ planes  # (n, tables*bits), table-major
+            signs = proj > 0
+            n = len(pdf)
+            bkts = (
+                (signs * weights).reshape(n, tables, bits).sum(axis=2).astype(np.int32)
+            )
+            # margin order per (vector, table): planes with the smallest
+            # |projection| are the likeliest wrong votes -> probe those
+            margins = np.abs(proj).reshape(n, tables, bits)
+            order = np.argsort(margins, axis=2)[:, :, :n_flip]
+            masks = (1 << order).astype(np.int32)  # (n, tables, n_flip)
+            zero = np.zeros((n, tables, 1), dtype=np.int32)
+            probe_masks = np.concatenate([zero, masks], axis=2).reshape(
+                n * tables, n_flip + 1
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
+                    "tbl": np.tile(np.arange(tables, dtype=np.int32), n),
+                    "bkt": bkts.reshape(-1),
+                    "probes": list(probe_masks),
+                }
+            )
+
+    return emb.mapInPandas(assign, out_schema)
 
 
 def lsh_multiprobe_candidates(
@@ -677,14 +741,26 @@ def lsh_multiprobe_candidates(
     bits: int,
     tables: int,
     occupancy_cap: int = _LSH_BUCKET_CAP,
+    nprobe: int = _MP_NPROBE,
     cache_key: tuple | None = None,
 ) -> DataFrame:
     """Multiprobe LSH candidates (Lv et al. 2007): each query probes its
-    own sign-bucket PLUS the `bits` buckets at Hamming distance 1, so
-    near-misses (one plane voted wrong) still meet without another
+    own sign-bucket plus the `nprobe - 1` Hamming-1 buckets whose
+    planes it sat CLOSEST to (smallest |projection margin| — the votes
+    most likely wrong), so near-misses still meet without another
     table. The probe fan-out is id-only rows — (qid, tbl, bkt) ints,
     exploded scan-side, never vectors — and the join stays a bucket
     equi-join: fan-out tracks occupancy x probes, never N^2.
+
+    The probe budget is FIXED at nprobe, not all `bits` flips: under
+    the bits ~ log2 N occupancy rule an all-flips probe multiplies
+    candidate volume by (1 + bits) ~ log N — the r8 sweep measured that
+    as e = 1.35 vs 1.11 for the exact-match path. Margin-ordered
+    fixed-budget probing is the paper's actual scheme and keeps
+    candidates/query at nprobe x occupancy x tables — constant under
+    the occupancy rule, so total work is linear. At the tuned defaults
+    (bits = 5, nprobe = 6) the probe set equals all-flips exactly, so
+    fixture recall is unchanged.
 
     Occupancy safety is ASYMMETRIC here: `sub` must split a degenerate
     bucket identically for probe rows and index rows, so both sides
@@ -696,29 +772,30 @@ def lsh_multiprobe_candidates(
 
     100 TB shape vs the exact-match path: same keyed/matmul machinery,
     but tables (the expensive axis: one (dim x bits) matmul slab + one
-    keyed row per vector each) trade for probes (the cheap axis: +1 int
-    row per table entry). Under the bits ~ log2 N operating rule the
-    per-bucket occupancy is constant, so candidates/query grow only
-    with the probe count — log N — while shuffle volume and signature
-    compute stay at tables = O(1)."""
+    keyed row per vector each) trade for probes (the cheap axis:
+    nprobe - 1 extra int rows per table entry)."""
     if cache_key is not None:
         keyed = cache_once(
             emb.sparkSession,
-            (*cache_key, "mp", bits, tables),
-            lambda: _lsh_keyed(emb, bits, tables),
+            (*cache_key, "mp", bits, tables, nprobe),
+            lambda: _lsh_keyed_mp(emb, bits, tables, nprobe),
         )
     else:
-        keyed = _lsh_keyed(emb, bits, tables).cache()
-    sizes = over_cap_sizes(keyed, ["tbl", "bkt"], occupancy_cap)
-    index = attach_sub(keyed, sizes, ["tbl", "bkt"], "vec_id").select(
+        keyed = _lsh_keyed_mp(emb, bits, tables, nprobe).cache()
+    plain = keyed.select("vec_id", "tbl", "bkt")
+    sizes = over_cap_sizes(plain, ["tbl", "bkt"], occupancy_cap)
+    index = attach_sub(plain, sizes, ["tbl", "bkt"], "vec_id").select(
         F.col("vec_id").alias("nid"), "tbl", "bkt", "sub"
-    )
-    probe_arr = F.array(
-        F.col("bkt"), *[F.col("bkt").bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
     )
     probes = attach_sub(
         keyed.select(
-            F.col("vec_id").alias("qid"), "tbl", F.explode(probe_arr).alias("bkt")
+            F.col("vec_id").alias("qid"),
+            "tbl",
+            F.explode(
+                F.transform(
+                    "probes", lambda mask: F.col("bkt").bitwiseXOR(mask)
+                )
+            ).alias("bkt"),
         ),
         sizes,
         ["tbl", "bkt"],
@@ -740,6 +817,7 @@ def ann_lsh_topk_multiprobe(
     bits: int = _MP_BITS,
     tables: int = _MP_TABLES,
     k: int = 5,
+    nprobe: int = _MP_NPROBE,
     cache_key: tuple | None = None,
 ) -> DataFrame:
     """Multiprobe LSH ANN: (vec_id, embedding) -> top-k (qid, nid,
@@ -747,7 +825,9 @@ def ann_lsh_topk_multiprobe(
     can be missed, scores are never approximate."""
     from pyspark.sql import Window as W
 
-    cand = lsh_multiprobe_candidates(emb, bits, tables, cache_key=cache_key)
+    cand = lsh_multiprobe_candidates(
+        emb, bits, tables, nprobe=nprobe, cache_key=cache_key
+    )
     scored = blas_pair_scores(cand, ["qid", "nid"])
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
     return (
@@ -2380,4 +2460,126 @@ def embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(sizes), "cluster_id")
         .select("cluster_id", "size", "shift")
+    )
+
+
+@query(
+    "embed_dim_covariance",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    m AS (
+        SELECT i, avg(v) AS mu, CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY i
+    ),
+    cells AS (
+        SELECT a.i AS i, b.i AS j, ma.n AS n,
+               sum((a.v - ma.mu) * (b.v - mb.mu)) AS sxy
+        FROM u a
+        JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        JOIN m ma ON a.i = ma.i
+        JOIN m mb ON b.i = mb.i
+        GROUP BY 1, 2, 3
+    )
+    SELECT c.i, c.j, c.n,
+           round(c.sxy / (c.n - 1), 4) AS covar,
+           round(c.sxy / sqrt(di.sxy * dj.sxy), 4) AS corr
+    FROM cells c
+    JOIN cells di ON di.i = c.i AND di.j = c.i
+    JOIN cells dj ON dj.i = c.j AND dj.j = c.j
+    """,
+)
+def embed_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension-pair sample covariance and Pearson correlation of
+    the embedding matrix (upper triangle, i <= j) — the d x d second-
+    moment statistics every whitening / ZCA / PCA / quantizer-rotation
+    step consumes, and the redundancy diagnostic (a near-1 off-diagonal
+    corr means two dimensions carry one signal).
+
+    Scale shape — why this works at billions of vectors: the means are
+    one posexplode aggregate (d rows, collected into ONE array-typed
+    broadcast row), each vector is centered IN-ROW against that array
+    and expands to its d(d+1)/2 pair products inside the projection, so
+    the only shuffle is the map-side-combined (i, j) cell aggregate —
+    d(d+1)/2 scalar cells total (2080 for d=64), ARRAYS NEVER SHUFFLE.
+    The two-pass centered form keeps the house conditioning discipline
+    (agg_covariance_corr's docstring); diagonals join back broadcast
+    for the correlation normalizer. Two corpus scans (means, products)
+    is the exact two-pass minimum.
+
+    DuckDB oracle mirrors the arithmetic through a vec_id self-join —
+    quadratic-in-d row fan-out is fine at oracle scale and the centered
+    sums match the in-row products term-for-term."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    u = emb.select(
+        F.posexplode("embedding").alias("i0", "v")
+    ).select((F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v"))
+    m = u.groupBy("i").agg(
+        F.avg("v").alias("mu"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # one row: means as a position-ordered array (d elements) —
+    # collect_list order after orderBy is plan-fragile, so the array is
+    # rebuilt positionally from sorted (i, mu) structs
+    mu_arr = m.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("i"), F.col("mu")))
+        ).alias("imu"),
+        F.first("n", ignorenulls=True).alias("n"),
+    ).select(
+        F.transform(F.col("imu"), lambda s: s.getField("mu")).alias("mus"),
+        "n",
+    )
+    centered = emb.crossJoin(F.broadcast(mu_arr)).select(
+        F.zip_with(
+            "embedding", "mus", lambda x, mu: x.cast("double") - mu
+        ).alias("cv"),
+        "n",
+    )
+    d = F.size("cv")
+    prods = centered.select(
+        "n",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), d),
+                    lambda i: F.transform(
+                        F.sequence(i, d),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at("cv", i) * F.element_at("cv", j)
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c"),
+    ).select("n", "c.i", "c.j", "c.p")
+    cells = prods.groupBy("i", "j", "n").agg(F.sum("p").alias("sxy"))
+    diag = cells.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("di"), F.col("sxy").alias("sdd")
+    )
+    return (
+        cells.join(
+            F.broadcast(diag).withColumnRenamed("di", "i").withColumnRenamed("sdd", "sii"),
+            "i",
+        )
+        .join(
+            F.broadcast(diag).withColumnRenamed("di", "j").withColumnRenamed("sdd", "sjj"),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            F.round(F.col("sxy") / (F.col("n") - 1), 4).alias("covar"),
+            F.round(
+                F.col("sxy") / F.sqrt(F.col("sii") * F.col("sjj")), 4
+            ).alias("corr"),
+        )
     )

@@ -968,3 +968,138 @@ def read_drift_stats(
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
     )
+
+
+def maintain_source_term_counts(
+    spark: SparkSession,
+    docs_path: str,
+    counts_table_path: str,
+    checkpoint_path: str,
+    docs_schema,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> None:
+    """Streaming maintenance of the per-source unigram distributions —
+    the state behind the batch text_js_divergence domain-shift monitor
+    (operators/text.py): keep (source, term, c) current as document
+    files arrive, so "how far has crawl batch B drifted from domain A"
+    is answerable from vocabulary-sized state instead of a full corpus
+    re-scan.
+
+    Same contract as maintain_term_counts (one key column wider): each
+    micro-batch pre-aggregates map-side to one row per distinct
+    (source, term) in the batch, then merges into the stored counts by
+    addition. Addition is NOT idempotent, so the merge takes the
+    merged-epoch watermark guard — `_atomic_swap_in(stamp_epoch=True)`
+    commits counts and epoch in one rename; replayed epochs are
+    skipped; a checkpoint reset against a kept table is a loud lineage
+    error. Stored size is sum of per-source vocabularies, never corpus
+    rows."""
+    stream = spark.readStream.schema(docs_schema).json(docs_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks import swap_recover
+
+        swap_recover(spark, counts_table_path)
+        lineage = _checkpoint_lineage(spark, checkpoint_path)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(counts_table_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        current = None
+        if fs.exists(hpath):
+            hwm = _table_epoch_hwm(spark, counts_table_path, lineage)
+            if hwm is not None and epoch_id <= hwm:
+                return  # replayed epoch: count addition is NOT idempotent
+            current = spark.read.parquet(counts_table_path)
+        delta = (
+            batch.select(
+                F.col(source_col).alias("source"),
+                F.explode(F.split(F.col(text_col), " ")).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if current is not None:
+            merged = (
+                current.unionByName(delta)
+                .groupBy("source", "term")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = delta
+        _atomic_swap_in(
+            spark, merged, counts_table_path, epoch_id,
+            stamp_epoch=True, lineage=lineage,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_js_divergence(
+    spark: SparkSession, counts_table_path: str
+) -> DataFrame:
+    """Query side of maintain_source_term_counts: pairwise
+    Jensen-Shannon divergence between every two sources' maintained
+    unigram distributions, with EXACTLY the batch operator's
+    shared-terms arithmetic (text_js_divergence's docstring carries the
+    decomposition) — so the streamed state answers bit-identically to a
+    batch re-scan of the same corpus (one-shot equivalence pinned in
+    tests/test_streaming.py). Runs entirely on the vocabulary-sized
+    state table: one term-keyed self-join + |sources|-row totals
+    broadcast on both sides."""
+    from ..sinks import swap_recover
+
+    swap_recover(spark, counts_table_path)
+    c = spark.read.parquet(counts_table_path)
+    tot = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = c.select(
+        F.col("source").alias("source_a"), "term", F.col("c").alias("ca")
+    ).join(
+        F.broadcast(
+            tot.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+        ),
+        "source_a",
+    )
+    b = c.select(
+        F.col("source").alias("source_b"), "term", F.col("c").alias("cb")
+    ).join(
+        F.broadcast(
+            tot.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+        ),
+        "source_b",
+    )
+    p = F.col("ca") * 1.0 / F.col("na")
+    q_ = F.col("cb") * 1.0 / F.col("nb")
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum(p).alias("sh_p"),
+            F.sum(q_).alias("sh_q"),
+            F.sum(
+                p * F.log(2.0 * p / (p + q_)) + q_ * F.log(2.0 * q_ / (p + q_))
+            ).alias("core"),
+        )
+    )
+    import math
+
+    ln2 = float(math.log(2.0))
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        F.round(
+            0.5 * F.col("core")
+            + 0.5 * (2.0 - F.col("sh_p") - F.col("sh_q")) * F.lit(ln2),
+            4,
+        ).alias("jsd"),
+    )

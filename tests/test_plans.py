@@ -102,6 +102,9 @@ INTENTIONAL_CROSS = {
     # k-row (k=8) seed-vector broadcast against the corpus scan — the
     # nearest-seed assignment join
     "embed_kmeans_step",
+    # 1-row position-ordered means-array broadcast onto the corpus scan
+    # (in-row centering before the (i, j) cell aggregate)
+    "embed_dim_covariance",
     # pairwise sketch self-join over the handful of per-type sketch
     # rows (type_a < type_b theta predicate on a broadcast of O(types))
     "agg_hll_intersection",

@@ -751,3 +751,34 @@ def test_kmeans_step_matches_numpy_lloyd_iteration(spark, sf_dir):
         assert rows[c].size == len(members)
         shift = np.sqrt(((members.mean(axis=0) - seeds[c]) ** 2).sum())
         assert abs(rows[c].shift - shift) < 5e-4
+
+
+def test_dim_covariance_matches_numpy(spark, sf_dir):
+    """np.cov / np.corrcoef over the raw embedding matrix (third
+    engine): every upper-triangle cell must match; diagonal corr == 1."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        embed_dim_covariance,
+    )
+
+    rows = {
+        (r.i, r.j): r for r in embed_dim_covariance(spark, sf_dir).collect()
+    }
+    mat = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    n, d = mat.shape
+    cov = np.cov(mat, rowvar=False, ddof=1)
+    corr = np.corrcoef(mat, rowvar=False)
+    assert set(rows) == {(i, j) for i in range(1, d + 1) for j in range(i, d + 1)}
+    for (i, j), r in rows.items():
+        assert r.n == n
+        assert abs(r.covar - cov[i - 1, j - 1]) < 5e-4
+        assert abs(r.corr - corr[i - 1, j - 1]) < 5e-4
+    for i in range(1, d + 1):
+        assert rows[(i, i)].corr == 1.0

@@ -1089,3 +1089,99 @@ def test_drift_profile_maintenance_matches_batch_and_guards_replay(spark, tmp_pa
         ingest_stream.maintain_drift_profile(
             spark, str(evdir), prof, ckpt, schema, lo=5.0, hi=5.0
         )
+
+
+def test_source_term_maintenance_matches_batch_jsd(spark, tmp_path):
+    """Streaming twin of the text_js_divergence monitor: per-source
+    term counts accumulate across drops and match a batch recount; the
+    read_js_divergence answer over the MAINTAINED state equals the
+    batch operator's arithmetic recomputed over the full corpus
+    (one-shot equivalence); replay (second run with no new files)
+    changes nothing; a checkpoint reset against a kept table is a loud
+    lineage error."""
+    import math
+    import shutil
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    docsdir = tmp_path / "st_docs"
+    docsdir.mkdir()
+    schema = "doc_id long, source string, text string"
+
+    def drop(name, rows):
+        with open(docsdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    counts_path = str(tmp_path / "src_term_counts")
+    ckpt = str(tmp_path / "st_ckpt")
+    d1 = [
+        {"doc_id": 1, "source": "a", "text": "spark scales spark joins"},
+        {"doc_id": 2, "source": "b", "text": "duck checks spark"},
+    ]
+    d2 = [
+        {"doc_id": 3, "source": "a", "text": "spark again joins"},
+        {"doc_id": 4, "source": "c", "text": "joins joins spark"},
+    ]
+    drop("f1.json", d1)
+    ingest_stream.maintain_source_term_counts(
+        spark, str(docsdir), counts_path, ckpt, schema
+    )
+    drop("f2.json", d2)
+    ingest_stream.maintain_source_term_counts(
+        spark, str(docsdir), counts_path, ckpt, schema
+    )
+    dist = defaultdict(Counter)
+    for r in d1 + d2:
+        dist[r["source"]].update(r["text"].split())
+    got = {
+        (r.source, r.term): r.c
+        for r in spark.read.parquet(counts_path).collect()
+    }
+    want = {(s, w): c for s, cnt in dist.items() for w, c in cnt.items()}
+    assert got == want
+
+    # replay: no new files => identical table
+    ingest_stream.maintain_source_term_counts(
+        spark, str(docsdir), counts_path, ckpt, schema
+    )
+    got2 = {
+        (r.source, r.term): r.c
+        for r in spark.read.parquet(counts_path).collect()
+    }
+    assert got2 == got
+
+    # one-shot equivalence: reader over maintained state == textbook
+    # union-vocabulary JSD over the full corpus
+    rows = {
+        (r.source_a, r.source_b): (r.n_shared_terms, r.jsd)
+        for r in ingest_stream.read_js_divergence(spark, counts_path).collect()
+    }
+    srcs = sorted(dist)
+    assert set(rows) == {(x, y) for x in srcs for y in srcs if x < y}
+    for (sa, sb), (n_shared, jsd) in rows.items():
+        pa, pb = dist[sa], dist[sb]
+        na, nb = sum(pa.values()), sum(pb.values())
+        want_jsd = 0.0
+        for w in set(pa) | set(pb):
+            p, q = pa[w] / na, pb[w] / nb
+            m = (p + q) / 2
+            if p:
+                want_jsd += 0.5 * p * math.log(p / m)
+            if q:
+                want_jsd += 0.5 * q * math.log(q / m)
+        assert n_shared == len(set(pa) & set(pb))
+        assert abs(jsd - want_jsd) < 5e-4
+
+    # lineage guard: reset checkpoint, keep table -> loud error
+    shutil.rmtree(ckpt)
+    with pytest.raises(Exception, match="lineage"):
+        ingest_stream.maintain_source_term_counts(
+            spark, str(docsdir), counts_path, ckpt, schema
+        )
+    got3 = {
+        (r.source, r.term): r.c
+        for r in spark.read.parquet(counts_path).collect()
+    }
+    assert got3 == got, "failed run must not have touched the table"
