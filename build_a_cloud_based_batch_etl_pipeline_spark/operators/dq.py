@@ -864,3 +864,85 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_column_entropy — per-column Shannon entropy profile
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH melted AS (
+    SELECT 'l_returnflag' AS col, l_returnflag AS val FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', l_linestatus FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+    FROM lineitem
+),
+c AS (
+    SELECT col, val, CAST(count(*) AS BIGINT) AS n
+    FROM melted GROUP BY 1, 2
+),
+tot AS (
+    SELECT col, CAST(sum(n) AS BIGINT) AS nt,
+           CAST(count(*) AS BIGINT) AS k
+    FROM c GROUP BY 1
+)
+SELECT c.col, k AS n_distinct,
+       round(-sum((n * 1.0 / nt) * ln(n * 1.0 / nt)), 4) AS entropy,
+       round(CASE WHEN k = 1 THEN 0.0
+                  ELSE -sum((n * 1.0 / nt) * ln(n * 1.0 / nt)) / ln(k * 1.0)
+             END, 4) AS norm_entropy
+FROM c JOIN tot ON c.col = tot.col
+GROUP BY 1, 2
+"""
+
+
+@query("dq_column_entropy", oracle=_ENTROPY_ORACLE)
+def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and entropy normalized by ln of the distinct
+    count) for the low-cardinality lineitem columns (the two categorical
+    flags plus integer-valued quantity as a discrete column) — the
+    information-content profile next to dq_column_profile's min/max/
+    distinct stats: a near-zero normalized entropy flags a constant /
+    degenerate column (dead dimension, broken upstream join), a
+    near-one value a uniformly-spread key — the two ends every
+    column-pruning and encoding-choice (dictionary vs raw) decision
+    cares about.
+
+    Scale shape: the melt is a scan-side stack projection (one corpus
+    read for all profiled columns, not one per column), collapsing
+    map-side to the (col, value) dictionary; entropy reduces the
+    dictionary to one row per column. Value cardinality of categorical
+    columns bounds every post-scan table."""
+    li = t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.expr(
+            "stack(3, 'l_returnflag', l_returnflag,"
+            " 'l_linestatus', l_linestatus,"
+            " 'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS STRING))"
+            " as (col, val)"
+        )
+    )
+    c = melted.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("col").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    p = F.col("n") * 1.0 / F.col("nt")
+    return (
+        c.join(F.broadcast(tot), "col")
+        .groupBy("col", "k")
+        .agg(F.sum(p * F.log(p)).alias("neg_h"))
+        .select(
+            "col",
+            F.col("k").alias("n_distinct"),
+            F.round(-F.col("neg_h"), 4).alias("entropy"),
+            F.round(
+                F.when(F.col("k") == 1, F.lit(0.0)).otherwise(
+                    -F.col("neg_h") / F.log(F.col("k") * 1.0)
+                ),
+                4,
+            ).alias("norm_entropy"),
+        )
+    )

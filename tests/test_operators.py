@@ -548,3 +548,37 @@ def test_js_divergence_matches_full_union_recompute(spark, sf_dir):
         assert n_shared == len(set(pa) & set(pb))
         assert abs(jsd - want) < 5e-4
         assert -1e-9 <= jsd <= math.log(2) + 1e-9
+
+
+def test_column_entropy_matches_scipy_style_recompute(spark, sf_dir):
+    """Entropy recomputed from raw value counts in python (third
+    engine); normalized entropy bounded [0, 1]."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dq import (
+        dq_column_entropy,
+    )
+
+    rows = {r.col: r for r in dq_column_entropy(spark, sf_dir).collect()}
+    tb = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    series = {
+        "l_returnflag": tb.column("l_returnflag").to_pylist(),
+        "l_linestatus": tb.column("l_linestatus").to_pylist(),
+        "l_quantity": [str(int(v)) for v in tb.column("l_quantity").to_pylist()],
+    }
+    assert set(rows) == set(series)
+    for col, vals in series.items():
+        cnt = Counter(vals)
+        n = len(vals)
+        h = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        assert rows[col].n_distinct == len(cnt)
+        assert abs(rows[col].entropy - h) < 5e-4
+        want_norm = 0.0 if len(cnt) == 1 else h / math.log(len(cnt))
+        assert abs(rows[col].norm_entropy - want_norm) < 5e-4
+        assert -1e-9 <= rows[col].norm_entropy <= 1 + 1e-9
