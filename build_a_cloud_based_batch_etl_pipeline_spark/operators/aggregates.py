@@ -921,3 +921,83 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("my") - slope * F.col("mx")).alias("intercept"),
         r4(F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy"))).alias("r2"),
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT grp, c,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY c, o_orderkey) AS i
+        FROM cents
+    ),
+    s AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT)  AS n,
+               CAST(sum(c) AS BIGINT)    AS tot,
+               CAST(sum(i * c) AS BIGINT) AS ws
+        FROM ranked GROUP BY grp
+    )
+    SELECT grp, n,
+           round(tot / 100.0, 2) AS total_value,
+           round(2.0 * ws / (n * 1.0 * tot) - (n + 1.0) / n, 4) AS gini
+    FROM s
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value per priority class
+    — the inequality / revenue-concentration statistic (0 = every order
+    equal, ->1 = one order carries the group) behind whale-detection,
+    crawl-domain skew reports, and partition-skew forecasting. Uses the
+    rank formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending x.
+
+    Cross-engine determinism is EXACT here, not rounding-guarded: the
+    money column is 2dp, so ranks weight integer cents and both
+    sum(i*c) and n*sum(c) are bigint arithmetic — and sum(i*c) is
+    tie-order invariant (a tied value group contributes c * [sum of the
+    ranks the group occupies], the same set under any intra-tie order),
+    so the only float ops are the two final divisions, identical in
+    both engines. Overflow headroom: i*c < n * max_cents needs
+    n * 6e7 < 9.2e18, safe past 10^11 rows per group.
+
+    Scale shape: one rank window per group (the same sort-shuffle class
+    as window_ranking) + one map-side-combined aggregate. At extreme
+    per-group cardinality the binned approximation (Gini from the
+    agg_histogram_equidepth deciles) is the documented fallback; exact
+    ranks are right wherever a per-group sort already fits the shuffle
+    budget."""
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        "o_orderkey",
+    )
+    ranked = cents.withColumn(
+        "i",
+        F.row_number().over(W.partitionBy("grp").orderBy("c", "o_orderkey")),
+    )
+    s = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("ws"),
+    )
+    return s.select(
+        "grp",
+        "n",
+        F.round(F.col("tot") / 100.0, 2).alias("total_value"),
+        F.round(
+            2.0 * F.col("ws") / (F.col("n") * 1.0 * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+    )

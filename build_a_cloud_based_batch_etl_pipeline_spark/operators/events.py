@@ -1409,3 +1409,113 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         rbin("x", 4).alias("daily_avg"),
         rbin(s1 / s2, 4).alias("ewma"),
     )
+
+
+@query(
+    "events_seasonal_strength",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hr,
+               dayofweek(ts) AS dow,
+               hour(ts) AS hod,
+               sum(CAST(round(value * 100) AS BIGINT)) * 1.0
+                   / count(*) / 100 AS x
+        FROM events GROUP BY 1, 2, 3, 4
+    ),
+    prof AS (
+        SELECT event_type, dow, hod, avg(x) AS m,
+               CAST(count(*) AS BIGINT) AS cells
+        FROM hourly GROUP BY 1, 2, 3
+    ),
+    joined AS (
+        SELECT h.event_type, h.x, h.x - p.m AS resid
+        FROM hourly h
+        JOIN prof p ON h.event_type = p.event_type
+                   AND h.dow = p.dow AND h.hod = p.hod
+    ),
+    g AS (
+        SELECT event_type, avg(x) AS gm, CAST(count(*) AS BIGINT) AS n
+        FROM joined GROUP BY 1
+    )
+    SELECT j.event_type, n,
+           round(sum((x - gm) * (x - gm)) / n, 4)       AS var_total,
+           round(sum(resid * resid) / n, 4)             AS var_resid,
+           round(CASE WHEN sum((x - gm) * (x - gm)) = 0 THEN 0.0
+                      ELSE greatest(0.0, 1.0 - sum(resid * resid)
+                                          / sum((x - gm) * (x - gm)))
+                 END, 4)                                AS seasonal_strength
+    FROM joined j JOIN g ON j.event_type = g.event_type
+    GROUP BY 1, 2
+    """,
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-strength decomposition per event type (the STL-style
+    Fs = max(0, 1 - Var(remainder)/Var(total)) statistic, Wang/
+    Hyndman's feature-based time-series taxonomy): the hourly series is
+    explained by its (day-of-week, hour-of-day) seasonal profile and
+    the strength is the variance fraction that profile removes — the
+    quantitative "is this series calendar-driven" gate in front of
+    seasonal models and anomaly baselines (events_calendar_heatmap is
+    the profile itself; this scores it).
+
+    Arithmetic discipline: hourly means are exact-cents (bigint sums,
+    order-free); the profile join is on (type, dow, hour) — 168 cells
+    per type — and both variances are centered two-pass sums rounded
+    4dp, far above accumulation wobble. Degenerate zero-variance series
+    report strength 0 via an explicit guard on both engines (no 0/0
+    NaN crossing the dialect boundary — the embed_outlier_detection
+    lesson from ADVICE r7).
+
+    Scale shape: event rows collapse to (type, hour) cells in one
+    map-side-combined aggregate; everything downstream is bounded by
+    series-count x hours — the profile (168 rows/type) broadcasts onto
+    the hourly cells, and the final reduction is per type."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+            "value",
+        )
+        .groupBy("event_type", "hr", "dow", "hod")
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) * 1.0
+                / F.count(F.lit(1))
+                / 100
+            ).alias("x")
+        )
+    )
+    prof = hourly.groupBy("event_type", "dow", "hod").agg(
+        F.avg("x").alias("m")
+    )
+    joined = hourly.join(
+        F.broadcast(prof), ["event_type", "dow", "hod"]
+    ).select("event_type", "x", (F.col("x") - F.col("m")).alias("resid"))
+    g = joined.groupBy("event_type").agg(
+        F.avg("x").alias("gm"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dx = F.col("x") - F.col("gm")
+    agg = (
+        joined.join(F.broadcast(g), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(dx * dx).alias("sst"),
+            F.sum(F.col("resid") * F.col("resid")).alias("ssr"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("sst") / F.col("n"), 4).alias("var_total"),
+        F.round(F.col("ssr") / F.col("n"), 4).alias("var_resid"),
+        F.round(
+            F.when(F.col("sst") == 0, F.lit(0.0)).otherwise(
+                F.greatest(F.lit(0.0), 1.0 - F.col("ssr") / F.col("sst"))
+            ),
+            4,
+        ).alias("seasonal_strength"),
+    )

@@ -582,3 +582,65 @@ def test_column_entropy_matches_scipy_style_recompute(spark, sf_dir):
         want_norm = 0.0 if len(cnt) == 1 else h / math.log(len(cnt))
         assert abs(rows[col].norm_entropy - want_norm) < 5e-4
         assert -1e-9 <= rows[col].norm_entropy <= 1 + 1e-9
+
+
+def test_gini_matches_numpy_recompute(spark, sf_dir):
+    """Gini recomputed from sorted numpy cents (third engine) plus the
+    bounds and tie-invariance properties the operator's exactness
+    argument relies on."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.aggregates import (
+        agg_gini_concentration,
+    )
+
+    rows = {r.grp: r for r in agg_gini_concentration(spark, sf_dir).collect()}
+    pdf = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pandas()
+    for grp, g in pdf.groupby("o_orderpriority"):
+        c = np.sort(np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64))
+        n = len(c)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        gini = 2.0 * (i * c).sum() / (n * 1.0 * c.sum()) - (n + 1.0) / n
+        assert rows[grp].n == n
+        assert abs(rows[grp].gini - gini) < 5.1e-5  # operator rounds 4dp
+        assert 0.0 <= rows[grp].gini < 1.0
+        assert abs(rows[grp].total_value - round(c.sum() / 100.0, 2)) < 1e-6
+
+
+def test_seasonal_strength_matches_pandas_decomposition(spark, sf_dir):
+    """Fs = max(0, 1 - Var(resid)/Var(total)) recomputed in pandas over
+    exact-cents hourly means; strength bounded [0, 1]."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        events_seasonal_strength,
+    )
+
+    rows = {
+        r.event_type: r for r in events_seasonal_strength(spark, sf_dir).collect()
+    }
+    pdf = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).to_pandas()
+    pdf["hr"] = pdf["ts"].dt.floor("h")
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    for etype, g in pdf.groupby("event_type"):
+        hourly = g.groupby("hr").agg(s=("cents", "sum"), n=("cents", "size"))
+        x = (hourly["s"] / hourly["n"] / 100.0).rename("x").reset_index()
+        x["dow"] = x["hr"].dt.dayofweek
+        x["hod"] = x["hr"].dt.hour
+        prof = x.groupby(["dow", "hod"])["x"].transform("mean")
+        resid = x["x"] - prof
+        var_total = ((x["x"] - x["x"].mean()) ** 2).sum() / len(x)
+        var_resid = (resid**2).sum() / len(x)
+        want = max(0.0, 1.0 - var_resid / var_total) if var_total else 0.0
+        r = rows[etype]
+        assert r.n == len(x)
+        assert abs(r.var_total - var_total) < 5e-4
+        assert abs(r.var_resid - var_resid) < 5e-4
+        assert abs(r.seasonal_strength - want) < 5e-4
+        assert 0.0 <= r.seasonal_strength <= 1.0
