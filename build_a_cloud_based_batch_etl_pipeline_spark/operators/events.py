@@ -1519,3 +1519,90 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("seasonal_strength"),
     )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               sum(CAST(round(value * 100) AS BIGINT)) * 1.0
+                   / count(*) / 100 AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, x,
+               lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS p1,
+               lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS p7
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, x, p1, p7 FROM lagged
+        WHERE p1 IS NOT NULL AND p7 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                      AS n,
+           round(avg(abs(x - p1)), 4)                    AS mae_naive,
+           round(avg(abs(x - p7)), 4)                    AS mae_snaive,
+           round(sqrt(avg((x - p7) * (x - p7))), 4)      AS rmse_snaive,
+           round(avg(abs(x - p7)) / avg(abs(x - p1)), 4) AS mase
+    FROM scored GROUP BY 1
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step forecasting backtest per event series: the naive
+    (yesterday) and seasonal-naive (same weekday last week) baselines
+    scored with MAE / RMSE / MASE over the daily-mean series — the
+    evaluation harness every forecasting pipeline runs BEFORE fitting a
+    model (Hyndman & Koehler 2006: MASE < 1 means the seasonal model
+    beats the naive walk, the scale-free go/no-go gate;
+    events_lag_features builds the features, this scores the floor the
+    model must beat).
+
+    Both baselines share ONE series-keyed window (two lag frames over
+    the same sort); daily means are exact-cents, so both engines
+    difference IDENTICAL doubles and the 4dp-rounded error aggregates
+    sit far above accumulation wobble. Rows without a full lag history
+    are excluded identically via lag-null filters on both engines.
+
+    Scale shape: the corpus collapses to (type, day) rows map-side
+    before the window; everything after is series-length-bounded."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) * 1.0
+                / F.count(F.lit(1))
+                / 100
+            ).alias("x")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("p1"),
+        F.lag("x", 7).over(w).alias("p7"),
+    ).filter(F.col("p1").isNotNull() & F.col("p7").isNotNull())
+    e1 = F.abs(F.col("x") - F.col("p1"))
+    e7 = F.abs(F.col("x") - F.col("p7"))
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg(e1), 4).alias("mae_naive"),
+        F.round(F.avg(e7), 4).alias("mae_snaive"),
+        F.round(
+            F.sqrt(F.avg((F.col("x") - F.col("p7")) * (F.col("x") - F.col("p7")))),
+            4,
+        ).alias("rmse_snaive"),
+        F.round(F.avg(e7) / F.avg(e1), 4).alias("mase"),
+    )

@@ -644,3 +644,36 @@ def test_seasonal_strength_matches_pandas_decomposition(spark, sf_dir):
         assert abs(r.var_resid - var_resid) < 5e-4
         assert abs(r.seasonal_strength - want) < 5e-4
         assert 0.0 <= r.seasonal_strength <= 1.0
+
+
+def test_forecast_backtest_matches_pandas(spark, sf_dir):
+    """Naive/seasonal-naive backtest recomputed in pandas over
+    exact-cents daily means (third engine); MASE consistency."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        events_forecast_backtest,
+    )
+
+    rows = {
+        r.event_type: r for r in events_forecast_backtest(spark, sf_dir).collect()
+    }
+    pdf = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).to_pandas()
+    pdf["day"] = pdf["ts"].dt.normalize()
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    for etype, g in pdf.groupby("event_type"):
+        daily = g.groupby("day").agg(s=("cents", "sum"), n=("cents", "size"))
+        x = (daily["s"] / daily["n"] / 100.0).sort_index()
+        p1, p7 = x.shift(1), x.shift(7)
+        mask = p1.notna() & p7.notna()
+        e1 = (x - p1)[mask].abs()
+        e7 = (x - p7)[mask].abs()
+        r = rows[etype]
+        assert r.n == int(mask.sum())
+        assert abs(r.mae_naive - e1.mean()) < 5e-4
+        assert abs(r.mae_snaive - e7.mean()) < 5e-4
+        assert abs(r.rmse_snaive - np.sqrt(((x - p7)[mask] ** 2).mean())) < 5e-4
+        assert abs(r.mase - e7.mean() / e1.mean()) < 5e-3
