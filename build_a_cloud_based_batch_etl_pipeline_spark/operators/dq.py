@@ -946,3 +946,82 @@ def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_functional_dependency — candidate-FD violation profile
+# ---------------------------------------------------------------------------
+
+_FD_ORACLE = """
+WITH fd1 AS (
+    SELECT 'o_custkey->o_orderpriority' AS fd,
+           CAST(count(*) AS BIGINT) AS n_det,
+           CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(max(k) AS BIGINT) AS max_dep_per_det
+    FROM (
+        SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
+        FROM orders GROUP BY o_custkey
+    )
+),
+fd2 AS (
+    SELECT 'l_orderkey->l_returnflag' AS fd,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(k) AS BIGINT)
+    FROM (
+        SELECT l_orderkey, count(DISTINCT l_returnflag) AS k
+        FROM lineitem GROUP BY l_orderkey
+    )
+),
+fd3 AS (
+    SELECT 'o_orderkey->o_orderdate' AS fd,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(k) AS BIGINT)
+    FROM (
+        SELECT o_orderkey, count(DISTINCT o_orderdate) AS k
+        FROM orders GROUP BY o_orderkey
+    )
+)
+SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+"""
+
+
+@query("dq_functional_dependency", oracle=_FD_ORACLE)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate functional-dependency violation profile (the
+    Metanome/profiling-suite primitive): for each candidate A -> B,
+    how many distinct A values exist, how many map to MORE than one B
+    (violations), and the worst fan-out. A key->attribute FD that holds
+    (o_orderkey -> o_orderdate: 0 violations) certifies the key; a
+    violated candidate (l_orderkey -> l_returnflag) quantifies how far
+    a denormalization or a dedup-survivor pick would be lossy.
+
+    Scale shape: each candidate is one two-column projected scan
+    collapsing to (A, distinct-B count) map-side — the same shape as
+    dq_column_profile's distinct pass — then a 4-number reduction; the
+    report is constant-size. Candidates are evaluated independently
+    (no cross-pair state), so widening the candidate list parallelizes
+    trivially."""
+    out = None
+    for fd, table, det, dep in [
+        ("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+        ("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+        ("o_orderkey->o_orderdate", "orders", "o_orderkey", "o_orderdate"),
+    ]:
+        per_det = (
+            t(spark, sf_dir, table)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("k"))
+        )
+        rep = per_det.agg(
+            F.lit(fd).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_det"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("k").cast("bigint").alias("max_dep_per_det"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out

@@ -677,3 +677,36 @@ def test_forecast_backtest_matches_pandas(spark, sf_dir):
         assert abs(r.mae_snaive - e7.mean()) < 5e-4
         assert abs(r.rmse_snaive - np.sqrt(((x - p7)[mask] ** 2).mean())) < 5e-4
         assert abs(r.mase - e7.mean() / e1.mean()) < 5e-3
+
+
+def test_functional_dependency_matches_pandas(spark, sf_dir):
+    """FD violation counts recomputed with pandas nunique (third
+    engine); the key FD o_orderkey -> o_orderdate must hold exactly."""
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dq import (
+        dq_functional_dependency,
+    )
+
+    rows = {r.fd: r for r in dq_functional_dependency(spark, sf_dir).collect()}
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).to_pandas()
+    cases = {
+        "o_custkey->o_orderpriority": orders.groupby("o_custkey")[
+            "o_orderpriority"
+        ].nunique(),
+        "l_orderkey->l_returnflag": li.groupby("l_orderkey")[
+            "l_returnflag"
+        ].nunique(),
+        "o_orderkey->o_orderdate": orders.groupby("o_orderkey")[
+            "o_orderdate"
+        ].nunique(),
+    }
+    assert set(rows) == set(cases)
+    for fd, k in cases.items():
+        assert rows[fd].n_det == len(k)
+        assert rows[fd].n_violating == int((k > 1).sum())
+        assert rows[fd].max_dep_per_det == int(k.max())
+    assert rows["o_orderkey->o_orderdate"].n_violating == 0
