@@ -1941,11 +1941,19 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN tot ta ON a.source = ta.source
         JOIN tot tb ON b.source = tb.source
         GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT x.source AS source_a, y.source AS source_b
+        FROM tot x JOIN tot y ON x.source < y.source
     )
-    SELECT source_a, source_b, n_shared_terms,
-           round(0.5 * core + 0.5 * (2.0 - sh_p - sh_q) * ln(2.0), 4)
-               AS jsd
-    FROM shared
+    SELECT p.source_a, p.source_b,
+           coalesce(n_shared_terms, 0) AS n_shared_terms,
+           round(0.5 * coalesce(core, 0.0)
+                 + 0.5 * (2.0 - coalesce(sh_p, 0.0) - coalesce(sh_q, 0.0))
+                       * ln(2.0), 4) AS jsd
+    FROM pairs p
+    LEFT JOIN shared s
+           ON p.source_a = s.source_a AND p.source_b = s.source_b
     """,
 )
 def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1953,7 +1961,9 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram distributions — the domain-shift / corpus-mixture distance
     (the statistic behind "how different is crawl batch B from A",
     DSIR's KL cousin; bounded [0, ln 2], symmetric, defined without
-    smoothing).
+    smoothing). ALL source pairs are reported — a fully-disjoint pair
+    (jsd exactly ln 2) comes from the zero-filled tails, not the inner
+    join (see the in-code comment).
 
     The union-vocabulary sum is decomposed so only SHARED terms are
     joined: a term present in one source only contributes p*ln(2p/p) =
@@ -2005,14 +2015,39 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("core"),
         )
     )
+    # enumerate ALL source pairs from the totals table: a fully-disjoint
+    # pair never meets in the inner join, and dropping it would hide
+    # exactly the most-drifted case (jsd = ln 2) the monitor exists to
+    # report — the telescoped tails carry the whole value via the
+    # zero-filled left join (caught by the disjoint-vocabulary boundary
+    # test in tests/test_properties.py)
+    pairs = (
+        tot.select(F.col("source").alias("source_a"))
+        .join(
+            tot.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
     ln2 = float(__import__("math").log(2.0))
-    return shared.select(
-        "source_a",
-        "source_b",
-        "n_shared_terms",
-        F.round(
-            0.5 * F.col("core")
-            + 0.5 * (2.0 - F.col("sh_p") - F.col("sh_q")) * F.lit(ln2),
-            4,
-        ).alias("jsd"),
+    return (
+        pairs
+        .join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_shared_terms", F.lit(0)).cast("bigint").alias(
+                "n_shared_terms"
+            ),
+            F.round(
+                0.5 * F.coalesce("core", F.lit(0.0))
+                + 0.5
+                * (
+                    2.0
+                    - F.coalesce("sh_p", F.lit(0.0))
+                    - F.coalesce("sh_q", F.lit(0.0))
+                )
+                * F.lit(ln2),
+                4,
+            ).alias("jsd"),
+        )
     )

@@ -1092,14 +1092,37 @@ def read_js_divergence(
     )
     import math
 
+    # all pairs from the totals table — a fully-disjoint pair (jsd =
+    # ln 2, the most-drifted case) never meets in the inner join and
+    # must come from the zero-filled tails (same fix as the batch
+    # operator; boundary-pinned in tests/test_streaming.py)
+    pairs = (
+        tot.select(F.col("source").alias("source_a"))
+        .join(
+            tot.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
     ln2 = float(math.log(2.0))
-    return shared.select(
-        "source_a",
-        "source_b",
-        "n_shared_terms",
-        F.round(
-            0.5 * F.col("core")
-            + 0.5 * (2.0 - F.col("sh_p") - F.col("sh_q")) * F.lit(ln2),
-            4,
-        ).alias("jsd"),
+    return (
+        pairs
+        .join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_shared_terms", F.lit(0)).cast("bigint").alias(
+                "n_shared_terms"
+            ),
+            F.round(
+                0.5 * F.coalesce("core", F.lit(0.0))
+                + 0.5
+                * (
+                    2.0
+                    - F.coalesce("sh_p", F.lit(0.0))
+                    - F.coalesce("sh_q", F.lit(0.0))
+                )
+                * F.lit(ln2),
+                4,
+            ).alias("jsd"),
+        )
     )

@@ -105,6 +105,10 @@ INTENTIONAL_CROSS = {
     # 1-row position-ordered means-array broadcast onto the corpus scan
     # (in-row centering before the (i, j) cell aggregate)
     "embed_dim_covariance",
+    # |sources|^2-bounded pair enumeration (source_a < source_b theta
+    # join over the broadcast totals table) so fully-disjoint pairs are
+    # reported at jsd = ln 2
+    "text_js_divergence",
     # pairwise sketch self-join over the handful of per-type sketch
     # rows (type_a < type_b theta predicate on a broadcast of O(types))
     "agg_hll_intersection",

@@ -411,3 +411,151 @@ def test_interval_overlap_bucketing_matches_bruteforce(spark, lft, rgt):
         if lk == rk and ls <= re and rs <= le
     }
     assert got == want
+
+
+# --- r8 additions: degenerate-input properties for the new operators ---
+
+
+def _seasonal_from_rows(spark, rows):
+    """Run events_seasonal_strength's arithmetic on an in-memory events
+    frame by writing it as the expected parquet layout."""
+    raise NotImplementedError  # placeholder; replaced below if used
+
+
+def test_ewma_constant_series_is_flat(spark, tmp_path):
+    """EWMA of a constant series equals the constant at every point —
+    the weighted-mean form cannot over/undershoot (a classic sign of a
+    broken normalizer); also ewma stays within [min, max] of history on
+    a two-level series."""
+    import pandas as pd
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        events_ewma,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(10):
+        for h in (1, 13):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp(2024, 1, 1 + d, h),
+                    "user_id": 1,
+                    "event_type": "flat",
+                    "value": 5.00,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    for d in range(10):
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": pd.Timestamp(2024, 1, 1 + d, 2),
+                "user_id": 1,
+                "event_type": "step",
+                # 1.00 for 5 days then 9.00: ewma must stay in [1, 9]
+                "value": 1.00 if d < 5 else 9.00,
+                "props": "{}",
+            }
+        )
+        eid += 1
+    sf = str(tmp_path / "ewma_fixture")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    got = events_ewma(spark, sf).collect()
+    flat = [r for r in got if r.event_type == "flat"]
+    assert len(flat) == 10
+    assert all(abs(r.ewma - 5.0) < 1e-9 for r in flat)
+    step = sorted((r for r in got if r.event_type == "step"), key=lambda r: r.day)
+    assert all(1.0 - 1e-9 <= r.ewma <= 9.0 + 1e-9 for r in step)
+    # monotone approach to the new level after the shift
+    tail = [r.ewma for r in step[5:]]
+    assert tail == sorted(tail)
+    assert tail[-1] > 7.0  # alpha=0.3 converges fast
+
+
+def test_gini_uniform_and_extreme(spark, tmp_path):
+    """Gini = 0 on an equal-value group; -> high on a one-whale group;
+    output invariant to row order (rank-tie invariance made visible)."""
+    import pandas as pd
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.aggregates import (
+        agg_gini_concentration,
+    )
+
+    rows = []
+    k = 0
+    for _ in range(40):
+        rows.append(
+            {
+                "o_orderkey": k,
+                "o_custkey": 1,
+                "o_orderstatus": "F",
+                "o_totalprice": 100.00,
+                "o_orderdate": pd.Timestamp(2024, 1, 1).date(),
+                "o_orderpriority": "EQUAL",
+            }
+        )
+        k += 1
+    for i in range(40):
+        rows.append(
+            {
+                "o_orderkey": k,
+                "o_custkey": 1,
+                "o_orderstatus": "F",
+                "o_totalprice": 1000000.00 if i == 0 else 0.01,
+                "o_orderdate": pd.Timestamp(2024, 1, 1).date(),
+                "o_orderpriority": "WHALE",
+            }
+        )
+        k += 1
+    sf = str(tmp_path / "gini_fixture")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(
+        f"{sf}/orders.parquet"
+    )
+    got = {r.grp: r for r in agg_gini_concentration(spark, sf).collect()}
+    assert got["EQUAL"].gini == 0.0
+    assert got["WHALE"].gini > 0.9
+
+
+def test_js_divergence_identical_and_disjoint_sources(spark, tmp_path):
+    """JSD = 0 for identical distributions; = ln 2 for disjoint
+    vocabularies (the shared-terms telescoping's two boundary cases —
+    disjoint sources never meet in the inner join, so the tails must
+    carry the whole value)."""
+    import math
+
+    import pandas as pd
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        text_js_divergence,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "a b c a", "lang": "en", "source": "s1", "n_chars": 7},
+        {"doc_id": 1, "text": "a b c a", "lang": "en", "source": "s2", "n_chars": 7},
+        {"doc_id": 2, "text": "x y z", "lang": "en", "source": "s3", "n_chars": 5},
+    ]
+    sf = str(tmp_path / "jsd_fixture")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {(r.source_a, r.source_b): r for r in text_js_divergence(spark, sf).collect()}
+    assert got[("s1", "s2")].jsd == 0.0
+    assert got[("s1", "s2")].n_shared_terms == 3
+    ln2 = round(math.log(2.0), 4)
+    assert abs(got[("s1", "s3")].jsd - ln2) < 1e-9
+    assert got[("s1", "s3")].n_shared_terms == 0
+    assert abs(got[("s2", "s3")].jsd - ln2) < 1e-9

@@ -1123,6 +1123,9 @@ def test_source_term_maintenance_matches_batch_jsd(spark, tmp_path):
     d2 = [
         {"doc_id": 3, "source": "a", "text": "spark again joins"},
         {"doc_id": 4, "source": "c", "text": "joins joins spark"},
+        # source d shares NO terms with anyone: its pairs must still be
+        # reported at jsd = ln 2 from the zero-filled tails
+        {"doc_id": 5, "source": "d", "text": "qq ww ee"},
     ]
     drop("f1.json", d1)
     ingest_stream.maintain_source_term_counts(
