@@ -874,9 +874,9 @@ def agg_covariance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
     )
     SELECT l_returnflag, n,
-           round(sxy / sxx, 4)                      AS slope,
-           round(my - (sxy / sxx) * mx, 4)          AS intercept,
-           round((sxy * sxy) / (sxx * syy), 4)      AS r2
+           round(sxy / nullif(sxx, 0), 4)                 AS slope,
+           round(my - (sxy / nullif(sxx, 0)) * mx, 4)     AS intercept,
+           round((sxy * sxy) / nullif(sxx * syy, 0), 4)   AS r2
     FROM s
     """,
 )
@@ -913,13 +913,21 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dy * dy).alias("syy"),
         )
     )
-    slope = F.col("sxy") / F.col("sxx")
+    # nullif'd divisors on BOTH engines: a zero-variance x (constant
+    # column in a group) must yield NULL slope/intercept/r2, not an
+    # engine-semantics-sensitive 0/0 NaN (the embed_outlier_detection
+    # lesson from ADVICE r7)
+    slope = F.col("sxy") / F.nullif(F.col("sxx"), F.lit(0.0))
     return s.select(
         "l_returnflag",
         "n",
         r4(slope).alias("slope"),
         r4(F.col("my") - slope * F.col("mx")).alias("intercept"),
-        r4(F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy"))).alias("r2"),
+        r4(
+            F.col("sxy")
+            * F.col("sxy")
+            / F.nullif(F.col("sxx") * F.col("syy"), F.lit(0.0))
+        ).alias("r2"),
     )
 
 
@@ -947,7 +955,8 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT grp, n,
            round(tot / 100.0, 2) AS total_value,
-           round(2.0 * ws / (n * 1.0 * tot) - (n + 1.0) / n, 4) AS gini
+           round(2.0 * ws / nullif(n * 1.0 * tot, 0) - (n + 1.0) / n, 4)
+               AS gini
     FROM s
     """,
 )
@@ -995,8 +1004,12 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         "n",
         F.round(F.col("tot") / 100.0, 2).alias("total_value"),
+        # nullif: an all-zero-value group (dirty data) is 0/0 — NULL
+        # gini beats an engine-dependent NaN (ADVICE r7 class)
         F.round(
-            2.0 * F.col("ws") / (F.col("n") * 1.0 * F.col("tot"))
+            2.0
+            * F.col("ws")
+            / F.nullif(F.col("n") * 1.0 * F.col("tot"), F.lit(0.0))
             - (F.col("n") + 1.0) / F.col("n"),
             4,
         ).alias("gini"),

@@ -1547,7 +1547,7 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(abs(x - p1)), 4)                    AS mae_naive,
            round(avg(abs(x - p7)), 4)                    AS mae_snaive,
            round(sqrt(avg((x - p7) * (x - p7))), 4)      AS rmse_snaive,
-           round(avg(abs(x - p7)) / avg(abs(x - p1)), 4) AS mase
+           round(avg(abs(x - p7)) / nullif(avg(abs(x - p1)), 0), 4) AS mase
     FROM scored GROUP BY 1
     """,
 )
@@ -1604,5 +1604,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.avg((F.col("x") - F.col("p7")) * (F.col("x") - F.col("p7")))),
             4,
         ).alias("rmse_snaive"),
-        F.round(F.avg(e7) / F.avg(e1), 4).alias("mase"),
+        # nullif: a constant series has MAE_naive = 0 and MASE is
+        # undefined — NULL, not an engine-dependent 0/0 NaN
+        F.round(F.avg(e7) / F.nullif(F.avg(e1), F.lit(0.0)), 4).alias("mase"),
     )

@@ -559,3 +559,84 @@ def test_js_divergence_identical_and_disjoint_sources(spark, tmp_path):
     assert abs(got[("s1", "s3")].jsd - ln2) < 1e-9
     assert got[("s1", "s3")].n_shared_terms == 0
     assert abs(got[("s2", "s3")].jsd - ln2) < 1e-9
+
+
+def test_degenerate_division_guards(spark, tmp_path):
+    """The ADVICE-r7 0/0 class, swept across the r8 operators: a
+    constant-x regression group -> NULL slope/r2; an all-zero-value
+    gini group -> NULL gini; a constant event series -> NULL MASE and
+    seasonal strength 0 — never an engine-semantics-sensitive NaN."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.aggregates import (
+        agg_gini_concentration,
+        agg_linear_regression,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        events_forecast_backtest,
+        events_seasonal_strength,
+    )
+
+    sf = str(tmp_path / "degen_fixture")
+    os.makedirs(sf, exist_ok=True)
+
+    li = pd.DataFrame(
+        [
+            # group C: constant quantity (sxx = 0) -> NULL slope
+            {"l_orderkey": i, "l_partkey": 1, "l_suppkey": 1,
+             "l_linenumber": 1, "l_quantity": 5.0,
+             "l_extendedprice": 100.0 + i, "l_discount": 0.0, "l_tax": 0.0,
+             "l_returnflag": "C", "l_linestatus": "O",
+             "l_shipdate": pd.Timestamp(2024, 1, 1).date()}
+            for i in range(6)
+        ]
+        + [
+            # group V: varying quantity -> real slope
+            {"l_orderkey": 10 + i, "l_partkey": 1, "l_suppkey": 1,
+             "l_linenumber": 1, "l_quantity": float(i + 1),
+             "l_extendedprice": 10.0 * (i + 1), "l_discount": 0.0,
+             "l_tax": 0.0, "l_returnflag": "V", "l_linestatus": "O",
+             "l_shipdate": pd.Timestamp(2024, 1, 1).date()}
+            for i in range(6)
+        ]
+    )
+    spark.createDataFrame(li).write.mode("overwrite").parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    reg = {r.l_returnflag: r for r in agg_linear_regression(spark, sf).collect()}
+    assert reg["C"].slope is None and reg["C"].r2 is None
+    assert reg["V"].slope is not None and abs(reg["V"].slope - 10.0) < 1e-6
+
+    orders = pd.DataFrame(
+        [
+            {"o_orderkey": i, "o_custkey": 1, "o_orderstatus": "F",
+             "o_totalprice": 0.00, "o_orderdate": pd.Timestamp(2024, 1, 1).date(),
+             "o_orderpriority": "ZERO"}
+            for i in range(5)
+        ]
+    )
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        f"{sf}/orders.parquet"
+    )
+    gini = {r.grp: r for r in agg_gini_concentration(spark, sf).collect()}
+    assert gini["ZERO"].gini is None
+
+    ev = pd.DataFrame(
+        [
+            {"event_id": d, "ts": pd.Timestamp(2024, 1, 1 + d, 12),
+             "user_id": 1, "event_type": "const", "value": 3.00,
+             "props": "{}"}
+            for d in range(14)
+        ]
+    )
+    spark.createDataFrame(ev).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    bt = {r.event_type: r for r in events_forecast_backtest(spark, sf).collect()}
+    assert bt["const"].mae_naive == 0.0 and bt["const"].mase is None
+    ss = {r.event_type: r for r in events_seasonal_strength(spark, sf).collect()}
+    assert ss["const"].var_total == 0.0
+    assert ss["const"].seasonal_strength == 0.0
