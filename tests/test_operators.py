@@ -365,7 +365,7 @@ def test_benford_digit_table_is_complete_and_consistent(spark, sf_dir):
     rows = {r.digit: r for r in dq_benford(spark, sf_dir).collect()}
     assert sorted(rows) == list(range(1, 10))
     tp = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
-    vals = tp.column("o_totalprice").to_pylist()
+    vals = [v for v in tp.column("o_totalprice").to_pylist() if v >= 1]
     assert sum(r.n for r in rows.values()) == len(vals)
     # numpy/python third engine for the histogram itself
     expect = {d: 0 for d in range(1, 10)}
