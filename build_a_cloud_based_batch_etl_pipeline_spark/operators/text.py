@@ -2051,3 +2051,51 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd"),
         )
     )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS toks,
+               len(list_distinct(string_split(text, ' '))) AS types
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                       AS n_docs,
+           CAST(sum(toks) AS BIGINT)                      AS tokens,
+           round(avg(types * 1.0 / toks), 4)              AS mean_ttr,
+           round(avg(types * 1.0 / sqrt(toks)), 4)        AS mean_guiraud
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: mean type-token ratio and
+    mean Guiraud index (types/sqrt(tokens) — the length-corrected TTR,
+    Guiraud 1954) — the vocabulary-richness screen that separates
+    template/boilerplate-heavy domains (TTR near 0) from natural prose,
+    complementing text_repetition's within-doc top-word gates with a
+    BETWEEN-doc, per-domain view.
+
+    Scale shape: both statistics are in-row array folds over the split
+    (size + array_distinct size — no explode, no token shuffle), so the
+    corpus collapses directly to |sources| rows in one map-side-combined
+    aggregate. Per-doc ratios divide by toks >= 1 structurally (split
+    of even an empty string is a 1-element array on both engines)."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    per_doc = docs.select(
+        "source",
+        F.size(w).alias("toks"),
+        F.size(F.array_distinct(w)).alias("types"),
+    )
+    ttr = F.col("types") * 1.0 / F.col("toks")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens"),
+        F.round(F.avg(ttr), 4).alias("mean_ttr"),
+        F.round(
+            F.avg(F.col("types") * 1.0 / F.sqrt(F.col("toks"))), 4
+        ).alias("mean_guiraud"),
+    )

@@ -259,3 +259,36 @@ def test_bpe_pair_stats_matches_bruteforce(spark, tmp_path):
     assert [(r.rk, r.pair, r.pair_count) for r in sorted(got, key=lambda r: r.rk)] == [
         (i + 1, p, c) for i, (p, c) in enumerate(ranked)
     ]
+
+
+def test_lexical_diversity_matches_python(spark, sf_dir):
+    """TTR/Guiraud recomputed in plain python per doc (third engine)."""
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        text_lexical_diversity,
+    )
+
+    rows = {r.source: r for r in text_lexical_diversity(spark, sf_dir).collect()}
+    tb = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    acc = defaultdict(lambda: [0, 0, 0.0, 0.0])  # docs, toks, ttr_sum, gui_sum
+    for src, txt in zip(
+        tb.column("source").to_pylist(), tb.column("text").to_pylist()
+    ):
+        ws = txt.split(" ")
+        toks, types = len(ws), len(set(ws))
+        a = acc[src]
+        a[0] += 1
+        a[1] += toks
+        a[2] += types / toks
+        a[3] += types / math.sqrt(toks)
+    assert set(rows) == set(acc)
+    for src, (nd, toks, ts, gs) in acc.items():
+        r = rows[src]
+        assert r.n_docs == nd and r.tokens == toks
+        assert abs(r.mean_ttr - ts / nd) < 5e-4
+        assert abs(r.mean_guiraud - gs / nd) < 5e-4
+        assert 0.0 < r.mean_ttr <= 1.0
