@@ -640,3 +640,54 @@ def test_degenerate_division_guards(spark, tmp_path):
     ss = {r.event_type: r for r in events_seasonal_strength(spark, sf).collect()}
     assert ss["const"].var_total == 0.0
     assert ss["const"].seasonal_strength == 0.0
+
+
+def test_ewma_calendar_gap_decays_by_day_not_row(spark, tmp_path):
+    """A series observed on days 0..4 then absent until day 14 must
+    decay the old state by (1-a)^10 at the re-appearance — the
+    day-index exponent's core claim (a ROW-index lag would decay by
+    one step only). Verified against the recursion with explicit gap
+    handling."""
+    import os
+
+    import pandas as pd
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        _EWMA_ALPHA,
+        events_ewma,
+    )
+
+    rows = []
+    days = [0, 1, 2, 3, 4, 14]
+    for i, d in enumerate(days):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": pd.Timestamp(2024, 1, 1) + pd.Timedelta(days=d, hours=6),
+                "user_id": 1,
+                "event_type": "gappy",
+                "value": 2.00 if d < 14 else 8.00,
+                "props": "{}",
+            }
+        )
+    sf = str(tmp_path / "gap_fixture")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    got = sorted(events_ewma(spark, sf).collect(), key=lambda r: r.day)
+    decay = 1.0 - _EWMA_ALPHA
+    num = den = 0.0
+    prev = None
+    for r, d in zip(got, days):
+        gap = d - prev if prev is not None else 0
+        num = (2.0 if d < 14 else 8.0) + (decay**gap) * num
+        den = 1.0 + (decay**gap) * den
+        prev = d
+        assert abs(r.ewma - num / den) < 5e-4, (d, r.ewma, num / den)
+    # after a 10-day gap the old state carries (1-a)^10 ~ 0.028 weight:
+    # the day-14 ewma must sit close to the new level, not at the
+    # one-step blend a row-index formulation would produce
+    assert got[-1].ewma > 7.5
+    one_step_blend = _EWMA_ALPHA * 8.0 + (1 - _EWMA_ALPHA) * 2.0  # = 3.8
+    assert abs(got[-1].ewma - one_step_blend) > 3.0
