@@ -691,3 +691,30 @@ def test_ewma_calendar_gap_decays_by_day_not_row(spark, tmp_path):
     assert got[-1].ewma > 7.5
     one_step_blend = _EWMA_ALPHA * 8.0 + (1 - _EWMA_ALPHA) * 2.0  # = 3.8
     assert abs(got[-1].ewma - one_step_blend) > 3.0
+
+
+def test_pmi_and_bpe_degenerate_corpora(spark, tmp_path):
+    """Single-word documents emit no pairs (PMI output empty below min
+    support; the (w1, null) rows count unigrams only), and a corpus of
+    1-char words yields zero BPE pairs — the sequence(1, len-1) guard
+    both docstrings claim (Spark's sequence would DESCEND on len-1=0)."""
+    import os
+
+    import pandas as pd
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        text_bpe_pair_stats,
+        text_collocation_pmi,
+    )
+
+    rows = [
+        {"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)}
+        for i, t in enumerate(["q", "w", "e", "r", "t", "y"])
+    ]
+    sf = str(tmp_path / "degen_text")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    assert text_collocation_pmi(spark, sf).count() == 0
+    assert text_bpe_pair_stats(spark, sf).count() == 0
