@@ -1608,3 +1608,106 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # undefined — NULL, not an engine-dependent 0/0 NaN
         F.round(F.avg(e7) / F.nullif(F.avg(e1), F.lit(0.0)), 4).alias("mase"),
     )
+
+
+@query(
+    "events_series_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               sum(CAST(round(value * 100) AS BIGINT)) * 1.0
+                   / count(*) / 100 AS x
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, avg(x) AS mu FROM daily GROUP BY 1
+    ),
+    paired AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.x - ma.mu AS da, b.x - mb.mu AS db
+        FROM daily a
+        JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
+        JOIN m ma ON a.event_type = ma.event_type
+        JOIN m mb ON b.event_type = mb.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(da * db)
+                 / nullif(sqrt(sum(da * da) * sum(db * db)), 0), 4)
+               AS corr
+    FROM paired GROUP BY 1, 2
+    """,
+)
+def events_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between every two event types'
+    daily-mean series — the co-movement matrix behind alert
+    de-duplication ("these two metrics always spike together"),
+    leading-indicator screens, and redundancy pruning of monitoring
+    dashboards.
+
+    Statistics discipline: exact-cents daily means (both engines
+    difference identical doubles), per-type means joined back for the
+    centered two-pass products (agg_covariance_corr's conditioning
+    argument), nullif'd denominator so a constant series yields NULL
+    correlation instead of an engine-dependent NaN, 4dp round over
+    day-count-bounded sums.
+
+    Scale shape: the corpus collapses to (type, day) cells map-side;
+    the pair fan-out is the day-keyed self-join of that bounded table
+    (types^2 pair rows per day, never event rows) with the |types|-row
+    means broadcast on both sides — the same bounded-enumeration shape
+    as text_js_divergence's source pairs."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) * 1.0
+                / F.count(F.lit(1))
+                / 100
+            ).alias("x")
+        )
+    )
+    m = daily.groupBy("event_type").agg(F.avg("x").alias("mu"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "d", F.col("x").alias("xa")
+    ).join(
+        F.broadcast(
+            m.select(F.col("event_type").alias("type_a"), F.col("mu").alias("ma"))
+        ),
+        "type_a",
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "d", F.col("x").alias("xb")
+    ).join(
+        F.broadcast(
+            m.select(F.col("event_type").alias("type_b"), F.col("mu").alias("mb"))
+        ),
+        "type_b",
+    )
+    da = F.col("xa") - F.col("ma")
+    db = F.col("xb") - F.col("mb")
+    return (
+        a.join(b, "d")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(da * db)
+                / F.nullif(
+                    F.sqrt(F.sum(da * da) * F.sum(db * db)), F.lit(0.0)
+                ),
+                4,
+            ).alias("corr"),
+        )
+    )

@@ -710,3 +710,38 @@ def test_functional_dependency_matches_pandas(spark, sf_dir):
         assert rows[fd].n_violating == int((k > 1).sum())
         assert rows[fd].max_dep_per_det == int(k.max())
     assert rows["o_orderkey->o_orderdate"].n_violating == 0
+
+
+def test_series_correlation_matches_pandas(spark, sf_dir):
+    """Pairwise daily-series correlation recomputed with pandas corr
+    (third engine); bounded [-1, 1]."""
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        events_series_correlation,
+    )
+
+    rows = {
+        (r.type_a, r.type_b): r
+        for r in events_series_correlation(spark, sf_dir).collect()
+    }
+    pdf = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).to_pandas()
+    pdf["day"] = pdf["ts"].dt.normalize()
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    daily = (
+        pdf.groupby(["event_type", "day"])
+        .agg(s=("cents", "sum"), n=("cents", "size"))
+        .assign(x=lambda t: t["s"] / t["n"] / 100.0)["x"]
+        .unstack(level=0)
+    )
+    types = sorted(daily.columns)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            joined = daily[[ta, tb]].dropna()
+            r = rows[(ta, tb)]
+            assert r.n_days == len(joined)
+            want = joined[ta].corr(joined[tb])
+            assert abs(r.corr - want) < 5e-3, (ta, tb, r.corr, want)
+            assert -1.0 <= r.corr <= 1.0
