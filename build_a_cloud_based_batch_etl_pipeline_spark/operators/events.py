@@ -1334,15 +1334,19 @@ _EWMA_ALPHA = 0.3
                    / count(*) / 100 AS x
         FROM events GROUP BY 1, 2, 3
     ),
+    anch AS (
+        SELECT *, d - min(d) OVER (PARTITION BY event_type) AS d0
+        FROM daily
+    ),
     acc AS (
         SELECT event_type, day, x,
-               sum(x * pow(1.0 / (1.0 - {_EWMA_ALPHA}), d))
-                   OVER (PARTITION BY event_type ORDER BY d
+               sum(x * pow(1.0 / (1.0 - {_EWMA_ALPHA}), d0))
+                   OVER (PARTITION BY event_type ORDER BY d0
                          ROWS UNBOUNDED PRECEDING) AS s1,
-               sum(pow(1.0 / (1.0 - {_EWMA_ALPHA}), d))
-                   OVER (PARTITION BY event_type ORDER BY d
+               sum(pow(1.0 / (1.0 - {_EWMA_ALPHA}), d0))
+                   OVER (PARTITION BY event_type ORDER BY d0
                          ROWS UNBOUNDED PRECEDING) AS s2
-        FROM daily
+        FROM anch
     )
     SELECT event_type, day,
            floor(x * 10000 + 0.5) / 10000       AS daily_avg,
@@ -1392,13 +1396,25 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x")
         )
     )
+    # Re-anchor the exponent per series: d0 = d - min(d) over the
+    # event_type partition (ADVICE r8) — the epoch-anchored d overflowed
+    # double at d ~ 1990 ((1/0.7)^d), so series past ~mid-2029 silently
+    # went NaN and far-past series underflowed to an ANSI 0/0.  d0 is
+    # exact integer arithmetic, identical in both engines, and the
+    # common (1/(1-a))^min(d) factor cancels in s1/s2 exactly as the
+    # (1-a)^t normalizer does.  Valid while the WITHIN-series span stays
+    # under ~1990 days (~5.4 years of daily points); beyond that the
+    # closed form needs chunked renormalization — documented limit, the
+    # fixture series span ~60 days.
+    wmin = W.partitionBy("event_type")
+    daily = daily.withColumn("d0", F.col("d") - F.min("d").over(wmin))
     w = (
         W.partitionBy("event_type")
-        .orderBy("d")
+        .orderBy("d0")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    s1 = F.sum(F.col("x") * F.pow(F.lit(growth), F.col("d"))).over(w)
-    s2 = F.sum(F.pow(F.lit(growth), F.col("d"))).over(w)
+    s1 = F.sum(F.col("x") * F.pow(F.lit(growth), F.col("d0"))).over(w)
+    s2 = F.sum(F.pow(F.lit(growth), F.col("d0"))).over(w)
     # rbin, not F.round: the exact-cents mean lands EXACTLY on 4dp half
     # boundaries (cents/n terminating decimals), where Spark's
     # decimal-string HALF_UP and DuckDB's binary round disagree on the

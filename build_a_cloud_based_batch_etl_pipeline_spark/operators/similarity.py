@@ -33,6 +33,7 @@ from .util import (
     cap_bucket_occupancy,
     hint_label_map,
     over_cap_sizes,
+    rbin,
     spread_small_input,
     t,
 )
@@ -2463,34 +2464,53 @@ def embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COV_SCALE = 16777216.0  # 2^24: exact (exponent-shift) double multiply
+_COV_SCALE_SQ = 281474976710656.0  # 2^48
+
+
 @query(
     "embed_dim_covariance",
     oracle="""
-    WITH u AS (
+    WITH q AS (
         SELECT vec_id,
-               generate_subscripts(embedding, 1) AS i,
-               CAST(unnest(embedding) AS DOUBLE) AS v
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 16777216.0 + 0.5)
+                        AS BIGINT)) AS vq
         FROM embeddings
     ),
+    u AS (
+        SELECT vec_id, generate_subscripts(vq, 1) AS i, unnest(vq) AS v
+        FROM q
+    ),
     m AS (
-        SELECT i, avg(v) AS mu, CAST(count(*) AS BIGINT) AS n
+        SELECT i, CAST(count(*) AS BIGINT) AS n, sum(v) AS sv
         FROM u GROUP BY i
     ),
     cells AS (
-        SELECT a.i AS i, b.i AS j, ma.n AS n,
-               sum((a.v - ma.mu) * (b.v - mb.mu)) AS sxy
+        SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS spp
         FROM u a
         JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
-        JOIN m ma ON a.i = ma.i
-        JOIN m mb ON b.i = mb.i
-        GROUP BY 1, 2, 3
+        GROUP BY 1, 2
+    ),
+    nums AS (
+        SELECT c.i, c.j, mi.n,
+               mi.n * c.spp - mi.sv * mj.sv AS num
+        FROM cells c
+        JOIN m mi ON mi.i = c.i
+        JOIN m mj ON mj.i = c.j
     )
-    SELECT c.i, c.j, c.n,
-           round(c.sxy / (c.n - 1), 4) AS covar,
-           round(c.sxy / sqrt(di.sxy * dj.sxy), 4) AS corr
-    FROM cells c
-    JOIN cells di ON di.i = c.i AND di.j = c.i
-    JOIN cells dj ON dj.i = c.j AND dj.j = c.j
+    SELECT a.i, a.j, a.n,
+           floor(CAST(a.num AS DOUBLE)
+                 / nullif(CAST(a.n AS DOUBLE) * (a.n - 1)
+                          * 281474976710656.0, 0.0)
+                 * 10000 + 0.5) / 10000 AS covar,
+           floor(CAST(a.num AS DOUBLE)
+                 / nullif(sqrt(CAST(di.num AS DOUBLE)
+                               * CAST(dj.num AS DOUBLE)), 0.0)
+                 * 10000 + 0.5) / 10000 AS corr
+    FROM nums a
+    JOIN nums di ON di.i = a.i AND di.j = a.i
+    JOIN nums dj ON dj.i = a.j AND dj.j = a.j
     """,
 )
 def embed_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2500,48 +2520,58 @@ def embed_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     step consumes, and the redundancy diagnostic (a near-1 off-diagonal
     corr means two dimensions carry one signal).
 
-    Scale shape — why this works at billions of vectors: the means are
-    one posexplode aggregate (d rows, collected into ONE array-typed
-    broadcast row), each vector is centered IN-ROW against that array
-    and expands to its d(d+1)/2 pair products inside the projection, so
-    the only shuffle is the map-side-combined (i, j) cell aggregate —
-    d(d+1)/2 scalar cells total (2080 for d=64), ARRAYS NEVER SHUFFLE.
-    The two-pass centered form keeps the house conditioning discipline
-    (agg_covariance_corr's docstring); diagonals join back broadcast
-    for the correlation normalizer. Two corpus scans (means, products)
-    is the exact two-pass minimum.
+    Exact integer core (the r8 driver fail, and its fix): the old form
+    rounded sum((a-mu_a)(b-mu_b)) — a partition-order-dependent double
+    sum — at 4dp, and one cell sat ~1.9e-8 from a rounding half-
+    boundary, so a different host flipped the last ulp and rounded the
+    other way (passed both local SF gates, failed the driver's).  Now
+    every value is quantized IN-ROW onto a 2^-24 grid with the rbin
+    three-IEEE-op form floor(v*2^24 + 0.5) — the multiply is an exact
+    exponent shift, so the bigint grid cell depends only on the input
+    float, never on order — and all aggregates are exact integer sums
+    (decimal(38,0) here, hugeint in DuckDB).  The moment identity
+    n*Sxy = n*sum(ab) - sum(a)*sum(b) keeps the numerator an exact
+    integer, identical on every engine/host/partitioning; the single
+    final division is the only float op, followed by the rbin 4dp form
+    (floor-based, valid for either sign since BOTH engines use the
+    identical formula).  n*Sxx >= 0 holds exactly (Cauchy-Schwarz on
+    integers), and zero-variance dimensions null the corr divisor via
+    nullif on both sides (ANSI DIVIDE_BY_ZERO guard); n <= 1 nulls
+    covar the same way.  Quantization perturbs the statistics by
+    ~2^-24 relative — far below the 4dp output — and the numpy pin in
+    tests/test_similarity.py still holds at 5e-4.
 
-    DuckDB oracle mirrors the arithmetic through a vec_id self-join —
-    quadratic-in-d row fan-out is fine at oracle scale and the centered
-    sums match the in-row products term-for-term."""
+    Scale shape — why this works at billions of vectors: per-dim totals
+    are one posexplode aggregate (d scalar rows, broadcast); each
+    vector expands to its d(d+1)/2 pair products inside the projection,
+    so the only shuffle is the map-side-combined (i, j) cell aggregate
+    — d(d+1)/2 integer cells total (2080 for d=64), ARRAYS NEVER
+    SHUFFLE.  Worst-case magnitude: |v|<=16 => |vq|<=2^28, products
+    <=2^56 (bigint-safe per row), and the decimal(38,0) cell sums hold
+    to ~1e9 rows with 2^10 headroom.  Two corpus scans (totals,
+    products) — the same count as the old two-pass centered form.
+
+    DuckDB oracle mirrors the integer arithmetic through a vec_id
+    self-join — quadratic-in-d row fan-out is fine at oracle scale and
+    the hugeint sums match the decimal cells exactly."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    u = emb.select(
-        F.posexplode("embedding").alias("i0", "v")
-    ).select((F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v"))
+    q = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * _COV_SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("vq")
+    )
+    u = q.select(F.posexplode("vq").alias("i0", "v")).select(
+        (F.col("i0") + 1).alias("i"), "v"
+    )
     m = u.groupBy("i").agg(
-        F.avg("v").alias("mu"), F.count(F.lit(1)).cast("bigint").alias("n")
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(28,0)")).alias("sv"),
     )
-    # one row: means as a position-ordered array (d elements) —
-    # collect_list order after orderBy is plan-fragile, so the array is
-    # rebuilt positionally from sorted (i, mu) structs
-    mu_arr = m.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("i"), F.col("mu")))
-        ).alias("imu"),
-        F.first("n", ignorenulls=True).alias("n"),
-    ).select(
-        F.transform(F.col("imu"), lambda s: s.getField("mu")).alias("mus"),
-        "n",
-    )
-    centered = emb.crossJoin(F.broadcast(mu_arr)).select(
-        F.zip_with(
-            "embedding", "mus", lambda x, mu: x.cast("double") - mu
-        ).alias("cv"),
-        "n",
-    )
-    d = F.size("cv")
-    prods = centered.select(
-        "n",
+    d = F.size("vq")
+    prods = q.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -2552,34 +2582,66 @@ def embed_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                             i.alias("i"),
                             j.alias("j"),
                             (
-                                F.element_at("cv", i) * F.element_at("cv", j)
-                            ).alias("p"),
+                                F.element_at("vq", i) * F.element_at("vq", j)
+                            ).cast("decimal(28,0)").alias("p"),
                         ),
                     ),
                 )
             )
         ).alias("c"),
-    ).select("n", "c.i", "c.j", "c.p")
-    cells = prods.groupBy("i", "j", "n").agg(F.sum("p").alias("sxy"))
-    diag = cells.filter(F.col("i") == F.col("j")).select(
-        F.col("i").alias("di"), F.col("sxy").alias("sdd")
+    ).select("c.i", "c.j", "c.p")
+    cells = prods.groupBy("i", "j").agg(F.sum("p").alias("spp"))
+    mi = m.select("i", "n", F.col("sv").alias("svi"))
+    mj = m.select(F.col("i").alias("j"), F.col("sv").alias("svj"))
+
+    def _build_nums() -> DataFrame:
+        return (
+            cells.join(F.broadcast(mi), "i")
+            .join(F.broadcast(mj), "j")
+            .select(
+                "i",
+                "j",
+                "n",
+                (
+                    F.col("n").cast("decimal(10,0)") * F.col("spp")
+                    - F.col("svi") * F.col("svj")
+                ).alias("num"),
+            )
+        )
+
+    # d(d+1)/2 scalar cells (2080 at d=64) referenced three times (main
+    # branch + both diag broadcasts) — cache_once so the corpus-scan
+    # product pipeline runs once, not three times
+    nums = cache_once(spark, ("dim_cov_nums", sf_dir), _build_nums)
+    diag = nums.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("k"), F.col("num").alias("dnum")
+    )
+    den_cov = F.nullif(
+        F.col("n").cast("double") * (F.col("n") - 1) * F.lit(_COV_SCALE_SQ),
+        F.lit(0.0),
+    )
+    den_corr = F.nullif(
+        F.sqrt(F.col("dii").cast("double") * F.col("djj").cast("double")),
+        F.lit(0.0),
     )
     return (
-        cells.join(
-            F.broadcast(diag).withColumnRenamed("di", "i").withColumnRenamed("sdd", "sii"),
+        nums.join(
+            F.broadcast(diag)
+            .withColumnRenamed("k", "i")
+            .withColumnRenamed("dnum", "dii"),
             "i",
         )
         .join(
-            F.broadcast(diag).withColumnRenamed("di", "j").withColumnRenamed("sdd", "sjj"),
+            F.broadcast(diag)
+            .withColumnRenamed("k", "j")
+            .withColumnRenamed("dnum", "djj"),
             "j",
         )
         .select(
             "i",
             "j",
             "n",
-            F.round(F.col("sxy") / (F.col("n") - 1), 4).alias("covar"),
-            F.round(
-                F.col("sxy") / F.sqrt(F.col("sii") * F.col("sjj")), 4
-            ).alias("corr"),
+            rbin(F.col("num").cast("double") / den_cov, 4).alias("covar"),
+            rbin(F.col("num").cast("double") / den_corr, 4).alias("corr"),
         )
     )
