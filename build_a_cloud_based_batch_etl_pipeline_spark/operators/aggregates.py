@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import r2, r4, t, ts
+from .util import cents, r2, r4, t, ts
 
 
 @query(
@@ -276,21 +276,44 @@ def agg_arg_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_global",
     oracle="""
-    SELECT count(*)                        AS n,
-           count(DISTINCT l_partkey)       AS n_parts,
-           round(sum(l_extendedprice), 2)  AS total,
-           round(avg(l_quantity), 4)       AS avg_qty
-    FROM lineitem
+    WITH s AS (
+        SELECT count(*)                        AS n,
+               count(DISTINCT l_partkey)       AS n_parts,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sc,
+               sum(CAST(round(l_quantity) AS BIGINT))            AS sq
+        FROM lineitem
+    )
+    SELECT n, n_parts,
+           sc / 100.0 AS total,
+           ((20000 * sq + n) // nullif(2 * n, 0)) / 10000.0 AS avg_qty
+    FROM s
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global (ungrouped) aggregation — single-row result."""
+    """Global (ungrouped) aggregation — single-row result.
+
+    Exact integer core (r9 margin-sweep fix; round(avg(l_quantity), 4)
+    measured margin 0.0 — the true mean sits exactly ON a 4dp half
+    boundary at sf0.01): quantities are integers and prices 2dp, so both
+    sums are exact bigints; `total` lands on the cents grid with no
+    round() at all, and `avg_qty` is integer half-up division
+    ((2*sq*1e4 + n) div (2*n)) — the boundary tie is decided by exact
+    arithmetic, identically on both engines, instead of by whichever
+    side of an ulp a double sum lands on."""
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
+    s = li.agg(
         F.count("*").alias("n"),
         F.countDistinct("l_partkey").alias("n_parts"),
-        r2(F.sum("l_extendedprice")).alias("total"),
-        r4(F.avg("l_quantity")).alias("avg_qty"),
+        F.sum(cents("l_extendedprice")).alias("sc"),
+        F.sum(cents("l_quantity", 0)).alias("sq"),
+    )
+    return s.select(
+        "n",
+        "n_parts",
+        (F.col("sc") / 100.0).alias("total"),
+        (F.expr("(20000 * sq + n) div nullif(2 * n, 0)") / 10000.0).alias(
+            "avg_qty"
+        ),
     )
 
 
@@ -491,17 +514,24 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bucketed AS (
         SELECT c_mktsegment, c_acctbal,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS oc,
                ntile(4) OVER (PARTITION BY c_mktsegment
                               ORDER BY c_acctbal, c_custkey) AS bucket
         FROM customer
+    ),
+    s AS (
+        SELECT c_mktsegment, bucket,
+               count(*)                 AS n,
+               round(min(c_acctbal), 2) AS lo,
+               round(max(c_acctbal), 2) AS hi,
+               sum(oc)                  AS soc
+        FROM bucketed
+        GROUP BY 1, 2
     )
-    SELECT c_mktsegment, bucket,
-           count(*)                 AS n,
-           round(min(c_acctbal), 2) AS lo,
-           round(max(c_acctbal), 2) AS hi,
-           round(avg(c_acctbal), 4) AS bucket_avg
-    FROM bucketed
-    GROUP BY 1, 2
+    SELECT c_mktsegment, bucket, n, lo, hi,
+           ((200 * soc + n) // nullif(2 * n, 0)) / 10000.0 - 1000.0
+               AS bucket_avg
+    FROM s
     """,
 )
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,7 +543,16 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ntile ties are pinned by the (value, c_custkey) order, so bucket
     assignment — and therefore every per-bucket stat — is deterministic
-    and engine-portable. Scale shape: the window partitions on the
+    and engine-portable. bucket_avg is an exact integer core (r9
+    margin-sweep fix; round(avg(..), 4) measured margin 1.5e-8 at
+    sf0.01): balances are 2dp so the cents sum is exact bigint, shifted
+    +100000 cents per row so the half-up division numerator stays
+    non-negative (acctbal can be negative, and Spark `div` / DuckDB `//`
+    truncate toward zero — floor only for non-negative numerators); the
+    +1000.0 dollar shift is subtracted back after the exact division.
+    Exact half-boundary ties therefore resolve toward +inf, decided by
+    integer arithmetic identically on both engines. Scale shape: the
+    window partitions on the
     segment key (never global — the guard in tests/test_plans.py), and
     only bucket rows survive the final hash aggregate. At true 100 TB
     per-segment cardinality the same statistic comes from
@@ -525,14 +564,28 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
         cust.select(
-            "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("bucket")
+            "c_mktsegment",
+            "c_acctbal",
+            (cents("c_acctbal") + 100000).alias("oc"),
+            F.ntile(4).over(w).alias("bucket"),
         )
         .groupBy("c_mktsegment", "bucket")
         .agg(
             F.count("*").alias("n"),
             r2(F.min("c_acctbal")).alias("lo"),
             r2(F.max("c_acctbal")).alias("hi"),
-            r4(F.avg("c_acctbal")).alias("bucket_avg"),
+            F.sum("oc").alias("soc"),
+        )
+        .select(
+            "c_mktsegment",
+            "bucket",
+            "n",
+            "lo",
+            "hi",
+            (
+                F.expr("(200 * soc + n) div nullif(2 * n, 0)") / 10000.0
+                - 1000.0
+            ).alias("bucket_avg"),
         )
     )
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import r2, r4, rbin, t
+from .util import cents, r2, r4, rbin, t
 
 
 @query(
@@ -1202,14 +1202,19 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_calendar_heatmap",
     oracle="""
-    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
-           CAST(hour(ts) AS BIGINT)      AS hour,
-           CAST(count(*) AS BIGINT)      AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           round(sum(CAST(round(value * 100) AS BIGINT)) * 1.0
-                 / count(*) / 100, 4)    AS avg_value
-    FROM events
-    GROUP BY dayofweek(ts), hour(ts)
+    WITH s AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT)      AS hour,
+               CAST(count(*) AS BIGINT)      AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sc
+        FROM events
+        GROUP BY dayofweek(ts), hour(ts)
+    )
+    SELECT dow, hour, n_events, n_users,
+           ((200 * sc + n_events) // nullif(2 * n_events, 0)) / 10000.0
+               AS avg_value
+    FROM s
     """,
 )
 def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,22 +1230,33 @@ def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one 168-group aggregate, map-side combined; the
     distinct-user count is the only expand, bounded by 168 x users."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy(
-        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
-        F.hour("ts").cast("long").alias("hour"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.count_distinct("user_id").cast("long").alias("n_users"),
-        # exact-cents mean: the value column is 2dp, so summing cents is
-        # an exact bigint — the 4dp round cannot flip with accumulation
-        # order (a float avg() diverged at shuffle.partitions=1)
-        F.round(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            * 1.0
-            / F.count(F.lit(1))
-            / 100,
-            4,
-        ).alias("avg_value"),
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            # exact-cents sum: the value column is 2dp, so the bigint sum
+            # is exact and accumulation-order invariant
+            F.sum(cents("value")).alias("sc"),
+        )
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "n_users",
+            # r9 margin-sweep fix: the exact cell mean can sit ON a 4dp
+            # half boundary (measured margin 0.0 at sf0.1), where
+            # round(double, 4) decides by shortest-decimal (Spark) vs
+            # binary (DuckDB). Integer half-up division decides the tie
+            # in exact arithmetic, identically on both engines.
+            (
+                F.expr("(200 * sc + n_events) div nullif(2 * n_events, 0)")
+                / 10000.0
+            ).alias("avg_value"),
+        )
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import r2, r4, t, ts
+from .util import cents, r2, r4, t, ts
 
 
 @query(
@@ -173,25 +173,39 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
-    FROM lineitem
-    JOIN part     ON l_partkey = p_partkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN orders   ON l_orderkey = o_orderkey
-    WHERE p_name LIKE '%bolt%'
-    GROUP BY n_name, year(o_orderdate)
+    WITH s AS (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s4
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY n_name, year(o_orderdate)
+    )
+    SELECT nation, o_year, ((s4 + 50) // 100) / 100.0 AS profit FROM s
     """,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-shaped product-line profit by supplier nation and year
-    (no ps_supplycost exists, so profit is discounted revenue)."""
+    (no ps_supplycost exists, so profit is discounted revenue).
+
+    Exact integer core (r9 margin-sweep fix; pre-fix margin 4.8e-7 at
+    sf0.1): price and discount are 2dp-generated, so
+    cents(price) * (100 - cents(discount)) is an exact bigint in
+    1e-4-dollar units; the group sum is tie-order invariant and the 2dp
+    profit comes from integer half-up division, never from round()-ing
+    an order-dependent double sum (the r8 embed_dim_covariance fail
+    class). Overflow headroom: each addend < 1e9, so a group holds
+    ~9e9 lineitems before bigint overflow."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     sup = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     orders = t(spark, sf_dir, "orders")
+    e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
@@ -200,7 +214,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("profit"))
+        .agg(F.sum(e4).alias("s4"))
+        .select(
+            "nation",
+            "o_year",
+            (F.expr("(s4 + 50) div 100") / 100.0).alias("profit"),
+        )
     )
 
 

@@ -55,6 +55,27 @@ def rbin(c: Column | str, decimals: int = 2) -> Column:
     return F.floor(x * p + F.lit(0.5)) / p
 
 
+def cents(c: Column | str, decimals: int = 2) -> Column:
+    """Exact bigint quantization of a fixed-decimal INPUT column.
+
+    The exact-integer-core discipline (r8 lesson, r9 margin sweep): a
+    double sum reduced in partition-dependent order can land within an
+    ulp of a round() half-boundary, and different hosts then round
+    opposite ways (the r8 embed_dim_covariance driver fail, margin
+    1.9e-8). The structural fix is to quantize the d-decimal-generated
+    input onto its integer grid BEFORE aggregating: `round(v * 10^d)`
+    cast bigint is safe on raw inputs (a d-dp-generated double sits
+    ~0.5 grid units from any half-boundary, so the single round cannot
+    wobble), bigint sums are exact and tie-order invariant, and the
+    final display value is produced by integer half-up division
+    ((2*s*10^k + n) div (2*n), numerator shifted non-negative first —
+    Spark `div` and DuckDB `//` both truncate toward zero) instead of
+    round()-ing an order-dependent double. Oracle side mirrors with
+    `CAST(round(v * 10^d) AS BIGINT)`."""
+    x = c if isinstance(c, Column) else F.col(c)
+    return F.round(x * (10**decimals) if decimals else x).cast("long")
+
+
 def ts(lit: str) -> Column:
     """Timestamp literal (session TZ is pinned to UTC => bit-equal to DuckDB)."""
     return F.lit(lit).cast("timestamp")

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..queries import query
-from .util import r2, r4, t
+from .util import cents, r2, r4, t
 
 
 @query(
@@ -148,34 +148,54 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_per_group",
     oracle="""
-    SELECT * FROM (
+    WITH s AS (
         SELECT p_brand, p_partkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-               row_number() OVER (PARTITION BY p_brand
-                                  ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
-                                           p_partkey) AS rn
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s4
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand, p_partkey
+    )
+    SELECT * FROM (
+        SELECT p_brand, p_partkey,
+               ((s4 + 50) // 100) / 100.0 AS revenue,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY s4 DESC, p_partkey) AS rn
+        FROM s
     ) WHERE rn <= 3
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts by revenue within each brand: agg -> window -> rank
-    filter. The canonical top-k-per-group at scale (no global sort)."""
+    filter. The canonical top-k-per-group at scale (no global sort).
+
+    Exact integer core (r9 margin-sweep fix; the old double revenue sum
+    sat ON a 2dp half-boundary at sf0.01, margin 0): the per-part
+    revenue is summed as exact bigint 1e-4-dollar units, so BOTH the
+    displayed 2dp value (integer half-up) and — just as important for a
+    rank query — the ORDER BY are tie-order invariant; two parts whose
+    double revenues differed by an ulp could previously swap rn
+    cross-host."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     per_part = (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+            F.sum(
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("s4")
         )
     )
-    w = W.partitionBy("p_brand").orderBy(F.col("_rev").desc(), "p_partkey")
+    w = W.partitionBy("p_brand").orderBy(F.col("s4").desc(), "p_partkey")
     return (
         per_part.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("p_brand", "p_partkey", r2("_rev").alias("revenue"), "rn")
+        .select(
+            "p_brand",
+            "p_partkey",
+            (F.expr("(s4 + 50) div 100") / 100.0).alias("revenue"),
+            "rn",
+        )
     )
 
 

@@ -42,6 +42,36 @@ def test_unique_output_columns(spark, sf_dir):
         assert len(cols) == len(set(cols)), f"{name} has duplicate output columns"
 
 
+def test_driver_rotation_manifest():
+    """ROTATION.json must equal the rotation state derived from the
+    registry + CORRECTNESS_r*.json, and load_all()'s order must put
+    every never-driver-verified query strictly before every verified one
+    (VERDICT r8 item 5: the driver checks only the first 50 entries per
+    round, so this ordering IS the mechanism that drains verification
+    debt — commit it and enforce it instead of leaving it implicit).
+    Regenerate with `python tools/rotation_manifest.py` after adding
+    queries or landing a new CORRECTNESS artifact."""
+    import json
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import queries as Q
+
+    reg = load_all()
+    verified = Q._driver_verified() & set(reg)
+    order = list(reg)
+    front = [n for n in order if n not in verified]
+    # never-verified-first: the unverified block is a prefix
+    assert order[: len(front)] == front, (
+        "a driver-verified query precedes an unverified one in load_all()"
+    )
+    manifest = json.load(open("ROTATION.json"))
+    assert manifest["verified"] == sorted(verified), (
+        "ROTATION.json stale — run python tools/rotation_manifest.py"
+    )
+    assert manifest["unverified_front"] == front
+    assert manifest["driver_window"] == order[:50]
+    assert manifest["registry_count"] == len(order)
+
+
 def test_survey_rows_only_list_matches_oracle_omissions():
     """SURVEY.md §2.3's rows-only reconciliation paragraph must name
     EXACTLY the queries that omit an oracle_sql() entry — the judge
