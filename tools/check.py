@@ -101,6 +101,103 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return problems
 
 
+def perturb_sweep(
+    spark,
+    qs: dict,
+    names: list[str],
+    sf_dir: str,
+    settings: list[int],
+    json_out: str | None,
+) -> int:
+    """Run each query under every shuffle-partition setting and fail on
+    any cross-setting result difference (Spark vs itself, no oracle).
+
+    The cache is cleared between settings so cache_once subtrees are
+    recomputed under the new partitioning — otherwise a cached result
+    from the first setting would mask instability in later ones.
+    """
+    import json as _json
+
+    n_stable = n_unstable = n_error = 0
+    results: dict[str, dict] = {}
+    for name in names:
+        t0 = time.time()
+        baseline = None
+        base_p = settings[0]
+        problems: list[str] = []
+        for p in settings:
+            spark.conf.set("spark.sql.shuffle.partitions", str(p))
+            spark.catalog.clearCache()
+            try:
+                cur = normalize(qs[name](spark, sf_dir).toPandas())
+            except Exception:
+                problems.append(f"p={p}: spark raised {traceback.format_exc(limit=1)}")
+                break
+            if baseline is None:
+                baseline = cur
+                continue
+            if list(cur.columns) != list(baseline.columns):
+                problems.append(f"p={p} vs p={base_p}: column sets differ")
+            elif len(cur) != len(baseline):
+                problems.append(
+                    f"p={p} vs p={base_p}: row count {len(cur)} != {len(baseline)}"
+                )
+            elif not cur.equals(baseline):
+                diff_cols = [
+                    c
+                    for c in cur.columns
+                    if not cur[c].equals(baseline[c])
+                ]
+                problems.append(
+                    f"p={p} vs p={base_p}: values differ in columns {diff_cols}"
+                )
+        secs = round(time.time() - t0, 1)
+        if problems and "raised" in problems[-1]:
+            n_error += 1
+            status = "error"
+            print(f"ERR   {name}  ({secs}s)")
+        elif problems:
+            n_unstable += 1
+            status = "unstable"
+            print(f"FAIL  {name}: partition-jitter instability  ({secs}s)")
+        else:
+            n_stable += 1
+            status = "stable"
+            print(f"ok    {name}  ({secs}s)")
+        for p_ in problems:
+            print(f"      - {p_}")
+        results[name] = {
+            "status": status,
+            "secs": secs,
+            **({"problems": problems} if problems else {}),
+        }
+    print(
+        f"\nperturb {settings}: {n_stable} stable, {n_unstable} UNSTABLE, "
+        f"{n_error} error / {len(names)} total"
+    )
+    if json_out:
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf": sf_dir,
+                    "settings": settings,
+                    "totals": {
+                        "stable": n_stable,
+                        "unstable": n_unstable,
+                        "error": n_error,
+                        "total": len(names),
+                    },
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        print(f"summary written to {json_out}")
+    return 1 if (n_unstable or n_error) else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -129,6 +226,19 @@ def main() -> int:
         "6: the committed full-registry gate, so out-of-rotation "
         "regressions are caught by artifact, not by judge spot-check)",
     )
+    ap.add_argument(
+        "--perturb",
+        metavar="P1,P2,...",
+        default=None,
+        help="partition-jitter stability mode (VERDICT r8 item 7): run "
+        "each query under several spark.sql.shuffle.partitions settings "
+        "(cache cleared between runs) and FAIL on any cross-setting "
+        "result difference. This is the 2-SF gate's blind spot: a "
+        "round()ed order-dependent double sum can match the oracle under "
+        "THIS host's partitioning and still flip on the driver's (the r8 "
+        "embed_dim_covariance fail). No DuckDB involved — Spark vs "
+        "itself. Suggested: --perturb 7,64,200",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -152,6 +262,11 @@ def main() -> int:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.partitions))
     qs, oracles = e.queries(), e.oracle_sql()
     names = args.names or list(qs)
+
+    if args.perturb:
+        settings = [int(x) for x in args.perturb.split(",")]
+        return perturb_sweep(spark, qs, names, args.sf, settings, args.json)
+
     con = duck_con(args.sf)
 
     n_pass = n_fail = n_rows_only = 0
