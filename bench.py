@@ -117,13 +117,18 @@ def main() -> None:
     # jitter tail (VERDICT r7 item 2). A deeper min is the SAME
     # warm-best quantity — min-of-N converges monotonically to the true
     # floor — so rows stay comparable across rounds; only the noise
-    # band tightens.
+    # band tightens. r9: multi-second rows get min-of-5 too — r8's two
+    # flagged "dedup regressions" (minhash_pairs 1.21x, repeated_spans
+    # 1.28x) re-measured at r7 levels under a quiet min-of-7, i.e. they
+    # were min-of-3 jitter-tail draws on 1-2 s rows, the same class the
+    # r7 sub-second fix already closed. ~20 s more bench wall buys the
+    # multi-second band the same tight floor.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         best = float("inf")
         n = 0
-        while n < 3 or (best < 1.0 and n < 5):
+        while n < 5:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

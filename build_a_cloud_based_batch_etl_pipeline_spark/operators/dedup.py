@@ -1228,3 +1228,141 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("doc_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_pagerank — fixed-point integer PageRank over the dup graph
+# ---------------------------------------------------------------------------
+
+_PR_Q = 10**9  # initial rank per node, parts-per-billion units
+_PR_ITERS = 5
+
+_PR_STEP = """
+    p{next} AS (
+        SELECT n.doc_id,
+               CAST(150000000 + (85 * COALESCE(s.insum, 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN (
+            SELECT o.dst AS doc_id, CAST(sum(p.r // o.deg) AS BIGINT) AS insum
+            FROM outdeg o JOIN p{cur} p ON o.src = p.doc_id
+            GROUP BY o.dst
+        ) s USING (doc_id)
+    )"""
+
+_PR_ORACLE_HEAD = """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                                 || ' ' || w[CAST(i AS INT) + 2] AS s
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz x ON doc_a = x.doc_id
+        JOIN sz y ON doc_b = y.doc_id
+        WHERE common * 1.0 / (x.n + y.n - common) >= 0.5
+    ),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM edges
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+    outdeg AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)),
+    nodes AS (SELECT doc_id FROM documents),
+    p0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS r FROM nodes),"""
+
+_PR_ORACLE_TAIL = """
+    SELECT n.doc_id,
+           CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+           p.r AS rank_ppb
+    FROM nodes n
+    JOIN p{last} p USING (doc_id)
+    LEFT JOIN deg d ON d.src = n.doc_id"""
+
+_PR_ORACLE = (
+    _PR_ORACLE_HEAD
+    + ",".join(
+        _PR_STEP.replace("{next}", str(i + 1)).replace("{cur}", str(i))
+        for i in range(_PR_ITERS)
+    )
+    + _PR_ORACLE_TAIL.replace("{last}", str(_PR_ITERS))
+)
+
+
+@query("dedup_pagerank", oracle=_PR_ORACLE)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph — the
+    which-document-is-the-canonical-hub signal: in a dup cluster the
+    highest-rank member is the one most connected to everything else
+    (template pages, boilerplate roots), a better keep-one survivor
+    prior than longest-doc when clusters mix quality tiers, and a
+    triage key for cleanup (fixing the top-rank source kills the most
+    duplication). Complements dedup_clusters (membership) and
+    dedup_triangle_count (density) with per-NODE importance.
+
+    FIXED-POINT INTEGER power iteration (the exact-core discipline
+    applied to an iterative algorithm): ranks live in bigint
+    parts-per-billion units, each of the 5 unrolled iterations computes
+    r' = 15% * Q + 85% * sum over in-neighbors of (r div degree)
+    entirely in integer arithmetic (div truncates identically in both
+    engines; bigint sums are tie-order invariant), so after ANY number
+    of iterations every rank is bit-exact on every host/partitioning —
+    a float PageRank would amplify ulp wobble iteration over iteration
+    and could never be hash-oracled. Mass flooring/dangling loss is
+    deliberate: this is a centrality RANKING, not a probability
+    distribution; the ordering is what consumers use. Overflow
+    headroom: 85 * (n * Q) must stay under 2^63 -> n < 1e8 nodes at
+    Q = 1e9; at larger graphs drop Q to 1e6 (units are arbitrary).
+
+    Scale shape: the symmetric edge list and degree table derive from
+    the persisted edge artifact (one LSH pass per corpus version,
+    _edges_parquet); each iteration is one equi-join on src + one
+    map-side-combined sum on dst + one left join back to the bounded
+    node table — the propagate_min_label shuffle class, k=5 rounds.
+    Oracled against the exact-Jaccard edge set with the iterations
+    unrolled as chained CTEs (same integer ops), so the driver
+    hash-checks all five rounds end to end."""
+    edges = _edges_parquet(spark, sf_dir)
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    outdeg = sym.join(deg, "src")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    r = docs.select("doc_id", F.lit(_PR_Q).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        insum = (
+            outdeg.join(r, outdeg.src == r.doc_id)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("insum"))
+        )
+        r = docs.join(insum, docs.doc_id == insum.dst, "left").select(
+            "doc_id",
+            (
+                F.lit(15 * _PR_Q // 100).cast("long")
+                + F.expr("(85 * coalesce(insum, 0)) div 100")
+            ).alias("r"),
+        )
+    return (
+        docs.join(r, "doc_id")
+        .join(deg, docs.doc_id == deg.src, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("degree"),
+            F.col("r").alias("rank_ppb"),
+        )
+    )

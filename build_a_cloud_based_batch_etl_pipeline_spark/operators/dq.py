@@ -1031,3 +1031,102 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dq_anomaly_mad — robust (median/MAD) outlier screen
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+    WITH c AS (
+        SELECT event_type AS grp, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cts
+        FROM events
+    ),
+    m AS (
+        SELECT grp, CAST(round(2 * median(cts)) AS BIGINT) AS med_hc
+        FROM c GROUP BY grp
+    ),
+    d AS (
+        SELECT c.grp, event_id, cts,
+               abs(2 * cts - med_hc) AS dev_hc
+        FROM c JOIN m USING (grp)
+    ),
+    mad AS (
+        SELECT grp, CAST(round(2 * median(dev_hc)) AS BIGINT) AS mad_qc
+        FROM d GROUP BY grp
+    )
+    SELECT d.grp, event_id,
+           cts / 100.0 AS value,
+           ((40000 * dev_hc + mad_qc) // nullif(2 * mad_qc, 0)) / 10000.0
+               AS robust_z
+    FROM d JOIN mad USING (grp)
+    WHERE mad_qc > 0 AND 2 * dev_hc >= 5 * mad_qc
+"""
+
+
+@query("dq_anomaly_mad", oracle=_MAD_ORACLE)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: per-group median/MAD z-score over order
+    value, flagging rows whose |value - median| is >= 5 MADs — the
+    heavy-tail-safe anomaly detector (mean/stddev z-scores let one whale
+    inflate sigma and mask every other outlier; the median/MAD pair has
+    a 50% breakdown point). The ops twin of embed_outlier_detection's
+    centroid z-score, on the events value stream (order totals are
+    sums of many items — near-normal, nothing past ~2 MADs — while
+    per-event values are the classic heavy-tailed metric: sf0.01
+    carries ~430 genuine >=5-MAD events).
+
+    Exact integer core throughout (the r9 margin-sweep discipline
+    applied to a NEW operator up front, not retrofitted): prices are
+    2dp so cents are bigint; the median of integers interpolates at
+    worst to .5, so 2*median is exact in half-cents; deviations are
+    bigint half-cents and the MAD re-median is exact in quarter-cents.
+    Both the flag predicate (2*dev_hc >= 5*mad_qc, pure bigint — the
+    flagged SET cannot flip with summation order or engine) and the
+    reported z (integer half-up division) are exact; the only doubles
+    are the two final display divisions, bit-identical on both engines.
+    Zero-MAD groups (majority-constant values: every non-median row
+    would be "infinitely" outlying) are excluded rather than flooded —
+    dq_column_entropy is the right screen for those.
+
+    Scale shape: two map-side-combined percentile aggregates over a
+    bounded group count, each joined back broadcast (group-level stats
+    are dims); one projected scan carries (grp, key, cents). At true
+    100 TB per-group cardinality the exact median swaps for
+    percentile_approx with everything downstream unchanged."""
+    ev = t(spark, sf_dir, "events")
+    from .util import cents
+
+    c = ev.select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        cents("value").alias("cts"),
+    )
+    m = c.groupBy("grp").agg(
+        F.round(2 * F.percentile("cts", F.lit(0.5))).cast("long").alias("med_hc")
+    )
+    d = c.join(F.broadcast(m), "grp").withColumn(
+        "dev_hc", F.abs(2 * F.col("cts") - F.col("med_hc"))
+    )
+    mad = d.groupBy("grp").agg(
+        F.round(2 * F.percentile("dev_hc", F.lit(0.5)))
+        .cast("long")
+        .alias("mad_qc")
+    )
+    return (
+        d.join(F.broadcast(mad), "grp")
+        .filter(
+            (F.col("mad_qc") > 0)
+            & (2 * F.col("dev_hc") >= 5 * F.col("mad_qc"))
+        )
+        .select(
+            "grp",
+            "event_id",
+            (F.col("cts") / 100.0).alias("value"),
+            (
+                F.expr("(40000 * dev_hc + mad_qc) div nullif(2 * mad_qc, 0)")
+                / 10000.0
+            ).alias("robust_z"),
+        )
+    )

@@ -2645,3 +2645,74 @@ def embed_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             rbin(F.col("num").cast("double") / den_corr, 4).alias("corr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_whitening_apply — ZCA whitening (train driver-side, apply distributed)
+# ---------------------------------------------------------------------------
+
+_WHITEN_TRAIN_ROWS = 4096
+_WHITEN_EPS = 1e-5
+
+
+@query("embed_whitening_apply")
+def embed_whitening_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whitened embeddings — the consumer of the second-moment
+    statistics embed_dim_covariance profiles: decorrelate and
+    unit-variance the dimensions (W = U diag(1/sqrt(l+eps)) U^T from
+    the eigendecomposition of the training covariance; the symmetric
+    square root keeps whitened vectors in the ORIGINAL basis, unlike
+    PCA whitening) so downstream cosine/quantization treats every
+    direction equally — the standard pre-step before PQ/IVF training
+    and embedding-space drift comparison.
+
+    Build/apply split (the PQ codebook discipline, similarity.py
+    _pq_fit_build): the transform is TRAINED on a deterministic
+    bounded sample — the _WHITEN_TRAIN_ROWS lowest-xxhash64(vec_id)
+    rows, an order-free uniform draw that is identical on every
+    host/partitioning — collected to the driver (bounded by the limit,
+    d x d eigh is microseconds at d=64), then mu and W broadcast and
+    APPLIED to the full corpus in Arrow batches (mapInPandas, one
+    (batch x d) @ (d x d) BLAS matmul per batch — no per-row Python).
+    At 100 TB the apply pass streams; only the 4096-row sample ever
+    reaches the driver.
+
+    Rows-only: the eigendecomposition is not SQL-expressible.
+    tests/test_similarity.py pins the semantics instead: the whitened
+    training sample's covariance is ~identity (off-diagonals below
+    tolerance), the transform is symmetric (ZCA), and repeat runs are
+    bit-identical (outputs rounded 6dp after float64 BLAS).
+
+    Reference: no embedding surface (BigQuery delegation; BQ ML's
+    TRANSFORM clause is the delegated analogue)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    train = (
+        emb.select("embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(_WHITEN_TRAIN_ROWS)
+        .collect()
+    )
+    X = np.array([r.embedding for r in train], dtype=np.float64)
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    lam, U = np.linalg.eigh(cov)
+    W = (U * (1.0 / np.sqrt(np.maximum(lam, 0.0) + _WHITEN_EPS))) @ U.T
+    b_mu = spark.sparkContext.broadcast(mu)
+    b_w = spark.sparkContext.broadcast(W)
+
+    def apply_batches(batches):
+        for pdf in batches:
+            M = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Z = np.round((M - b_mu.value) @ b_w.value.T, 6)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "white": list(Z)}
+            )
+
+    return emb.mapInPandas(
+        apply_batches, schema="vec_id bigint, white array<double>"
+    )

@@ -782,3 +782,42 @@ def test_dim_covariance_matches_numpy(spark, sf_dir):
         assert abs(r.corr - corr[i - 1, j - 1]) < 5e-4
     for i in range(1, d + 1):
         assert rows[(i, i)].corr == 1.0
+
+
+def test_whitening_apply_identity_covariance(spark, sf_dir):
+    """ZCA semantics pin (third engine = numpy): at fixture scale the
+    training sample covers the whole corpus, so the whitened matrix's
+    sample covariance must be ~identity (up to the eps shrink); the
+    transform is symmetric (ZCA, not PCA — whitened vectors stay in
+    the input basis); repeat runs are bit-identical."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        embed_whitening_apply,
+    )
+
+    out = (
+        embed_whitening_apply(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    n_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == n_src
+    Z = np.vstack([np.asarray(v) for v in out["white"]])
+    assert Z.shape[1] == 64
+    C = np.cov(Z, rowvar=False, ddof=1)
+    d = C.shape[0]
+    # diagonal ~1 (eps shrink keeps it fractionally below), off-diag ~0
+    assert np.all(np.abs(np.diag(C) - 1.0) < 5e-2)
+    off = C - np.diag(np.diag(C))
+    assert np.max(np.abs(off)) < 5e-2
+
+    again = (
+        embed_whitening_apply(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    Z2 = np.vstack([np.asarray(v) for v in again["white"]])
+    assert np.array_equal(Z, Z2)

@@ -21,6 +21,9 @@ that margin before the driver did — this tool does, mechanically:
      discipline) or re-scale.
 
 Sites the sweep does NOT gate (reported as counts, not margins):
+  - PER_ROW_OK (query, column) pairs — per-document integer ratios that
+    are dyadic-exact and order-invariant (see the allow-list comment);
+    their margins print with a [per-row] tag and never flag;
   - single-argument `round(v * 100)` cents quantization: applied to RAW
     input columns, not accumulations — deterministic per row, and the
     2dp-generated fixtures put v*100 ~0.5 away from the half-boundary;
@@ -63,6 +66,33 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 FAIL_MARGIN = 1e-6
 _MASK = "R0UND1ARG_"
+
+# PER-ROW allow-list: (query, column) pairs whose rounded value is a
+# per-document ratio of small integers (uniq/total words, chars/words,
+# |A-and-B|/|A-or-B|, ...).  These hit margin 0 by CONSTRUCTION — 1/2,
+# 3/8, 9/2 are exact dyadic doubles sitting ON the half boundary — but
+# they are not in the wobble class this sweep gates: the class that
+# produced the r8 driver fail is ORDER-DEPENDENT accumulation (a double
+# sum whose ulp depends on partitioning, so a local pass does not imply
+# a driver pass).  A per-row expression is evaluated in a fixed in-row
+# order on BOTH engines, so the doubles reaching round() are identical
+# everywhere and the existing both-SF hash gates fully cover the class
+# (they pass at the very SFs where these boundary values occur —
+# including round()'s exact-half behavior, where Spark's HALF_UP and
+# DuckDB's away-from-zero agree for the non-negative ratios here).
+# Listing is per-column so any NEW sub-threshold column still fails
+# the gate until it is either integer-cored or argued into this list.
+PER_ROW_OK = {
+    ("dedup_ngram_jaccard", "jaccard"),
+    ("doc_quality_percentile_filter", "uniq_ratio"),
+    ("text_gopher_quality", "mean_word_len"),
+    ("text_quality", "uniq_ratio"),
+    ("text_quality", "stopword_ratio"),
+    ("text_quality", "avg_word_len"),
+    ("text_repetition", "top_word_frac"),
+    ("text_repetition", "uniq_bigram_ratio"),
+    ("text_stats", "word_density"),
+}
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -209,12 +239,18 @@ def main() -> int:
                         f"none gated (unscoped={ent['unscoped_sites']})"
                     )
                 continue
-            worst = min(ent["margins"].values())
-            flag = worst < FAIL_MARGIN
-            n_flag += int(flag)
-            mark = "FLAG " if flag else "ok   "
+            gated_cols = {
+                c: m
+                for c, m in ent["margins"].items()
+                if (name, c) not in PER_ROW_OK
+            }
+            n_bad = sum(1 for m in gated_cols.values() if m < FAIL_MARGIN)
+            n_flag += n_bad
+            mark = "FLAG " if n_bad else "ok   "
             cols = ", ".join(
-                f"{c}={m:.3e}" for c, m in sorted(ent["margins"].items())
+                f"{c}={m:.3e}"
+                + (" [per-row]" if (name, c) in PER_ROW_OK else "")
+                for c, m in sorted(ent["margins"].items())
             )
             print(f"{mark} {name}: {cols}")
     if args.json:
