@@ -85,6 +85,13 @@ HEADLINE = [
     "text_collocation_pmi",
     "embed_kmeans_step",
     "embed_range_search",
+    # r9 additions (this round becomes their anchor): fixed-point
+    # integer PageRank over the persisted dup-graph edge artifact (5
+    # unrolled join+agg iterations — the iterative-graph representative
+    # next to triangle count), and the median/MAD robust outlier screen
+    # (two percentile aggregates + broadcast joins back).
+    "dedup_pagerank",
+    "dq_anomaly_mad",
 ]
 
 

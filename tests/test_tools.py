@@ -1,0 +1,77 @@
+"""Unit tests for the gate tools themselves — a wrong margin-sweep
+parser silently un-gates the rounding-wobble class it exists to catch,
+so the parser is pinned like any operator."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(modname: str):
+    spec = importlib.util.spec_from_file_location(
+        modname, os.path.join(ROOT, "tools", f"{modname}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_strip_rounds_parser():
+    ms = _load("margin_sweep")
+    # two-arg round stripped to (EXPR), alias + k captured
+    out, sites = ms.strip_rounds(
+        "SELECT round(sum(x), 2) AS total, round(avg(y), 4) AS m FROM t"
+    )
+    assert out == "SELECT (sum(x)) AS total, (avg(y)) AS m FROM t"
+    assert [(s["alias"], s["k"]) for s in sites] == [("total", 2), ("m", 4)]
+
+    # nested: inner single-arg cents round stays, outer stripped; commas
+    # inside nested calls must not split the outer arguments
+    out, sites = ms.strip_rounds(
+        "SELECT round(sum(CAST(round(v * 100) AS BIGINT)) / nullif(n, 0), 4)"
+        " AS avg_v FROM t"
+    )
+    assert "round(v * 100)" in out
+    assert out.count("round") == 1  # only the inner one remains
+    assert sites == [{"alias": "avg_v", "k": 4}]
+
+    # no alias -> site recorded with alias None (counts as unscoped)
+    out, sites = ms.strip_rounds("SELECT round(x, 2) FROM t")
+    assert sites == [{"alias": None, "k": 2}]
+
+    # no two-arg sites at all
+    out, sites = ms.strip_rounds("SELECT round(x) FROM t")
+    assert sites == [] and "round(x)" in out
+
+
+def test_margin_of():
+    ms = _load("margin_sweep")
+    # 0.12345 at k=4: frac(1234.5) = .5 -> margin 0 (exact boundary)
+    assert ms.margin_of([0.12345], 4) == 0.0
+    # 0.1234 at k=4 sits on the grid -> margin ~0.5
+    assert abs(ms.margin_of([0.1234], 4) - 0.5) < 1e-6
+    # min over values; None/NaN skipped
+    m = ms.margin_of([None, 0.1234, 0.12345], 4)
+    assert m == 0.0
+    assert ms.margin_of([float("nan")], 4) is None
+
+
+def test_margins_artifact_is_clean_and_allowlist_is_live():
+    """The committed MARGINS.json must show a 0-flag gate, and every
+    PER_ROW_OK allow-list entry must name a query that still exists in
+    the swept artifact — a renamed/removed query in the allow-list is
+    dead weight that could mask a future real flag under the old name."""
+    ms = _load("margin_sweep")
+    with open(os.path.join(ROOT, "MARGINS.json")) as f:
+        data = json.load(f)
+    assert data["flagged"] == 0
+    assert data["fail_margin"] == ms.FAIL_MARGIN
+    swept = set()
+    for rep in data["sweeps"].values():
+        swept |= set(rep)
+    for name, col in ms.PER_ROW_OK:
+        assert name in swept, f"allow-list names unknown query {name}"

@@ -246,6 +246,17 @@ def main() -> None:
             "text_collocation_pmi",
             "text_js_divergence",
             "embed_kmeans_step",
+            # r9: the two consumers of the persisted edge artifact. The
+            # suffixed copies replicate the dup graph k-fold with zero
+            # cross-copy edges, so the 5 fixed integer power iterations
+            # see k-fold nodes/edges with unchanged degree structure
+            # (rounds constant by construction -> exponent ~1), and the
+            # triangle population scales exactly k-fold. As with
+            # dedup_incremental_index, run 1 pays the fingerprint-keyed
+            # edge-artifact build; min-of-runs measures the warm query
+            # path a production batch pays.
+            "dedup_pagerank",
+            "dedup_triangle_count",
         ]
         sweep_queries = [n for n in sweep_queries if want(n)]
         for name in sweep_queries:
