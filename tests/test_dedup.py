@@ -522,3 +522,42 @@ def test_hint_label_map_size_gate(spark, monkeypatch):
     )._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in big_plan
     assert "BroadcastHashJoin" not in big_plan
+
+
+def test_pagerank_matches_python_integer_recurrence(spark, sf_dir):
+    """Third engine for dedup_pagerank: an independent pure-Python
+    implementation of the same fixed-point recurrence must match the
+    Spark result EXACTLY (integer arithmetic has one right answer —
+    no tolerance band), on the same persisted edge set."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.dedup import (
+        _PR_ITERS,
+        _PR_Q,
+        _edges_parquet,
+        dedup_pagerank,
+    )
+
+    edges = [(r.doc_a, r.doc_b) for r in _edges_parquet(spark, sf_dir).collect()]
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    rank = {d: _PR_Q for d in docs}
+    for _ in range(_PR_ITERS):
+        insum: dict[int, int] = {}
+        for src, nbrs in adj.items():
+            c = rank[src] // len(nbrs)
+            for dst in nbrs:
+                insum[dst] = insum.get(dst, 0) + c
+        rank = {
+            d: 15 * _PR_Q // 100 + 85 * insum.get(d, 0) // 100 for d in docs
+        }
+    got = {r.doc_id: (r.degree, r.rank_ppb) for r in dedup_pagerank(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for d in docs:
+        assert got[d] == (len(adj.get(d, [])), rank[d]), f"doc {d}"

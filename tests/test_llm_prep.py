@@ -292,3 +292,40 @@ def test_lexical_diversity_matches_python(spark, sf_dir):
         assert abs(r.mean_ttr - ts / nd) < 5e-4
         assert abs(r.mean_guiraud - gs / nd) < 5e-4
         assert 0.0 < r.mean_ttr <= 1.0
+
+
+def test_textrank_matches_python_integer_recurrence(spark, sf_dir):
+    """Third engine for text_textrank_keywords: independent pure-Python
+    weighted fixed-point recurrence over the same persisted graph must
+    match EXACTLY (integer arithmetic, no tolerance). Also sanity: the
+    highest-ranked word has non-trivial weighted degree."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        _TR_ITERS,
+        _TR_Q,
+        _textrank_graph,
+        text_textrank_keywords,
+    )
+
+    outw_df, nodes_df = _textrank_graph(spark, sf_dir)
+    outw = [
+        (r.src, r.dst, r.wt, r.wdeg) for r in outw_df.collect()
+    ]
+    words = [r.word for r in nodes_df.collect()]
+    rank = {w: _TR_Q for w in words}
+    for _ in range(_TR_ITERS):
+        insum: dict[str, int] = {}
+        for src, dst, wt, wdeg in outw:
+            insum[dst] = insum.get(dst, 0) + (rank[src] * wt) // wdeg
+        rank = {
+            w: 15 * _TR_Q // 100 + 85 * insum.get(w, 0) // 100 for w in words
+        }
+    wdeg_of = {src: wdeg for src, _dst, _wt, wdeg in outw}
+    got = {
+        r.word: (r.wdeg, r.rank_ppb)
+        for r in text_textrank_keywords(spark, sf_dir).collect()
+    }
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w] == (wdeg_of.get(w, 0), rank[w]), f"word {w}"
+    top = max(got, key=lambda w: got[w][1])
+    assert got[top][0] > 0

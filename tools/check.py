@@ -37,11 +37,23 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as _np
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            # bytes (binary cols) -> hex for stable compare
-            df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
+            # bytes (binary cols) -> hex for stable compare; arrays
+            # (Spark toPandas yields numpy arrays, DuckDB yields lists)
+            # -> tuples so multi-key sorts and equality are well-defined
+            df[c] = df[c].map(
+                lambda v: v.hex()
+                if isinstance(v, (bytes, bytearray))
+                else tuple(v.tolist())
+                if isinstance(v, _np.ndarray)
+                else tuple(v)
+                if isinstance(v, list)
+                else v
+            )
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
