@@ -1065,3 +1065,76 @@ def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(_DSIR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_mixture_plan — token-budget mixture planner
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000  # target training tokens
+
+_MIX_ORACLE = f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+               CAST(CAST(substr(source, 4) AS BIGINT) + 1 AS BIGINT) AS w
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM per_src)
+    SELECT source, n_docs, tokens,
+           CAST((1000000 * w) // wsum AS BIGINT)  AS weight_ppm,
+           CAST(({_MIX_BUDGET} * w) // wsum AS BIGINT) AS alloc_tokens,
+           CAST((1000 * (({_MIX_BUDGET} * w) // wsum))
+                // nullif(tokens, 0) AS BIGINT)   AS epochs_x1000
+    FROM per_src, tot
+"""
+
+
+@query("sample_mixture_plan", oracle=_MIX_ORACLE)
+def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token-budget planner — the allocation table every
+    multi-source pretraining run starts from (the Pile / LLaMA-style
+    recipe): given per-source token inventories and target mixture
+    weights, how many tokens does each source contribute to a fixed
+    budget, and what oversampling factor (epochs) does that imply?
+    epochs_x1000 > 1000 flags sources the recipe will repeat (upweighted
+    beyond their inventory); far below 1000 means heavy subsampling.
+    Downstream, sample_temperature / sample_stratified realize the
+    draw; this operator is the planning step that feeds them.
+
+    Weights here are a deterministic stand-in derived from the source
+    name (index + 1 — the fixtures carry no external weight table); in
+    production the weights join in from a config table and everything
+    else is unchanged. All arithmetic is exact bigint (token counts,
+    ppm weights, allocations, and the x1000 epoch factor are integer
+    divisions), so the plan is bit-identical on every engine/host.
+
+    Scale shape: one projected corpus scan collapsing map-side to
+    |sources| rows, a 1-row total broadcast back (the q11/q15 global-
+    threshold shape), and constant-size output."""
+    docs = t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+        F.max(F.expr("CAST(substr(source, 4) AS BIGINT) + 1")).alias("w"),
+    )
+    tot = per_src.agg(F.sum("w").cast("long").alias("wsum"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("(1000000 * w) div wsum").cast("long").alias("weight_ppm"),
+            F.expr(f"({_MIX_BUDGET} * w) div wsum")
+            .cast("long")
+            .alias("alloc_tokens"),
+            F.expr(
+                f"(1000 * (({_MIX_BUDGET} * w) div wsum)) div nullif(tokens, 0)"
+            )
+            .cast("long")
+            .alias("epochs_x1000"),
+        )
+    )

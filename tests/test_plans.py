@@ -129,6 +129,9 @@ INTENTIONAL_CROSS = {
     # nearest-centroid assignment broadcasts the tiny codebook against
     # every vector (same O(N * nlist) fan-out as embed_ann_ivf)
     "sample_diversity_quota",
+    # 1-row weight-sum total broadcast onto the |sources| inventory rows
+    # (the q11/q15 scalar-threshold pattern)
+    "sample_mixture_plan",
 }
 
 
