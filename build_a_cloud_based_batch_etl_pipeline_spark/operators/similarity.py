@@ -2689,9 +2689,12 @@ def embed_whitening_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # vec_id tie-break: equal hashes must not make the sample SET or its
+    # row ORDER run-dependent — numpy's sums are order-dependent, so a
+    # permuted X would wobble mu/W in the last ulp between sessions
     train = (
-        emb.select("embedding", F.xxhash64("vec_id").alias("h"))
-        .orderBy("h")
+        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
         .limit(_WHITEN_TRAIN_ROWS)
         .collect()
     )
