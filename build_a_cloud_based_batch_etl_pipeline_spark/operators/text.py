@@ -2126,52 +2126,112 @@ def _textrank_graph(spark: SparkSession, sf_dir: str):
     def build() -> str:
         root = tempfile.mkdtemp(prefix="textrank_graph_")
         docs = t(spark, sf_dir, "documents")
-        toks = docs.select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "word"),
-        ).filter(F.length("word") >= _TR_MIN_LEN)
-        sw = W.partitionBy("doc_id").orderBy("pos")
-        nbr = toks.select(
-            "word",
-            F.lead("word", 1).over(sw).alias("v1"),
-            F.lead("word", 2).over(sw).alias("v2"),
-        )
-        cooc = nbr.filter(F.col("v1").isNotNull()).select(
-            F.col("word").alias("x"), F.col("v1").alias("y")
-        ).unionAll(
-            nbr.filter(F.col("v2").isNotNull()).select(
-                F.col("word").alias("x"), F.col("v2").alias("y")
-            )
-        )
-        wedges = (
-            cooc.filter(F.col("x") != F.col("y"))
-            .groupBy(
-                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias("wt"))
-        )
-        sym = wedges.select(
-            F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
-        ).unionAll(
-            wedges.select(
-                F.col("b").alias("src"), F.col("a").alias("dst"), "wt"
-            )
-        )
-        wdegs = sym.groupBy("src").agg(
-            F.sum("wt").cast("long").alias("wdeg")
-        )
-        sym.join(wdegs, "src").write.mode("overwrite").parquet(
-            f"{root}/outw"
-        )
-        toks.select("word").distinct().write.mode("overwrite").parquet(
-            f"{root}/nodes"
-        )
+        pairs, words = cooc_pair_rows(docs)
+        _cooc_to_outw(pairs).write.mode("overwrite").parquet(f"{root}/outw")
+        words.write.mode("overwrite").parquet(f"{root}/nodes")
         return root
 
     root = memo_once(spark, ("textrank_graph", sf_dir, fp), build)
     return spark.read.parquet(f"{root}/outw"), spark.read.parquet(
         f"{root}/nodes"
     )
+
+
+def cooc_pair_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-corpus-slice TextRank graph partials: undirected co-occurrence
+    pair counts (a < b, wt) and the distinct kept content words.
+
+    Windows are per-document, so pair counts over doc-disjoint slices
+    are ADDITIVE: sum of per-batch wt == one-shot corpus wt. That is
+    the property streaming/ingest_stream.maintain_cooc_graph relies on
+    — per-batch partials append as epoch partitions and the reader
+    re-aggregates, bit-identical to a batch rebuild."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).filter(F.length("word") >= _TR_MIN_LEN)
+    sw = W.partitionBy("doc_id").orderBy("pos")
+    nbr = toks.select(
+        "word",
+        F.lead("word", 1).over(sw).alias("v1"),
+        F.lead("word", 2).over(sw).alias("v2"),
+    )
+    cooc = nbr.filter(F.col("v1").isNotNull()).select(
+        F.col("word").alias("x"), F.col("v1").alias("y")
+    ).unionAll(
+        nbr.filter(F.col("v2").isNotNull()).select(
+            F.col("word").alias("x"), F.col("v2").alias("y")
+        )
+    )
+    pairs = (
+        cooc.filter(F.col("x") != F.col("y"))
+        .groupBy(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+    )
+    return pairs, toks.select("word").distinct()
+
+
+def _cooc_to_outw(pairs: DataFrame) -> DataFrame:
+    """(a, b, wt) undirected pair counts -> directed (src, dst, wt,
+    wdeg) propagation rows."""
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
+    ).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt")
+    )
+    wdegs = sym.groupBy("src").agg(F.sum("wt").cast("long").alias("wdeg"))
+    return sym.join(wdegs, "src")
+
+
+def _textrank_rank(outw: DataFrame, nodes: DataFrame) -> DataFrame:
+    """The shared fixed-point bigint TextRank loop over prepared graph
+    tables — used by both the batch operator and the maintained-index
+    reader (textrank_from_index); integer arithmetic makes the two
+    paths bit-identical given equal graphs."""
+    wdegs = outw.select("src", "wdeg").distinct()
+    r = nodes.select("word", F.lit(_TR_Q).cast("long").alias("r"))
+    for _ in range(_TR_ITERS):
+        insum = (
+            outw.join(r, outw.src == r.word)
+            .select("dst", F.expr("(r * wt) div wdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("insum"))
+        )
+        r = nodes.join(insum, nodes.word == insum.dst, "left").select(
+            "word",
+            (
+                F.lit(15 * _TR_Q // 100).cast("long")
+                + F.expr("(85 * coalesce(insum, 0)) div 100")
+            ).alias("r"),
+        )
+    return (
+        nodes.join(r, "word")
+        .join(wdegs, nodes.word == wdegs.src, "left")
+        .select(
+            "word",
+            F.coalesce(F.col("wdeg"), F.lit(0)).cast("long").alias("wdeg"),
+            F.col("r").alias("rank_ppb"),
+        )
+    )
+
+
+def textrank_from_index(spark: SparkSession, index_root: str) -> DataFrame:
+    """TextRank over the STREAMING-MAINTAINED co-occurrence graph
+    (streaming/ingest_stream.maintain_cooc_graph): epoch-partitioned
+    per-batch pair partials are re-aggregated (sum of bigint partials —
+    exactly the one-shot corpus counts, since windows never cross
+    documents) and ranked with the shared fixed-point loop, so this
+    equals text_textrank_keywords on the same accumulated corpus
+    BIT-FOR-BIT (pinned in tests/test_streaming.py). The maintenance
+    cost per batch is O(batch); this reader is O(|V| + |E|)."""
+    partials = spark.read.parquet(f"{index_root}/pairs")
+    pairs = partials.groupBy("a", "b").agg(
+        F.sum("wt").cast("long").alias("wt")
+    )
+    nodes = spark.read.parquet(f"{index_root}/words").select("word").distinct()
+    return _textrank_rank(_cooc_to_outw(pairs), nodes)
 
 
 _TR_STEP = """
@@ -2274,28 +2334,4 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference); every iteration then costs O(|V| + |E|) joins over the
     VOCABULARY-bounded graph tables, never the corpus."""
     outw, nodes = _textrank_graph(spark, sf_dir)
-    wdegs = outw.select("src", "wdeg").distinct()
-    r = nodes.select("word", F.lit(_TR_Q).cast("long").alias("r"))
-    for _ in range(_TR_ITERS):
-        insum = (
-            outw.join(r, outw.src == r.word)
-            .select("dst", F.expr("(r * wt) div wdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("insum"))
-        )
-        r = nodes.join(insum, nodes.word == insum.dst, "left").select(
-            "word",
-            (
-                F.lit(15 * _TR_Q // 100).cast("long")
-                + F.expr("(85 * coalesce(insum, 0)) div 100")
-            ).alias("r"),
-        )
-    return (
-        nodes.join(r, "word")
-        .join(wdegs, nodes.word == wdegs.src, "left")
-        .select(
-            "word",
-            F.coalesce(F.col("wdeg"), F.lit(0)).cast("long").alias("wdeg"),
-            F.col("r").alias("rank_ppb"),
-        )
-    )
+    return _textrank_rank(outw, nodes)

@@ -1126,3 +1126,54 @@ def read_js_divergence(
             ).alias("jsd"),
         )
     )
+
+
+def maintain_cooc_graph(
+    spark: SparkSession,
+    docs_path: str,
+    index_root: str,
+    checkpoint_path: str,
+    docs_schema,
+) -> None:
+    """Streaming maintenance of the persisted TextRank co-occurrence
+    graph: as document files arrive, each micro-batch's pair-count
+    PARTIALS (a < b, wt within the batch) and distinct kept words
+    append to `{index_root}/pairs` and `{index_root}/words` as atomic
+    `epoch=<lineage>-<id>` partitions — the maintain_minhash_index
+    commit/replay/lineage discipline, applied to an ADDITIVE aggregate:
+    co-occurrence windows never cross documents, so summing per-batch
+    partials reproduces the one-shot corpus counts exactly (bigint
+    arithmetic — operators.text.textrank_from_index therefore equals
+    the batch text_textrank_keywords BIT-FOR-BIT on the accumulated
+    corpus; pinned in tests/test_streaming.py).
+
+    At 100 TB: per-batch work is O(batch) tokenization + a vocabulary-
+    bounded aggregate; the graph artifact grows with VOCABULARY (pair
+    partials compact across epochs via sinks.compact_table or the
+    reader's re-aggregate), never with corpus size — the property that
+    makes corpus-lifetime keyword statistics maintainable without
+    recomputing one old document."""
+    from ..operators.text import cooc_pair_rows
+    from ..sinks import commit_epoch_partition
+
+    stream = spark.readStream.schema(docs_schema).json(docs_path)
+
+    def index_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        lineage = _checkpoint_lineage(spark, checkpoint_path)
+        pairs, words = cooc_pair_rows(batch.select("doc_id", "text"))
+        commit_epoch_partition(
+            spark, pairs, f"{index_root}/pairs", lineage, epoch_id
+        )
+        commit_epoch_partition(
+            spark, words, f"{index_root}/words", lineage, epoch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1188,3 +1188,74 @@ def test_source_term_maintenance_matches_batch_jsd(spark, tmp_path):
         for r in spark.read.parquet(counts_path).collect()
     }
     assert got3 == got, "failed run must not have touched the table"
+
+
+def test_cooc_graph_stream_equals_batch_textrank(spark, tmp_path, sf_dir):
+    """maintain_cooc_graph + textrank_from_index must equal the batch
+    text_textrank_keywords BIT-FOR-BIT on the same corpus: pair-count
+    partials are additive across doc-disjoint batches (windows never
+    cross documents) and the shared rank loop is pure bigint, so there
+    is no tolerance band. Also pins epoch immutability (batch-1
+    partition files are never rewritten by batch 2) and idempotent
+    re-runs (no new files without new input)."""
+    import glob
+    import json
+    import os
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        text_textrank_keywords,
+        textrank_from_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    mid = len(docs) // 2
+
+    docsdir = tmp_path / "cooc_docs"
+    docsdir.mkdir()
+    schema = "doc_id long, text string"
+    root = str(tmp_path / "cooc_index")
+    ckpt = str(tmp_path / "cooc_ckpt")
+
+    def drop(name, rows):
+        with open(docsdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+    def listing():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{root}/**/*", recursive=True)
+            if os.path.isfile(p)
+        }
+
+    drop("b1.json", docs[:mid])
+    ingest_stream.maintain_cooc_graph(spark, str(docsdir), root, ckpt, schema)
+    snap1 = listing()
+    assert glob.glob(f"{root}/pairs/epoch=*") and glob.glob(
+        f"{root}/words/epoch=*"
+    )
+
+    drop("b2.json", docs[mid:])
+    ingest_stream.maintain_cooc_graph(spark, str(docsdir), root, ckpt, schema)
+    snap2 = listing()
+    for p, meta in snap1.items():
+        assert snap2[p] == meta, f"batch-1 graph file rewritten: {p}"
+    assert len(glob.glob(f"{root}/pairs/epoch=*")) == 2
+
+    # no new input -> byte-stable
+    ingest_stream.maintain_cooc_graph(spark, str(docsdir), root, ckpt, schema)
+    assert listing() == snap2
+
+    got = {
+        r.word: (r.wdeg, r.rank_ppb)
+        for r in textrank_from_index(spark, root).collect()
+    }
+    want = {
+        r.word: (r.wdeg, r.rank_ppb)
+        for r in text_textrank_keywords(spark, sf_dir).collect()
+    }
+    assert got == want
