@@ -2719,3 +2719,49 @@ def embed_whitening_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         apply_batches, schema="vec_id bigint, white array<double>"
     )
+
+
+@query("embed_pca_variance_explained")
+def embed_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA eigen-spectrum of the embedding covariance — the
+    variance-explained curve that answers "how many dimensions does
+    this embedding actually use?" (intrinsic-dimensionality check
+    before choosing PQ sub-spaces, MRL truncation levels, or a
+    whitening eps; a spectrum where 8 of 64 components carry 99% of
+    variance means the index should be built very differently from a
+    flat one). Completes the second-moment family: embed_dim_covariance
+    (cells) -> embed_whitening_apply (transform) -> this (spectrum).
+
+    The d x d covariance is assembled driver-side from
+    embed_dim_covariance's EXACT integer-core cells (d(d+1)/2 = 2080
+    bounded rows — a constant-size collect, same class as the codebook
+    reads) and eigendecomposed with numpy; output is one row per
+    component with the eigenvalue, per-component variance share (ppm),
+    and the cumulative curve. Rows-only: eigendecomposition is not
+    SQL-expressible; tests/test_similarity.py pins the spectrum against
+    an independent np.cov + eigvalsh over the raw matrix and repeat
+    determinism (outputs rounded 6dp).
+
+    Scale shape: all corpus-sized work happens inside
+    embed_dim_covariance's scalar-cell aggregate (arrays never
+    shuffle); this adds one bounded collect + an O(d^3) driver eigh
+    (microseconds at d=64) + a d-row createDataFrame."""
+    import numpy as np
+
+    rows = embed_dim_covariance(spark, sf_dir).select("i", "j", "covar").collect()
+    d = max(r.j for r in rows)
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r.i - 1, r.j - 1] = r.covar
+        C[r.j - 1, r.i - 1] = r.covar
+    lam = np.linalg.eigvalsh(C)[::-1]
+    lam = np.maximum(lam, 0.0)  # clip tiny negative eigenvalues (4dp cells)
+    tot = float(lam.sum())
+    out, cum = [], 0
+    for k, ev in enumerate(lam, start=1):
+        ppm = int(round(1_000_000 * float(ev) / tot)) if tot > 0 else 0
+        cum += ppm
+        out.append((k, float(np.round(ev, 6)), ppm, cum))
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, var_ppm bigint, cum_ppm bigint"
+    )

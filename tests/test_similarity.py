@@ -821,3 +821,39 @@ def test_whitening_apply_identity_covariance(spark, sf_dir):
     )
     Z2 = np.vstack([np.asarray(v) for v in again["white"]])
     assert np.array_equal(Z, Z2)
+
+
+def test_pca_variance_explained_matches_numpy(spark, sf_dir):
+    """Spectrum pin (third engine): eigenvalues from the operator's
+    4dp-cell covariance must match np.cov+eigvalsh over the raw matrix
+    within the cell-rounding tolerance; shares sum to ~1e6 ppm and the
+    cumulative curve is monotone; repeat runs identical."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        embed_pca_variance_explained,
+    )
+
+    got = sorted(
+        embed_pca_variance_explained(spark, sf_dir).collect(),
+        key=lambda r: r.component,
+    )
+    mat = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    lam = np.linalg.eigvalsh(np.cov(mat, rowvar=False, ddof=1))[::-1]
+    assert len(got) == mat.shape[1]
+    for r, ev in zip(got, lam):
+        assert abs(r.eigenvalue - ev) < 5e-3  # 4dp cells -> O(d*5e-5) spectrum wobble
+    assert abs(sum(r.var_ppm for r in got) - 1_000_000) <= len(got)
+    cums = [r.cum_ppm for r in got]
+    assert cums == sorted(cums)
+    again = sorted(
+        embed_pca_variance_explained(spark, sf_dir).collect(),
+        key=lambda r: r.component,
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
