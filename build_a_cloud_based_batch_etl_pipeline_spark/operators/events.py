@@ -1743,3 +1743,97 @@ def events_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_trend_theil_sen — robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_TS_K = 10**13  # slope offset: >= max |dc| * 1e6 / dd, keeps numerators >= 0
+
+_THEIL_SEN_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events
+        GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               ((2 * ((b.c - a.c) * 1000000 + {_TS_K} * (b.d - a.d))
+                 + (b.d - a.d)) // (2 * (b.d - a.d))) - {_TS_K} AS s_e6
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(2 * median(s_e6)) AS BIGINT) / 2.0 / 1000000.0
+               AS slope_per_day
+    FROM slopes
+    GROUP BY event_type
+"""
+
+
+@query("events_trend_theil_sen", oracle=_THEIL_SEN_ORACLE)
+def events_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event-type daily series — the
+    median of all pairwise slopes (cents/day), the trend estimator with
+    a 29% breakdown point that one spike day cannot drag the way an OLS
+    slope can (agg_linear_regression is the parametric twin). The
+    operational drift detector behind capacity forecasts on dirty
+    telemetry.
+
+    Exact integer core for an estimator that is a median of RATIONALS:
+    each pairwise slope dc/dd is quantized per pair with half-up
+    integer division onto the 1e-6 grid (numerator offset by K*dd so it
+    stays non-negative — dc can be negative and div truncates toward
+    zero; half_up(x + K) = half_up(x) + K for integer K), so the
+    median's input is exact bigints, its .5-interpolated value is exact
+    in half-units (the dq_anomaly_mad discipline), and the only float
+    op is the final display division — bit-identical on both engines.
+    The 1e-6 per-pair quantization perturbs the estimator far below
+    reporting precision. Overflow: 2*(|dc|*1e6 + K*dd) needs
+    |dc| < ~4.6e12 cents between two days — document-scale headroom.
+
+    Scale shape: the corpus collapses map-side to (type, day) daily
+    cells first; the pair self-join is CALENDAR-bounded (n_days^2/2 per
+    series — 435 pairs at the fixtures' 30 days, ~500k at a 3-year
+    series), never corpus-sized; one percentile aggregate per series
+    ends the job. At extreme series lengths the documented fallback is
+    the repeated-median variant over a day-sampled grid; exact
+    Theil-Sen is right wherever days^2 fits a shuffle budget."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(cents("value")).cast("long").alias("c"))
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("c").alias("c2"),
+    )
+    slopes = (
+        a.join(b, (a.event_type == b.et2) & (a.d1 < b.d2))
+        .select(
+            "event_type",
+            F.expr(
+                f"((2 * ((c2 - c1) * 1000000 + {_TS_K} * (d2 - d1))"
+                f" + (d2 - d1)) div (2 * (d2 - d1))) - {_TS_K}"
+            ).alias("s_e6"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.round(2 * F.percentile("s_e6", F.lit(0.5))).cast("long")
+            / 2.0
+            / 1000000.0
+        ).alias("slope_per_day"),
+    )

@@ -745,3 +745,49 @@ def test_series_correlation_matches_pandas(spark, sf_dir):
             want = joined[ta].corr(joined[tb])
             assert abs(r.corr - want) < 5e-3, (ta, tb, r.corr, want)
             assert -1.0 <= r.corr <= 1.0
+
+
+def test_theil_sen_matches_python_exact(spark, sf_dir):
+    """Third engine for events_trend_theil_sen: recompute the
+    integer-quantized pairwise slopes and their exact half-unit median
+    in pure Python — bit-equality, no tolerance (the integer-core
+    contract), plus a sanity bound: the slope lies within the min/max
+    pairwise slope."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.events import (
+        _TS_K,
+        events_trend_theil_sen,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import collections
+    import datetime as dt
+
+    daily: dict = collections.defaultdict(lambda: collections.defaultdict(int))
+    for r in ev.select("event_type", "ts", "value").collect():
+        d = (r.ts.date() - dt.date(1970, 1, 1)).days
+        daily[r.event_type][d] += int(round(r.value * 100))
+    want = {}
+    for et, series in daily.items():
+        days = sorted(series)
+        s = []
+        for i, d1 in enumerate(days):
+            for d2 in days[i + 1 :]:
+                dc, dd = series[d2] - series[d1], d2 - d1
+                s.append((2 * (dc * 1000000 + _TS_K * dd) + dd) // (2 * dd) - _TS_K)
+        s.sort()
+        n = len(s)
+        med2 = s[n // 2] * 2 if n % 2 else s[n // 2 - 1] + s[n // 2]
+        want[et] = (n, med2 / 2.0 / 1000000.0)
+    got = {
+        r.event_type: (r.n_pairs, r.slope_per_day)
+        for r in events_trend_theil_sen(spark, sf_dir).collect()
+    }
+    assert got == want
+    for et, (_n, slope) in got.items():
+        days = sorted(daily[et])
+        raw = [
+            (daily[et][d2] - daily[et][d1]) / (d2 - d1)
+            for i, d1 in enumerate(days)
+            for d2 in days[i + 1 :]
+        ]
+        assert min(raw) - 1e-3 <= slope <= max(raw) + 1e-3
