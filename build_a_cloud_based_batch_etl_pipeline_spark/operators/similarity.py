@@ -2655,8 +2655,7 @@ _WHITEN_TRAIN_ROWS = 4096
 _WHITEN_EPS = 1e-5
 
 
-@query("embed_whitening_apply")
-def embed_whitening_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def whitening_apply_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA-whitened embeddings — the consumer of the second-moment
     statistics embed_dim_covariance profiles: decorrelate and
     unit-variance the dimensions (W = U diag(1/sqrt(l+eps)) U^T from
@@ -2718,6 +2717,31 @@ def embed_whitening_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.mapInPandas(
         apply_batches, schema="vec_id bigint, white array<double>"
+    )
+
+
+@query("embed_whitening_apply")
+def embed_whitening_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered scalar encoding of whitening_apply_vectors (which
+    holds the full semantics docstring): posexplode the whitened
+    vector to one (vec_id, dim, value) row per dimension — the
+    embed_dim_stats long shape.  The registry's output contract is
+    scalar columns only: the external driver canonicalizes results by
+    sorting a pandas frame over ALL columns, which crashes on
+    list-valued cells (r9 CORRECTNESS err: TypeError unhashable type
+    'list'), so no registered query may emit a nested column.
+    Pipelines that want the vector form call whitening_apply_vectors
+    directly; the explode is a zero-shuffle narrow transform, so the
+    scale shape (bounded driver-side train, streamed Arrow apply) is
+    unchanged.
+
+    Rows-only: the eigendecomposition is not SQL-expressible; the ZCA
+    property pins live in tests/test_similarity.py against the vector
+    helper, plus a scalar-encoding consistency pin for this view.
+
+    Reference: no embedding surface (BigQuery delegation)."""
+    return whitening_apply_vectors(spark, sf_dir).select(
+        "vec_id", F.posexplode("white").alias("dim", "value")
     )
 
 

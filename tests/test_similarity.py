@@ -793,11 +793,11 @@ def test_whitening_apply_identity_covariance(spark, sf_dir):
     import numpy as np
 
     from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
-        embed_whitening_apply,
+        whitening_apply_vectors,
     )
 
     out = (
-        embed_whitening_apply(spark, sf_dir)
+        whitening_apply_vectors(spark, sf_dir)
         .toPandas()
         .sort_values("vec_id")
         .reset_index(drop=True)
@@ -814,13 +814,49 @@ def test_whitening_apply_identity_covariance(spark, sf_dir):
     assert np.max(np.abs(off)) < 5e-2
 
     again = (
-        embed_whitening_apply(spark, sf_dir)
+        whitening_apply_vectors(spark, sf_dir)
         .toPandas()
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
     Z2 = np.vstack([np.asarray(v) for v in again["white"]])
     assert np.array_equal(Z, Z2)
+
+
+def test_whitening_registered_query_is_scalar_encoded(spark, sf_dir):
+    """The REGISTERED embed_whitening_apply must emit only scalar
+    columns (the driver canonicalizer crashes on nested cells — r9's
+    one hard-signal err) and its (vec_id, dim, value) rows must be
+    exactly the exploded vector helper output."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        embed_whitening_apply,
+        whitening_apply_vectors,
+    )
+
+    df = embed_whitening_apply(spark, sf_dir)
+    for f in df.schema.fields:
+        assert f.dataType.typeName() in ("long", "integer", "double"), (
+            f"nested/non-scalar output column {f.name}: {f.dataType}"
+        )
+    out = (
+        df.toPandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    vec = (
+        whitening_apply_vectors(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    Z = np.vstack([np.asarray(v) for v in vec["white"]])
+    n, d = Z.shape
+    assert len(out) == n * d
+    assert out["dim"].min() == 0 and out["dim"].max() == d - 1
+    got = out["value"].to_numpy().reshape(n, d)
+    assert np.array_equal(got, Z)
 
 
 def test_pca_variance_explained_matches_numpy(spark, sf_dir):
