@@ -449,25 +449,22 @@ def multimodal_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted-index family across modalities: text shingles
     (dedup_incremental_index), eval grams (decontaminate_incremental),
     and images here — one commit discipline, three artifact kinds."""
-    import tempfile
 
     from .sampling import _TEST_LT, _split_bucket
     from .similarity import _table_fingerprint
-    from .util import memo_once
+    from .util import persisted_artifact
     from ..sources import table_path
 
     docs = t(spark, sf_dir, "documents")
     is_new = _split_bucket() < _TEST_LT
     fp = _table_fingerprint(table_path(sf_dir, "documents"))
 
-    def build() -> str:
-        root = tempfile.mkdtemp(prefix="phash_index_")
+    def build(tmp: str) -> None:
         corpus = with_binary_payload(docs.filter(~is_new)).select(
             "doc_id", "payload"
         )
-        build_phash_index(spark, corpus, root)
-        return root
+        build_phash_index(spark, corpus, tmp)
 
-    root = memo_once(spark, ("phash_index", sf_dir, fp), build)
+    root = persisted_artifact(spark, "phash_index", sf_dir, fp, build)
     batch = with_binary_payload(docs.filter(is_new)).select("doc_id", "payload")
     return multimodal_dedup_against_index(spark, batch, root)

@@ -677,22 +677,21 @@ def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically identical to the in-memory sweep (the strongest check
     an index query can get; contrast dedup_incremental_index, whose
     MinHash estimate is rows-only by nature)."""
-    import tempfile
 
     from .similarity import _table_fingerprint
-    from .util import memo_once
+    from .util import persisted_artifact
     from ..sources import table_path
 
     docs = spread_small_input(t(spark, sf_dir, "documents"), "doc_id")
     is_eval = _split_bucket() < _VALID_LT
     fp = _table_fingerprint(table_path(sf_dir, "documents"))
-
-    def build() -> str:
-        root = tempfile.mkdtemp(prefix="eval_gram_index_")
-        build_eval_gram_index(spark, docs.filter(is_eval), root)
-        return root
-
-    root = memo_once(spark, ("eval_gram_index", sf_dir, fp), build)
+    root = persisted_artifact(
+        spark,
+        "eval_gram_index",
+        sf_dir,
+        fp,
+        lambda tmp: build_eval_gram_index(spark, docs.filter(is_eval), tmp),
+    )
     return decontaminate_against_index(spark, docs.filter(~is_eval), root)
 
 

@@ -2111,27 +2111,26 @@ _TR_MIN_LEN = 4  # content-word proxy (deterministic stopword stand-in)
 
 def _textrank_graph(spark: SparkSession, sf_dir: str):
     """The (outw, nodes) co-occurrence graph as persisted parquet
-    artifacts — built once per (application, corpus fingerprint) via
-    memo_once and scanned by every TextRank iteration. outw carries
+    artifacts — built once per corpus fingerprint into a
+    content-addressed warehouse dir (util.persisted_artifact:
+    crash-safe publish, cross-session reuse, superseded-fingerprint
+    pruning) and scanned by every TextRank iteration. outw carries
     (src, dst, wt, wdeg) directed rows; nodes carries every kept
     content word (including isolated ones, which hold base rank)."""
     import os
-    import tempfile
 
     from .similarity import _table_fingerprint
-    from .util import memo_once
+    from .util import persisted_artifact
 
     fp = _table_fingerprint(os.path.join(sf_dir, "documents.parquet"))
 
-    def build() -> str:
-        root = tempfile.mkdtemp(prefix="textrank_graph_")
+    def build(tmp: str) -> None:
         docs = t(spark, sf_dir, "documents")
         pairs, words = cooc_pair_rows(docs)
-        _cooc_to_outw(pairs).write.mode("overwrite").parquet(f"{root}/outw")
-        words.write.mode("overwrite").parquet(f"{root}/nodes")
-        return root
+        _cooc_to_outw(pairs).write.mode("overwrite").parquet(f"{tmp}/outw")
+        words.write.mode("overwrite").parquet(f"{tmp}/nodes")
 
-    root = memo_once(spark, ("textrank_graph", sf_dir, fp), build)
+    root = persisted_artifact(spark, "textrank_graph", sf_dir, fp, build)
     return spark.read.parquet(f"{root}/outw"), spark.read.parquet(
         f"{root}/nodes"
     )

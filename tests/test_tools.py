@@ -69,9 +69,81 @@ def test_margins_artifact_is_clean_and_allowlist_is_live():
     with open(os.path.join(ROOT, "MARGINS.json")) as f:
         data = json.load(f)
     assert data["flagged"] == 0
+    # an erroring stripped oracle means a query's margins were never
+    # measured — the sweep must record and gate on zero errors, else a
+    # strip_rounds regression silently un-gates that query
+    assert data.get("errors", 0) == 0
+    assert all(
+        not ent["err"] for rep in data["sweeps"].values() for ent in rep.values()
+    )
     assert data["fail_margin"] == ms.FAIL_MARGIN
     swept = set()
     for rep in data["sweeps"].values():
         swept |= set(rep)
     for name, col in ms.PER_ROW_OK:
         assert name in swept, f"allow-list names unknown query {name}"
+
+
+def test_persisted_artifact_lifecycle(spark, tmp_path, monkeypatch):
+    """persisted_artifact contract (ADVICE r9): reuse across 'sessions'
+    (memo cleared = fresh probe), torn builds never served, superseded
+    fingerprints pruned, artifact_clear forces a rebuild."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import util
+
+    monkeypatch.setattr(
+        util, "_artifacts_base", lambda _spark: str(tmp_path / "_artifacts")
+    )
+    builds = []
+
+    def build_factory(tag):
+        def build(tmp):
+            builds.append(tag)
+            with open(os.path.join(tmp, "payload.txt"), "w") as f:
+                f.write(tag)
+
+        return build
+
+    sf = "/root/testdata/sf0.001"
+    r1 = util.persisted_artifact(spark, "k", sf, "fp1", build_factory("a"))
+    assert builds == ["a"]
+    assert os.path.isfile(os.path.join(r1, util._ARTIFACT_MARKER))
+    # warm in-session call: no probe, no rebuild
+    assert util.persisted_artifact(spark, "k", sf, "fp1", build_factory("b")) == r1
+    assert builds == ["a"]
+    # 'new session': memo gone, artifact on disk reused, not rebuilt
+    util.memo_once_clear(spark)
+    assert util.persisted_artifact(spark, "k", sf, "fp1", build_factory("c")) == r1
+    assert builds == ["a"]
+    # torn build (marker missing) is rebuilt, never served
+    util.memo_once_clear(spark)
+    os.remove(os.path.join(r1, util._ARTIFACT_MARKER))
+    util.persisted_artifact(spark, "k", sf, "fp1", build_factory("d"))
+    assert builds == ["a", "d"]
+    # a new fingerprint prunes the superseded one — no orphan dirs
+    util.memo_once_clear(spark)
+    r2 = util.persisted_artifact(spark, "k", sf, "fp2", build_factory("e"))
+    assert builds == ["a", "d", "e"]
+    kind_dir = os.path.dirname(r2)
+    assert sorted(os.listdir(kind_dir)) == ["fp2"]
+    # different sf tag = separate prune scope
+    r3 = util.persisted_artifact(
+        spark, "k", "/root/testdata/sf0.01", "fp9", build_factory("f")
+    )
+    assert os.path.isdir(r2) and os.path.isdir(r3)
+    # artifact_clear wipes disk + memo -> next call rebuilds
+    util.artifact_clear(spark)
+    assert not os.path.isdir(r2)
+    util.persisted_artifact(spark, "k", sf, "fp2", build_factory("g"))
+    assert builds == ["a", "d", "e", "f", "g"]
+    # a failing build leaves no tmp droppings and no marker
+    def boom(tmp):
+        raise RuntimeError("build failed")
+
+    try:
+        util.persisted_artifact(spark, "k2", sf, "fpx", boom)
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("build exception must propagate")
+    k2 = os.path.join(str(tmp_path / "_artifacts"), "k2-sf0.001")
+    assert not os.path.isdir(k2) or os.listdir(k2) == []

@@ -127,8 +127,16 @@ def perturb_sweep(
     The cache is cleared between settings so cache_once subtrees are
     recomputed under the new partitioning — otherwise a cached result
     from the first setting would mask instability in later ones.
+    memo_once artifacts (minhash edge parquet, textrank graph, trained
+    codebooks) are likewise forgotten per setting, so artifact BUILDS —
+    the heaviest shuffle-dependent subtrees — are also re-run under
+    each partitioning instead of being built once under settings[0].
     """
     import json as _json
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import (
+        artifact_clear,
+    )
 
     n_stable = n_unstable = n_error = 0
     results: dict[str, dict] = {}
@@ -140,6 +148,7 @@ def perturb_sweep(
         for p in settings:
             spark.conf.set("spark.sql.shuffle.partitions", str(p))
             spark.catalog.clearCache()
+            artifact_clear(spark)  # also clears memo_once
             try:
                 cur = normalize(qs[name](spark, sf_dir).toPandas())
             except Exception:

@@ -224,12 +224,17 @@ def main() -> int:
 
     full: dict[str, dict] = {}
     n_flag = 0
+    n_err = 0
     for sf_dir in sf_dirs:
         rep = sweep(names, oracles, sf_dir)
         full[sf_dir] = rep
         print(f"== {sf_dir} ==")
         for name, ent in rep.items():
             if ent["err"]:
+                # an erroring stripped oracle means that query's margins
+                # were NOT measured — that must fail the gate, or a
+                # strip_rounds regression silently un-gates the query
+                n_err += 1
                 print(f"ERR   {name}: {ent['err']}")
                 continue
             if not ent["margins"]:
@@ -256,14 +261,19 @@ def main() -> int:
     if args.json:
         with open(args.json, "w") as f:
             json.dump(
-                {"fail_margin": FAIL_MARGIN, "flagged": n_flag, "sweeps": full},
+                {
+                    "fail_margin": FAIL_MARGIN,
+                    "flagged": n_flag,
+                    "errors": n_err,
+                    "sweeps": full,
+                },
                 f,
                 indent=1,
                 default=float,
             )
         print(f"wrote {args.json}")
-    print(f"\n{n_flag} column(s) under {FAIL_MARGIN:g} margin")
-    return 1 if n_flag else 0
+    print(f"\n{n_flag} column(s) under {FAIL_MARGIN:g} margin, {n_err} sweep error(s)")
+    return 1 if (n_flag or n_err) else 0
 
 
 if __name__ == "__main__":
