@@ -174,17 +174,24 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     displayed 2dp value (integer half-up) and — just as important for a
     rank query — the ORDER BY are tie-order invariant; two parts whose
     double revenues differed by an ulp could previously swap rn
-    cross-host."""
+    cross-host.
+
+    Join AFTER the aggregate (classic pre-aggregation pushdown):
+    p_brand is functionally determined by p_partkey, so summing by
+    l_partkey first shrinks the broadcast-join probe side from every
+    lineitem row to one row per part — same exchange count, ~30x
+    fewer join lookups at TPC-H row ratios, and the agg hash keys on
+    one bigint instead of (string, bigint)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     per_part = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_partkey")
+        li.groupBy("l_partkey")
         .agg(
             F.sum(
                 cents("l_extendedprice") * (100 - cents("l_discount"))
             ).alias("s4")
         )
+        .join(part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
     )
     w = W.partitionBy("p_brand").orderBy(F.col("s4").desc(), "p_partkey")
     return (
