@@ -257,12 +257,42 @@ def main() -> None:
             for q, v in timings.items()
             if anchor.get(q)
         }
+        # Calib-normalized twin: every anchor round's host measured
+        # calib_seconds in 0.261-0.286 (r6-r9), so raw vs_anchor on a
+        # slower host inflates uniformly. Multiplying by
+        # (CALIB_REF / this_calib) re-expresses the ratio as if run on
+        # an anchor-speed host — the honest cross-round comparison
+        # (VERDICT r9 item 3: r9's 0.79 -> 0.97 median drift tracked
+        # host + round-environment load, not plans).
+        _CALIB_REF = 0.28
+        norm = _CALIB_REF / calib if calib > 0 else 1.0
+        out["vs_anchor_calib_norm"] = {
+            q: round(r * norm, 2) for q, r in out["vs_anchor"].items()
+        }
+        ratios = sorted(out["vs_anchor"].values())
+        nratios = sorted(out["vs_anchor_calib_norm"].values())
+        if ratios:
+            mid = len(ratios) // 2
+            med = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+            nmed = (
+                nratios[mid]
+                if len(nratios) % 2
+                else (nratios[mid - 1] + nratios[mid]) / 2
+            )
+            out["median_vs_anchor"] = round(med, 2)
+            out["median_vs_anchor_calib_norm"] = round(nmed, 2)
         out["note"] = (
             "vs_anchor divides this round's warm-best by each query's "
             "first warm-best round (r1 set, ingest re-anchored to r2, "
             "tfidf/decontaminate to r3) — same warm-best quantity both "
             "sides; since r8, sub-second rows take min-of-5 (was "
-            "min-of-3) to tighten the jitter band"
+            "min-of-3) to tighten the jitter band; "
+            "vs_anchor_calib_norm multiplies by 0.28/calib_seconds to "
+            "remove host speed (anchor hosts measured 0.261-0.286)"
         )
     print(json.dumps(out))
 
