@@ -364,9 +364,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Exact verification restricted to candidates: per-doc shingle-hash
     # sets (array_distinct — again no aggregation shuffle), one
-    # array_intersect per candidate pair.
+    # array_intersect per candidate pair. Cached: the frame feeds BOTH
+    # sides of the pair join, and uncached the corpus-wide
+    # array_distinct pass would run once per reference.
     # (xxhash64 collisions across ~1e6 shingles: P ~ 1e-7 — negligible.)
-    sets = sh.select("doc_id", F.array_distinct("grams").alias("hset"))
+    sets = cache_once(
+        spark,
+        ("mh_hsets", sf_dir),
+        lambda: sh.select("doc_id", F.array_distinct("grams").alias("hset")),
+    )
     common = F.size(F.array_intersect(F.col("x.hset"), F.col("y.hset")))
     na, nb = F.size(F.col("x.hset")), F.size(F.col("y.hset"))
     jac = common * 1.0 / (na + nb - common)
