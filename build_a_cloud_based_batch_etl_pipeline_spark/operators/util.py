@@ -384,8 +384,20 @@ def persisted_artifact(
             shutil.rmtree(tmp, ignore_errors=True)
             raise
         for entry in os.listdir(kind_dir):
-            if entry != fingerprint:
-                shutil.rmtree(os.path.join(kind_dir, entry), ignore_errors=True)
+            if entry == fingerprint:
+                continue
+            p = os.path.join(kind_dir, entry)
+            if entry.startswith(".tmp-"):
+                # another builder may still be writing here — only
+                # reap tmps that are clearly abandoned (crashed build)
+                try:
+                    import time
+
+                    if time.time() - os.path.getmtime(p) < 3600:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(p, ignore_errors=True)
         return root
 
     return memo_once(spark, ("persisted_artifact", kind, tag, fingerprint), resolve)

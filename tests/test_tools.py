@@ -147,3 +147,81 @@ def test_persisted_artifact_lifecycle(spark, tmp_path, monkeypatch):
         raise AssertionError("build exception must propagate")
     k2 = os.path.join(str(tmp_path / "_artifacts"), "k2-sf0.001")
     assert not os.path.isdir(k2) or os.listdir(k2) == []
+
+
+def test_persisted_artifact_prune_spares_live_tmp_builds(spark, tmp_path, monkeypatch):
+    """Publish-time pruning reaps superseded artifacts and ABANDONED
+    tmp dirs, but never a fresh tmp (another builder may be mid-write
+    in it)."""
+    import time as _time
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import util
+
+    monkeypatch.setattr(
+        util, "_artifacts_base", lambda _spark: str(tmp_path / "_artifacts")
+    )
+    sf = "/root/testdata/sf0.001"
+
+    def build(tmp):
+        with open(os.path.join(tmp, "payload.txt"), "w") as f:
+            f.write("x")
+
+    util.persisted_artifact(spark, "kp", sf, "fpA", build)
+    kind_dir = os.path.join(str(tmp_path / "_artifacts"), "kp-sf0.001")
+    fresh = os.path.join(kind_dir, ".tmp-fpB-live")
+    stale = os.path.join(kind_dir, ".tmp-fpC-dead")
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    util.memo_once_clear(spark)
+    util.persisted_artifact(spark, "kp", sf, "fpB", build)
+    entries = sorted(os.listdir(kind_dir))
+    assert "fpB" in entries                 # new artifact published
+    assert "fpA" not in entries             # superseded artifact pruned
+    assert ".tmp-fpB-live" in entries       # fresh tmp spared
+    assert ".tmp-fpC-dead" not in entries   # abandoned tmp reaped
+
+
+def test_persisted_artifact_concurrent_builders_converge(spark, tmp_path, monkeypatch):
+    """Two concurrent builders of the SAME fingerprint both return the
+    published root; exactly one build wins the rename, the loser's tmp
+    is cleaned up."""
+    import threading
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import util
+
+    monkeypatch.setattr(
+        util, "_artifacts_base", lambda _spark: str(tmp_path / "_artifacts")
+    )
+    sf = "/root/testdata/sf0.001"
+    gate = threading.Barrier(2, timeout=30)
+    results, errors = [], []
+
+    def build(tmp):
+        gate.wait()  # both builders inside build() simultaneously
+        with open(os.path.join(tmp, "payload.txt"), "w") as f:
+            f.write("x")
+
+    def run():
+        try:
+            # memo_once is keyed per (app, ...) and shared — clear a
+            # per-thread view by calling resolve through a fresh key
+            # path: use the public API but bypass the memo hit by
+            # clearing before each call in the main thread instead.
+            results.append(util.persisted_artifact(spark, "kc", sf, "fpX", build))
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    # defeat the memo so both threads really race the fs protocol
+    orig_memo = util.memo_once
+    monkeypatch.setattr(util, "memo_once", lambda _s, _k, fn: fn())
+    t1, t2 = threading.Thread(target=run), threading.Thread(target=run)
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    monkeypatch.setattr(util, "memo_once", orig_memo)
+    assert not errors, errors
+    assert len(set(results)) == 1
+    root = results[0]
+    assert os.path.isfile(os.path.join(root, util._ARTIFACT_MARKER))
+    kind_dir = os.path.dirname(root)
+    assert sorted(os.listdir(kind_dir)) == ["fpX"]  # no tmp droppings
