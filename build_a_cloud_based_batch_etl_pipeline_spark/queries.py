@@ -48,8 +48,40 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 
-def _driver_verified() -> set[str]:
-    """Names with a satisfied driver-correctness row in any past round.
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _manifest_through_round(root: str | None = None) -> int | None:
+    """The max CORRECTNESS round the committed ROTATION.json consumed.
+
+    The driver drops CORRECTNESS_r{N}.json AFTER the builder's final
+    commit of round N, so a manifest regenerated during round N can never
+    have seen it — any query that flips to verified in that artifact
+    would redden the committed manifest test (VERDICT r10 item 1).
+    Recording the consumed horizon in the manifest makes the derivation
+    reproducible: both _driver_verified() and the manifest test ignore
+    artifacts from rounds the manifest never claimed to consume.  The
+    next regeneration (round start) advances the horizon explicitly.
+    """
+    import json
+    import os
+
+    path = os.path.join(root or _repo_root(), "ROTATION.json")
+    try:
+        with open(path) as f:
+            tr = json.load(f).get("through_round")
+        return int(tr) if tr is not None else None
+    except (OSError, ValueError, TypeError):
+        return None
+
+
+def _driver_verified(
+    root: str | None = None, through_round: int | None = None
+) -> set[str]:
+    """Names with a satisfied driver-correctness row in a consumed round.
 
     The driver only compares the FIRST 50 registry entries per round, so
     load_all() orders never-driver-checked queries first and rotates
@@ -62,14 +94,25 @@ def _driver_verified() -> set[str]:
     returns to the front so the driver hash-checks the new oracle.  A red
     row (like r1's agg_conditional) stays in the front so its fix is
     re-checked.
+
+    Only CORRECTNESS_r{1..through_round}.json are consumed (default: the
+    horizon recorded in ROTATION.json; None = all).  This keeps the
+    committed manifest valid even after the driver drops a newer round's
+    artifact post-commit — see _manifest_through_round.
     """
     import glob
     import json
     import os
+    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = root or _repo_root()
+    if through_round is None:
+        through_round = _manifest_through_round(root)
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and through_round is not None and int(m.group(1)) > through_round:
+            continue
         try:
             with open(path) as f:
                 data = json.load(f)

@@ -56,6 +56,10 @@ def test_driver_rotation_manifest():
     from build_a_cloud_based_batch_etl_pipeline_spark import queries as Q
 
     reg = load_all()
+    # _driver_verified() consumes only rounds <= ROTATION.json's
+    # through_round, so an artifact the driver drops after the final
+    # commit (always a later round) cannot redden this test (VERDICT r10
+    # item 1); the next regen advances the horizon explicitly.
     verified = Q._driver_verified() & set(reg)
     order = list(reg)
     front = [n for n in order if n not in verified]
@@ -64,6 +68,9 @@ def test_driver_rotation_manifest():
         "a driver-verified query precedes an unverified one in load_all()"
     )
     manifest = json.load(open("ROTATION.json"))
+    assert isinstance(manifest.get("through_round"), int), (
+        "ROTATION.json predates the round-aware format — regenerate"
+    )
     assert manifest["verified"] == sorted(verified), (
         "ROTATION.json stale — run python tools/rotation_manifest.py"
     )
@@ -79,6 +86,38 @@ def test_driver_rotation_manifest():
     assert len(win) == min(50, len(order))
     assert win[: min(len(mf), 50)] == mf[:50]
     assert set(win) <= set(order)
+
+
+def test_future_round_artifact_cannot_redden_manifest(tmp_path):
+    """A CORRECTNESS artifact from a round AFTER the manifest's consumed
+    horizon must not change the derived verified set (VERDICT r10 item 1:
+    the driver drops CORRECTNESS_r{N}.json post-commit, so the committed
+    manifest can never have consumed it — the derive path must ignore it
+    rather than redden the tree)."""
+    import json
+    import os
+    import shutil
+
+    from build_a_cloud_based_batch_etl_pipeline_spark import queries as Q
+
+    root = Q._repo_root()
+    for name in sorted(os.listdir(root)):
+        if name.startswith("CORRECTNESS_r") or name == "ROTATION.json":
+            shutil.copy(os.path.join(root, name), tmp_path / name)
+    baseline = Q._driver_verified(root=str(tmp_path))
+    assert baseline == Q._driver_verified(), "tmp copy must mirror repo root"
+
+    # Synthesize a future-round artifact that flips a currently
+    # unverified (or, failing that, any) query green.
+    reg = load_all()
+    target = next(iter(set(reg) - baseline), next(iter(reg)))
+    row = {"rows_match": True, "schema_match": True, "hash_match": True}
+    (tmp_path / "CORRECTNESS_r999.json").write_text(json.dumps({target: row}))
+    assert Q._driver_verified(root=str(tmp_path)) == baseline, (
+        "a post-horizon CORRECTNESS artifact leaked into the verified set"
+    )
+    # and consuming it explicitly DOES see the flip
+    assert target in Q._driver_verified(root=str(tmp_path), through_round=999)
 
 
 def test_survey_rows_only_list_matches_oracle_omissions():

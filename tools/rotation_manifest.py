@@ -27,12 +27,54 @@ sys.path.insert(0, ROOT)
 from build_a_cloud_based_batch_etl_pipeline_spark import queries as Q  # noqa: E402
 
 
+def _max_round_present() -> int:
+    """Highest CORRECTNESS_r{N}.json on disk at regen time.
+
+    Recorded as the manifest's consumed horizon (`through_round`) so a
+    CORRECTNESS artifact the driver drops AFTER this regen (always a
+    later round) cannot invalidate the committed manifest — the derive
+    path in queries._driver_verified() ignores rounds beyond it.
+    """
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
+def _advance_horizon(through: int) -> None:
+    """Write the new through_round to ROTATION.json BEFORE deriving order.
+
+    load_all() reads the horizon from disk, so the derivation below must
+    see the advanced horizon or the recorded order would differ from what
+    a fresh process sees after this regen.
+    """
+    path = os.path.join(ROOT, "ROTATION.json")
+    try:
+        with open(path) as f:
+            cur = json.load(f)
+    except (OSError, ValueError):
+        cur = {}
+    cur["through_round"] = through
+    with open(path, "w") as f:
+        json.dump(cur, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
 def build() -> dict:
+    through = _max_round_present()
+    _advance_horizon(through)
+    verified_all = Q._driver_verified(through_round=through)
     reg = Q.load_all()
-    verified = Q._driver_verified() & set(reg)
+    verified = verified_all & set(reg)
     order = list(reg)
     front = [n for n in order if n not in verified]
     return {
+        "through_round": through,
         "registry_count": len(order),
         "verified_count": len(verified),
         "unverified_front": front,
