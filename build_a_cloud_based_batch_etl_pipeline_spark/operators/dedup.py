@@ -922,7 +922,7 @@ def dedup_against_index(
     new_docs: DataFrame,
     index_root: str,
     threshold: float = _MH_INDEX_EST_THRESHOLD,
-    sig_cache_key: tuple | None = None,
+    batch_fingerprint: str | None = None,
 ) -> DataFrame:
     """Near-dup hits of a NEW batch against the persisted index:
     (new_doc, index_doc, est_jaccard) for every stored document whose
@@ -948,16 +948,23 @@ def dedup_against_index(
     upstream, where the pipeline drops exact-duplicate and boilerplate
     docs before indexing (dedup_exact / doc_boilerplate_chunks).
 
-    sig_cache_key: the batch signature frame feeds BOTH the band join
-    and the verification join — without a cache the plan re-hashes the
-    batch text once per reference (measured: the duplicate signature
-    subtree was ~80% of the warm query at sf0.1). Callers with a
-    stable batch (the registered query keys on the corpus fingerprint)
-    pass a cache_once key so the signatures are computed once."""
-    if sig_cache_key is not None:
+    batch_fingerprint: the batch signature frame feeds BOTH the band
+    join and the verification join — without a cache the plan re-hashes
+    the batch text once per reference (measured: the duplicate
+    signature subtree was ~80% of the warm query at sf0.1). Callers
+    with a stable batch pass a fingerprint that IDENTIFIES THE BATCH
+    CONTENT (e.g. the source table's content hash, as the registered
+    query does); the cache key is derived from it internally (ADVICE
+    r10: a caller-assembled key reused with a DIFFERENT batch silently
+    served stale signatures — deriving from the content fingerprint
+    makes key/batch divergence the one misuse left, and pins it to a
+    single documented argument). Pass None (the default) when the
+    batch is not content-addressed — signatures are then recomputed
+    per call, which is always correct."""
+    if batch_fingerprint is not None:
         sig_new = cache_once(
             spark,
-            sig_cache_key,
+            ("mh_batch_sigs", batch_fingerprint),
             lambda: minhash_signatures(
                 gram_hashes(new_docs.select("doc_id", "text"))
             ),
@@ -1025,11 +1032,14 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp,
         lambda tmp: build_minhash_index(spark, docs.filter(~is_new), tmp),
     )
+    # fp is the documents table's content hash, so the derived signature
+    # cache key changes whenever the batch content does (sf_dir is
+    # folded into fp already via the table path's content)
     return dedup_against_index(
         spark,
         docs.filter(is_new),
         root,
-        sig_cache_key=("mh_batch_sigs", sf_dir, fp),
+        batch_fingerprint=f"{sf_dir}:{fp}",
     )
 
 

@@ -1696,6 +1696,45 @@ def _swap_write(spark: SparkSession, df: DataFrame, path: str) -> None:
     swap_dir(spark, staging, path)
 
 
+def _footer_stats_versions(path: str) -> set[str] | None:
+    """Distinct index_version values per parquet footer statistics.
+
+    Reads ONLY file metadata (row-group min/max for the index_version
+    column) — no data pages — so cost is O(files x row_groups)
+    regardless of row count. Returns None when any row group lacks
+    usable statistics (caller falls back to a Spark distinct). A row
+    group whose min != max already proves >1 version, which the caller
+    treats as torn, so {min, max} is exact for the single-version
+    staleness decision."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    if not files:
+        return None
+    versions: set[str] = set()
+    for fp in files:
+        meta = pq.ParquetFile(fp).metadata
+        try:
+            col_idx = meta.schema.names.index("index_version")
+        except ValueError:
+            return None
+        for rg in range(meta.num_row_groups):
+            stats = meta.row_group(rg).column(col_idx).statistics
+            if stats is None or not stats.has_min_max:
+                return None
+            versions.add(stats.min)
+            versions.add(stats.max)
+            if len(versions) > 1:
+                return versions  # torn either way; stop scanning
+    return versions or None
+
+
 def _stored_index_version(spark: SparkSession, index_root: str) -> str | None:
     """The common index_version across the three tables, or None when
     any table is missing or the versions disagree (mid-build crash —
@@ -1716,18 +1755,17 @@ def _stored_index_version(spark: SparkSession, index_root: str) -> str | None:
         vs = None
         if os.path.isdir(path):
             # the check runs on EVERY index load, so read the version
-            # column with one pyarrow footer scan instead of a Spark
-            # job per table (3 jobs = ~0.6 s of pure overhead per warm
-            # query at fixture scale); Spark remains the fallback for
-            # object-store paths and anything pyarrow cannot read
+            # from parquet FOOTER STATISTICS (min/max per row group)
+            # instead of a Spark job per table (3 jobs = ~0.6 s of pure
+            # overhead per warm query at fixture scale). Metadata-only:
+            # no data pages are decoded, so driver memory stays O(files
+            # x row-groups) even when pq_codes holds one version string
+            # per vector (ADVICE r10: the previous read_table pulled the
+            # whole column, O(N) at real corpus scale). Spark remains
+            # the fallback for object-store paths, missing stats, and
+            # anything pyarrow cannot read.
             try:
-                import pyarrow.parquet as pq
-
-                vs = set(
-                    pq.read_table(path, columns=["index_version"])
-                    .column("index_version")
-                    .to_pylist()
-                )
+                vs = _footer_stats_versions(path)
             except Exception:
                 vs = None
         if vs is None:

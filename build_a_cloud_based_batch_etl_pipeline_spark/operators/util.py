@@ -366,6 +366,13 @@ def persisted_artifact(
         if os.path.isfile(marker):
             return root
         if os.path.isdir(root):  # torn build — never serve it
+            # ADVICE r10: re-probe the marker immediately before the
+            # rmtree — a concurrent builder's atomic rename may have
+            # published between the isfile miss above and here, and the
+            # marker lands inside the renamed dir, so marker-present
+            # means complete.
+            if os.path.isfile(marker):
+                return root
             shutil.rmtree(root, ignore_errors=True)
         tmp = os.path.join(kind_dir, f".tmp-{fingerprint}-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp, exist_ok=True)
@@ -389,11 +396,25 @@ def persisted_artifact(
             p = os.path.join(kind_dir, entry)
             if entry.startswith(".tmp-"):
                 # another builder may still be writing here — only
-                # reap tmps that are clearly abandoned (crashed build)
+                # reap tmps that are clearly abandoned (crashed build).
+                # Freshness = the NEWEST mtime anywhere in the tree, not
+                # the tmp root's (ADVICE r10: writes into subdirectories
+                # — e.g. parquet part files — do not touch the root's
+                # mtime, so a long live build looked abandoned).
                 try:
                     import time
 
-                    if time.time() - os.path.getmtime(p) < 3600:
+                    newest = os.path.getmtime(p)
+                    for dpath, _dirs, files in os.walk(p):
+                        newest = max(
+                            newest,
+                            os.path.getmtime(dpath),
+                            *(
+                                os.path.getmtime(os.path.join(dpath, fn))
+                                for fn in files
+                            ),
+                        )
+                    if time.time() - newest < 3600:
                         continue
                 except OSError:
                     continue
@@ -403,13 +424,31 @@ def persisted_artifact(
     return memo_once(spark, ("persisted_artifact", kind, tag, fingerprint), resolve)
 
 
-def artifact_clear(spark: SparkSession) -> None:
-    """Delete every persisted artifact dir AND the in-session memo —
-    the 'rebuild everything from source' hook the perturb sweep uses so
-    the heavy artifact-build subtrees re-run under each partitioning."""
+def artifact_clear(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Delete persisted artifact dirs AND the in-session memo — the
+    'rebuild everything from source' hook the perturb sweep uses so the
+    heavy artifact-build subtrees re-run under each partitioning.
+
+    sf_dir scopes the wipe to that fixture's `<kind>-<tag>` dirs
+    (ADVICE r10: the unscoped rmtree crossed the per-SF prune boundary
+    the persisted_artifact docstring promises — a concurrent bench/check
+    session on the OTHER sf lost its live artifacts mid-query). None
+    keeps the full wipe for single-session test teardown."""
+    import os
     import shutil
 
-    shutil.rmtree(_artifacts_base(spark), ignore_errors=True)
+    base = _artifacts_base(spark)
+    if sf_dir is None:
+        shutil.rmtree(base, ignore_errors=True)
+    else:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
+        try:
+            entries = os.listdir(base)
+        except OSError:
+            entries = []
+        for entry in entries:
+            if entry.endswith(f"-{tag}"):
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     memo_once_clear(spark)
 
 

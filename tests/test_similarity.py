@@ -533,6 +533,35 @@ def test_pq_index_build_load_query_contract(spark, tmp_path):
     sim.load_pq_index(spark, sf, root)
 
 
+def test_footer_stats_versions_metadata_only(spark, tmp_path):
+    """_footer_stats_versions must resolve the staleness check from
+    parquet footer statistics alone (ADVICE r10: the previous
+    read_table pulled one version string per vector, O(N) driver
+    memory): single-version files yield that version, mixed versions
+    are detected (torn), and a missing column falls back to None."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    one = str(tmp_path / "one")
+    spark.createDataFrame(
+        [(i, "vAAAA") for i in range(100)], "id long, index_version string"
+    ).coalesce(2).write.parquet(one)
+    assert sim._footer_stats_versions(one) == {"vAAAA"}
+
+    mixed = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [(i, "vAAAA" if i < 50 else "vBBBB") for i in range(100)],
+        "id long, index_version string",
+    ).coalesce(1).write.parquet(mixed)
+    got = sim._footer_stats_versions(mixed)
+    assert got is not None and len(got) > 1, "mixed versions must read torn"
+
+    nocol = str(tmp_path / "nocol")
+    spark.createDataFrame([(1,)], "id long").write.parquet(nocol)
+    assert sim._footer_stats_versions(nocol) is None
+
+
 def test_indexed_ann_query_matches_session_path(spark, sf_dir):
     """Registry contract: embed_ann_pq_indexed (persisted artifacts)
     must return exactly embed_ann_pq's rows (same deterministic

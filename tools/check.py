@@ -148,7 +148,9 @@ def perturb_sweep(
         for p in settings:
             spark.conf.set("spark.sql.shuffle.partitions", str(p))
             spark.catalog.clearCache()
-            artifact_clear(spark)  # also clears memo_once
+            # sf-scoped: a concurrent session on the OTHER fixture keeps
+            # its live artifacts (ADVICE r10)
+            artifact_clear(spark, sf_dir)  # also clears memo_once
             try:
                 cur = normalize(qs[name](spark, sf_dir).toPandas())
             except Exception:
