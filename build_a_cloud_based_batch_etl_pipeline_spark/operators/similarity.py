@@ -1485,16 +1485,27 @@ def _ivf_adc_topk_stream(
     coarse,
     assign,
     k: int = 5,
+    index_mask=None,
 ) -> DataFrame:
     """IVF-routed ADC top-k scoring — the scorer shared by
-    embed_ann_ivf_pq (session-trained artifacts) and
+    embed_ann_ivf_pq (session-trained artifacts),
     embed_ann_ivf_pq_indexed (artifacts loaded from the persisted index
-    tables, including the stored per-vector list assignment), so the
-    two paths cannot drift."""
+    tables, including the stored per-vector list assignment), and
+    embed_ann_join_ivf_pq (two-corpus join: index_mask restricts the
+    candidate side to the index corpus), so the paths cannot drift.
+
+    index_mask: optional bool array aligned to `ids`; when given, only
+    masked-True index vectors are eligible neighbors — applied once per
+    task while grouping inverted-list members, so the per-query path is
+    unchanged."""
     import numpy as np
     from pyspark.sql import types as T
 
-    b_all = spark.sparkContext.broadcast((books, ids, codes, coarse, assign))
+    if index_mask is None:
+        index_mask = np.ones(len(ids), dtype=bool)
+    b_all = spark.sparkContext.broadcast(
+        (books, ids, codes, coarse, assign, index_mask)
+    )
     out_schema = T.StructType(
         [
             T.StructField("qid", T.LongType()),
@@ -1506,14 +1517,16 @@ def _ivf_adc_topk_stream(
     def score(batches):
         import pandas as pd
 
-        bk, index_ids, index_codes, cents, bucket_of = b_all.value
+        bk, index_ids, index_codes, cents, bucket_of, eligible = b_all.value
         # bucket -> index positions, grouped ONCE per task: the naive
         # per-query np.isin(bucket_of, probe) rescans the whole index
         # per query row (O(B*N) per batch — the 1.69x-vs-anchor drag
         # VERDICT r9 flagged); nlist passes here make candidate lookup
-        # a concatenate of precomputed position arrays instead.
+        # a concatenate of precomputed position arrays instead. The
+        # join's corpus restriction folds into the same pass.
         members = [
-            np.flatnonzero(bucket_of == li) for li in range(len(cents))
+            np.flatnonzero((bucket_of == li) & eligible)
+            for li in range(len(cents))
         ]
         for pdf in batches:
             if not len(pdf):
@@ -2001,6 +2014,168 @@ def embed_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     books, ids, codes, coarse, assign = load_pq_index(spark, sf_dir, root)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)
+
+
+@query(
+    "embed_topk_join_exact",
+    oracle=f"""
+    WITH split AS (
+        SELECT vec_id, embedding,
+               substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a' AS is_q
+        FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, is_q,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM split
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dp
+        FROM u a JOIN u b ON a.i = b.i AND a.is_q AND NOT b.is_q
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT qid, nid, round(dp / (x.nrm * y.nrm), 4) AS cosine
+        FROM dots
+        JOIN norms x ON qid = x.vec_id
+        JOIN norms y ON nid = y.vec_id
+    )
+    SELECT qid, nid, cosine FROM (
+        SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def embed_topk_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-corpus similarity JOIN: cosine top-3 index-corpus
+    neighbors for every query-corpus vector. The deterministic md5
+    split plays two tables — 'queries' (buckets < '1a', ~10%) join
+    against 'index' (the rest), the new-batch-vs-warehouse shape of a
+    retrieval or decontamination pass. This is the oracled ground
+    truth the ANN join (embed_ann_join_ivf_pq) is recall-pinned
+    against.
+
+    Scale shape: same bounded-broadcast BLAS contract as
+    embed_cosine_topk — the INDEX corpus must fit the
+    {_MAX_INDEX_ROWS}-row broadcast cap (footer-guarded, fails fast);
+    beyond that the production path is the IVF-PQ join twin, whose
+    index shards. Queries stream through mapInPandas in Arrow
+    batches; brute force is O(|Q| x |X| x d) by definition."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .sampling import _TEST_LT, _split_bucket
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_q = _split_bucket("vec_id") < _TEST_LT
+
+    n_total = _parquet_num_rows(table_path(sf_dir, "embeddings"))
+    if n_total is not None and n_total <= _MAX_INDEX_ROWS:
+        index_rows = emb.filter(~is_q).collect()
+    else:
+        index_rows = emb.filter(~is_q).limit(_MAX_INDEX_ROWS + 1).collect()
+    if len(index_rows) > _MAX_INDEX_ROWS:
+        raise ValueError(
+            f"embed_topk_join_exact is the exact bounded-index baseline: "
+            f"index corpus exceeds the {_MAX_INDEX_ROWS}-row broadcast cap. "
+            "Use embed_ann_join_ivf_pq for unbounded corpora."
+        )
+    ids = np.array([r.vec_id for r in index_rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in index_rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_index = spark.sparkContext.broadcast((ids, mat_n))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        nids, nmat = b_index.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(qn @ nmat.T, 4)
+            qids = pdf["vec_id"].to_numpy()
+            res_q, res_n, res_c = [], [], []
+            for i, qid in enumerate(qids):
+                # splits are disjoint, so no self-pair exclusion needed
+                order = np.lexsort((nids, -sims[i]))[:3]
+                res_q.extend([qid] * len(order))
+                res_n.extend(nids[order].tolist())
+                res_c.extend(sims[i][order].tolist())
+            yield pd.DataFrame({"qid": res_q, "nid": res_n, "cosine": res_c})
+
+    q = emb.filter(is_q).repartition(
+        min(4, spark.sparkContext.defaultParallelism)
+    )
+    return q.mapInPandas(score, out_schema)
+
+
+@query("embed_ann_join_ivf_pq")
+def embed_ann_join_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN similarity JOIN between two corpora via the PERSISTED IVF-PQ
+    index (rows-only: ADC arithmetic is not SQL-expressible; recall vs
+    the exact join twin and corpus-disjointness are pinned in
+    tests/test_similarity.py): query-corpus vectors (md5 split, ~10%)
+    stream against the stored index, coarse-routed to NPROBE inverted
+    lists whose members are RESTRICTED to the index corpus — the
+    embedding-join surface SURVEY §2.2 names (two-table top-k, the
+    retrieval/decontamination join), built from the same artifact set
+    as embed_ann_ivf_pq_indexed so a warm session pays load + score
+    only.
+
+    Scale shape: identical to embed_ann_ivf_pq — constant-size
+    codebooks/centroids broadcast, 8-byte codes per index vector, the
+    corpus restriction folds into the once-per-task inverted-list
+    grouping (zero per-query cost). At 100 TB the inverted lists shard
+    by bucket; the mask becomes a partition predicate on the stored
+    codes table."""
+    import hashlib
+
+    import numpy as np
+
+    from .sampling import _TEST_LT, _split_bucket
+
+    root = _pq_index_artifact(spark, sf_dir)
+    books, ids, codes, coarse, assign = load_pq_index(spark, sf_dir, root)
+    # same md5-bucket membership as the Spark-side split expression:
+    # Spark's md5(cast(vec_id as string)) == hashlib md5 of the decimal
+    # string (pinned by the disjointness test against the exact twin)
+    in_query_corpus = np.array(
+        [
+            hashlib.md5(str(i).encode()).hexdigest()[:2] < _TEST_LT
+            for i in ids
+        ]
+    )
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(_split_bucket("vec_id") < _TEST_LT)
+    )
+    return _ivf_adc_topk_stream(
+        spark,
+        emb,
+        books,
+        ids,
+        codes,
+        coarse,
+        assign,
+        k=3,
+        index_mask=~in_query_corpus,
+    )
 
 
 _MRL_DIMS = [8, 16, 32, 64]

@@ -280,6 +280,48 @@ def test_ivf_pq_composition_recall(spark, sf_dir, exact):
     assert max(per_q.values()) <= 5
 
 
+def test_ann_join_recall_and_corpus_disjointness(spark, sf_dir):
+    """The two-corpus ANN join (embed_ann_join_ivf_pq) must (a) draw
+    every qid from the query split and every nid from the index split —
+    exactly the populations its oracled exact twin uses, which also
+    pins that the scorer-side hashlib md5 membership test agrees with
+    Spark's md5 split expression — and (b) recover a meaningful share
+    of the exact join's top-3 (same IVF-routing x ADC-scoring recall
+    regime as the single-corpus composition test)."""
+    exact_rows = (
+        REGISTRY["embed_topk_join_exact"].fn(spark, sf_dir).collect()
+    )
+    exact = {(r.qid, r.nid) for r in exact_rows}
+    got_rows = REGISTRY["embed_ann_join_ivf_pq"].fn(spark, sf_dir).collect()
+    got = {(r.qid, r.nid) for r in got_rows}
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.sampling import (
+        _TEST_LT,
+        _split_bucket,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    qsplit = {
+        r.vec_id
+        for r in emb.filter(_split_bucket("vec_id") < _TEST_LT)
+        .select("vec_id")
+        .collect()
+    }
+    assert {q for q, _ in exact} == qsplit, "exact twin qid population"
+    assert {q for q, _ in got} == qsplit, "ann join must answer every query"
+    assert not ({n for _, n in got} & qsplit), "nid leaked from query split"
+    assert not ({n for _, n in exact} & qsplit)
+
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.35, f"ann join recall {recall:.2f}"
+    per_q: dict[int, int] = {}
+    for q, n in got:
+        assert q != n
+        per_q[q] = per_q.get(q, 0) + 1
+    assert max(per_q.values()) <= 3
+
+
 def test_pq_adc_chunked_merge_matches_single_chunk(spark, sf_dir, monkeypatch):
     """ADC scores the index in fixed-size chunks with a per-chunk top-k
     merge (bounded scratch memory). Forcing many tiny chunks must yield
