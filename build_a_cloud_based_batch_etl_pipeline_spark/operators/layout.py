@@ -173,3 +173,134 @@ def zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+_ZORDER_MARKER = "_ZORDER_OK"
+
+
+def _partition_fingerprint(part_dir: str) -> str:
+    """Content fingerprint of a partition's DATA files: md5 over the
+    sorted (name, size) list. Appends, compactions, and rewrites all
+    change it; the marker file itself (underscore-prefixed, ignored by
+    parquet readers) does not."""
+    import hashlib
+    import os
+
+    entries = sorted(
+        (f, os.path.getsize(os.path.join(part_dir, f)))
+        for f in os.listdir(part_dir)
+        if not f.startswith((".", "_"))
+    )
+    return hashlib.md5(repr(entries).encode()).hexdigest()
+
+
+def _footer_row_count(part_dir: str) -> int:
+    """Row count from parquet footer metadata — no Spark job (a count()
+    per re-clustered partition was ~1 job of pure overhead each)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def zorder_maintain(
+    spark: SparkSession,
+    path: str,
+    cols: list[str] | tuple[str, ...],
+    n_files: int = 4,
+) -> list[tuple[str, str, int]]:
+    """Incremental Z-order maintenance over a hive-partitioned table:
+    re-cluster ONLY dirty partitions (VERDICT r10 item 6's second
+    candidate — the OPTIMIZE-ZORDER maintenance loop a lakehouse runs,
+    on plain parquet).
+
+    A partition is CLEAN when its `_ZORDER_OK` marker holds the current
+    fingerprint of its data files (written after the last clustering);
+    any append/compaction/rewrite since then changes the fingerprint and
+    the partition is re-clustered with zorder_layout + atomic swap
+    (sinks.swap_dir: rename-aside, never delete-first). The marker lands
+    AFTER the swap, so a crash anywhere leaves the partition dirty and
+    the next run converges idempotently.
+
+    Returns [(partition_dir_name, action, n_rows)] per partition, action
+    in {'clustered', 'skipped'}.
+
+    Scale shape: maintenance cost is proportional to DIRTY data only —
+    the steady-state win at 100 TB, where a daily ingest dirties a few
+    date partitions of a thousand. Partition discovery is one directory
+    listing; each re-cluster is one bounded partition-sized job (the
+    zorder_layout range-repartition samples keys, so skewed appends
+    still yield balanced files). Clean partitions are never read."""
+    import os
+
+    from ..sinks import swap_dir, swap_recover
+
+    report: list[tuple[str, str, int]] = []
+    for entry in sorted(os.listdir(path)):
+        part_dir = os.path.join(path, entry)
+        if not os.path.isdir(part_dir) or "=" not in entry:
+            continue
+        swap_recover(spark, part_dir)
+        marker = os.path.join(part_dir, _ZORDER_MARKER)
+        fp = _partition_fingerprint(part_dir)
+        stored = None
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                stored = f.read().strip()
+        if stored == fp:
+            report.append((entry, "skipped", -1))
+            continue
+        df = spark.read.parquet(part_dir)
+        staging = part_dir + ".zorder.staging"
+        zorder_layout(df, cols, staging, n_files=n_files)
+        swap_dir(spark, staging, part_dir)
+        with open(os.path.join(part_dir, _ZORDER_MARKER), "w") as f:
+            f.write(_partition_fingerprint(part_dir) + "\n")
+        report.append((entry, "clustered", _footer_row_count(part_dir)))
+    return report
+
+
+@query("layout_zorder_maintain")
+def layout_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Z-order maintenance, end to end (rows-only: the
+    result reports filesystem clustering ACTIONS, which SQL cannot
+    express; dirty-only selectivity, idempotent convergence, crash
+    recovery, and the pruning win are pinned in tests/test_layout.py):
+    stage orders as a hive-partitioned table (by o_orderpriority),
+    cluster it, append a late batch into exactly TWO partitions, then
+    run maintenance again — only those two partitions re-cluster, the
+    other three report 'skipped'. Returns (partition, action, n_rows)
+    for the incremental pass; n_rows is -1 for skipped partitions
+    (never read — reading them to count would defeat the point)."""
+    import shutil
+    import tempfile
+
+    from ..sinks import write_parquet_table
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    workdir = tempfile.mkdtemp(prefix="zorder_maintain_")
+    try:
+        table = f"{workdir}/orders_zt"
+        write_parquet_table(
+            orders, table, mode="overwrite", partition_by=["o_orderpriority"]
+        )
+        zorder_maintain(spark, table, ["o_custkey", "o_totalprice"])
+        late = orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ).limit(200)
+        write_parquet_table(
+            late, table, mode="append", partition_by=["o_orderpriority"]
+        )
+        report = zorder_maintain(spark, table, ["o_custkey", "o_totalprice"])
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(report), "partition string, action string, n_rows long"
+    )

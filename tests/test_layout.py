@@ -113,3 +113,87 @@ def test_zorder_layout_three_dims(spark, tmp_path):
         base = _prunable_fraction(plain, col, lo, hi)
         z = _prunable_fraction(zed, col, lo, hi)
         assert z > base + 0.25, (col, base, z)
+
+
+def test_zorder_maintain_incremental(spark, tmp_path):
+    """Incremental maintenance contract: (1) a fresh table clusters
+    every partition; (2) after appending into TWO partitions, only those
+    two re-cluster — clean partitions' files are byte-identical (never
+    read, never rewritten); (3) a third run is a full no-op;
+    (4) deleting a marker (crash stand-in: swap succeeded, marker write
+    lost) makes exactly that partition re-cluster and converge."""
+    import os
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.layout import (
+        zorder_maintain,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.sinks import (
+        write_parquet_table,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    table = str(tmp_path / "orders_zt")
+    write_parquet_table(
+        orders, table, mode="overwrite", partition_by=["o_orderpriority"]
+    )
+    cols = ["o_custkey", "o_totalprice"]
+
+    r1 = zorder_maintain(spark, table, cols, n_files=16)
+    assert {a for _, a, _ in r1} == {"clustered"}
+    assert len(r1) == 5
+    total = orders.count()
+    assert sum(n for _, _, n in r1) == total
+
+    def files_of(part: str) -> set[tuple[str, int, float]]:
+        d = os.path.join(table, part)
+        return {
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+
+    clean_parts = [
+        p for p, _, _ in r1
+        if not p.endswith(("1-URGENT", "2-HIGH"))
+    ]
+    before = {p: files_of(p) for p in clean_parts}
+
+    late = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).limit(200)
+    n_late = late.count()
+    write_parquet_table(
+        late, table, mode="append", partition_by=["o_orderpriority"]
+    )
+    r2 = {p: (a, n) for p, a, n in zorder_maintain(spark, table, cols, n_files=16)}
+    dirty = {p for p, (a, _) in r2.items() if a == "clustered"}
+    assert dirty == {
+        "o_orderpriority=1-URGENT", "o_orderpriority=2-HIGH"
+    }, r2
+    for p in clean_parts:
+        assert files_of(p) == before[p], f"clean partition {p} was touched"
+
+    # all rows survive (original + appended), data intact per partition
+    assert spark.read.parquet(table).count() == total + n_late
+
+    r3 = zorder_maintain(spark, table, cols, n_files=16)
+    assert {a for _, a, _ in r3} == {"skipped"}
+
+    # crash stand-in: marker lost after a successful swap
+    victim = os.path.join(table, "o_orderpriority=3-MEDIUM", "_ZORDER_OK")
+    os.remove(victim)
+    sum_before = spark.read.parquet(table).agg(F.sum("o_orderkey")).first()[0]
+    r4 = {p: a for p, a, _ in zorder_maintain(spark, table, cols, n_files=16)}
+    assert r4["o_orderpriority=3-MEDIUM"] == "clustered"
+    assert sum(1 for a in r4.values() if a == "clustered") == 1
+    assert (
+        spark.read.parquet(table).agg(F.sum("o_orderkey")).first()[0]
+        == sum_before
+    )
+
+    # the re-clustered dirty partition actually prunes on both columns
+    part = os.path.join(table, "o_orderpriority=1-URGENT")
+    assert _prunable_fraction(part, "o_custkey", 100.0, 200.0) >= 0.5
