@@ -197,3 +197,66 @@ def test_zorder_maintain_incremental(spark, tmp_path):
     # the re-clustered dirty partition actually prunes on both columns
     part = os.path.join(table, "o_orderpriority=1-URGENT")
     assert _prunable_fraction(part, "o_custkey", 100.0, 200.0) >= 0.5
+
+
+def test_zorder_maintain_dirty_set_matches_append_set_randomized(
+    spark, tmp_path
+):
+    """Property: for ANY subset of partitions receiving appends, the
+    maintenance pass re-clusters exactly that subset (derandomized
+    sweep over several subsets — the scenario query pins one fixed
+    case; this pins the general contract the marker fingerprints make)."""
+    import os
+    import random
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.layout import (
+        zorder_maintain,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.sinks import (
+        write_parquet_table,
+    )
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    prios = [r[0] for r in orders.select("o_orderpriority").distinct().collect()]
+    table = str(tmp_path / "zt")
+    write_parquet_table(
+        orders, table, mode="overwrite", partition_by=["o_orderpriority"]
+    )
+    zorder_maintain(spark, table, ["o_custkey", "o_totalprice"], n_files=2)
+
+    rng = random.Random(7)
+    for trial in range(3):
+        dirty = set(rng.sample(prios, rng.randint(1, len(prios))))
+        # deterministic batch: an unordered limit() may pick different
+        # rows on each evaluation, and `touched` below re-evaluates it
+        late = (
+            orders.filter(F.col("o_orderpriority").isin(*dirty))
+            .orderBy("o_orderkey")
+            .limit(40)
+        )
+        write_parquet_table(
+            late, table, mode="append", partition_by=["o_orderpriority"]
+        )
+        got = {
+            p.split("=", 1)[1]: a
+            for p, a, _ in zorder_maintain(
+                spark, table, ["o_custkey", "o_totalprice"], n_files=2
+            )
+        }
+        # limit(40) may draw rows from only SOME of the sampled
+        # priorities — the true dirty set is what the append actually
+        # touched
+        touched = {
+            r[0]
+            for r in late.select("o_orderpriority").distinct().collect()
+        }
+        assert {p for p, a in got.items() if a == "clustered"} == touched, (
+            trial, dirty, got,
+        )
+        # markers exist everywhere afterwards
+        for p in prios:
+            assert os.path.isfile(
+                os.path.join(table, f"o_orderpriority={p}", "_ZORDER_OK")
+            )
