@@ -257,6 +257,21 @@ def main() -> None:
             # path a production batch pays.
             "dedup_pagerank",
             "dedup_triangle_count",
+            # r11: the two-corpus ANN join over the persisted IVF-PQ
+            # index. The md5 split keeps |Q| ~ N/10 as the corpus
+            # replicates, the index mask keeps candidates in the other
+            # corpus, and nlist is constant — so per-query probe lists
+            # grow ~k and total cost ~k^2/nlist... except the fixture's
+            # fresh-gaussian copies keep per-list occupancy balanced, so
+            # the measured exponent isolates the |Q| x per-probe-cost
+            # product (expected ~super-linear toward e~2 at FIXED nlist;
+            # the production rule — like bits~log2 N for LSH — is
+            # nlist ~ N, which the IVF sweep row above measures at
+            # e~0.1; this row documents the parameter-mistake cost for
+            # the join the same way the r4 fixed-bits LSH row did).
+            # Run 1 pays the fingerprint-keyed index build; min-of-runs
+            # measures the warm query path.
+            "embed_ann_join_ivf_pq",
         ]
         sweep_queries = [n for n in sweep_queries if want(n)]
         for name in sweep_queries:
