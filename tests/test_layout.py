@@ -260,3 +260,42 @@ def test_zorder_maintain_dirty_set_matches_append_set_randomized(
             assert os.path.isfile(
                 os.path.join(table, f"o_orderpriority={p}", "_ZORDER_OK")
             )
+
+
+def test_zorder_maintain_heals_compaction(spark, tmp_path):
+    """Composition with the compaction loop: compact_table rewrites a
+    partition's files (hash-repartitioned — clustering destroyed), the
+    fingerprint sees every rewritten partition as dirty, and the next
+    maintenance pass restores the clustered layout. This is the steady
+    state of a maintained table: ingest -> compact -> re-cluster."""
+    import os
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.layout import (
+        zorder_maintain,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.sinks import (
+        compact_table,
+        write_parquet_table,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    table = str(tmp_path / "zt")
+    write_parquet_table(
+        orders, table, mode="overwrite", partition_by=["o_orderpriority"]
+    )
+    cols = ["o_custkey", "o_totalprice"]
+    zorder_maintain(spark, table, cols, n_files=16)
+    part = os.path.join(table, "o_orderpriority=1-URGENT")
+    clustered = _prunable_fraction(part, "o_custkey", 100.0, 200.0)
+    assert clustered >= 0.5
+
+    # compaction rewrites every partition (fewer, hash-ordered files)
+    compact_table(spark, table, target_rows_per_file=400,
+                  partition_col="o_orderpriority")
+    # markers were dropped with the old files by the swap; all dirty
+    r = {p: a for p, a, _ in zorder_maintain(spark, table, cols, n_files=16)}
+    assert set(r.values()) == {"clustered"}, r
+    assert spark.read.parquet(table).count() == orders.count()
+    assert _prunable_fraction(part, "o_custkey", 100.0, 200.0) >= 0.5
