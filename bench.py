@@ -92,6 +92,11 @@ HEADLINE = [
     # (two percentile aggregates + broadcast joins back).
     "dedup_pagerank",
     "dq_anomaly_mad",
+    # r11 addition (this round becomes its anchor): the two-corpus ANN
+    # similarity join over the persisted IVF-PQ index (md5-split query
+    # corpus streamed against masked inverted lists; warm runs measure
+    # load + score — the build is memoized per content fingerprint).
+    "embed_ann_join_ivf_pq",
 ]
 
 
@@ -243,6 +248,19 @@ def main() -> None:
         "dedup_triangle_count": 0.304,
         "dq_referential_integrity": 0.806,
         "customer_rfm_segments": 0.317,
+        # r8/r9 suite additions, anchored to their first-benched values
+        # recovered from the committed BENCH_r08/r09 stdout tails (r11:
+        # these five rows were timed but never anchored — the one gap in
+        # the r6 "every suite member has an anchor" discipline; both
+        # rounds' hosts measured calib in the 0.261-0.286 anchor band)
+        "text_collocation_pmi": 0.938,
+        "embed_kmeans_step": 0.634,
+        "embed_range_search": 0.423,
+        "dedup_pagerank": 1.505,
+        "dq_anomaly_mad": 0.650,
+        # r11 suite addition, anchored to its first (r11) warm-best on
+        # an anchor-speed host (calib 0.280)
+        "embed_ann_join_ivf_pq": 0.294,
     }
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
     if os.path.exists(anchor_path):
