@@ -235,7 +235,9 @@ def zorder_maintain(
     date partitions of a thousand. Partition discovery is one directory
     listing; each re-cluster is one bounded partition-sized job (the
     zorder_layout range-repartition samples keys, so skewed appends
-    still yield balanced files). Clean partitions are never read."""
+    still yield balanced files). Clean partitions are never read.
+    Reference: no layout control at all — BigQuery manages physical
+    layout (src/load/main.py:40, SURVEY.md §4.1)."""
     import os
 
     from ..sinks import swap_dir, swap_recover

@@ -2142,7 +2142,8 @@ def embed_ann_join_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus restriction folds into the once-per-task inverted-list
     grouping (zero per-query cost). At 100 TB the inverted lists shard
     by bucket; the mask becomes a partition predicate on the stored
-    codes table."""
+    codes table. Reference: no similarity/vector surface (BigQuery
+    delegation, src/load/main.py:40)."""
     import hashlib
 
     import numpy as np
