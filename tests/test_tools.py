@@ -130,11 +130,18 @@ def test_persisted_artifact_lifecycle(spark, tmp_path, monkeypatch):
         spark, "k", "/root/testdata/sf0.01", "fp9", build_factory("f")
     )
     assert os.path.isdir(r2) and os.path.isdir(r3)
-    # artifact_clear wipes disk + memo -> next call rebuilds
-    util.artifact_clear(spark)
-    assert not os.path.isdir(r2)
+    # sf-scoped clear (ADVICE r10): wipes ONLY the given fixture's
+    # kind dirs — the other sf's live artifact survives (a concurrent
+    # bench/check session on the other fixture keeps its artifacts)
+    util.artifact_clear(spark, sf)
+    assert not os.path.isdir(r2) and os.path.isdir(r3)
     util.persisted_artifact(spark, "k", sf, "fp2", build_factory("g"))
     assert builds == ["a", "d", "e", "f", "g"]
+    # unscoped clear wipes everything + memo -> next call rebuilds
+    util.artifact_clear(spark)
+    assert not os.path.isdir(r3)
+    util.persisted_artifact(spark, "k", sf, "fp2", build_factory("h"))
+    assert builds == ["a", "d", "e", "f", "g", "h"]
     # a failing build leaves no tmp droppings and no marker
     def boom(tmp):
         raise RuntimeError("build failed")
