@@ -208,6 +208,61 @@ def _footer_row_count(part_dir: str) -> int:
     )
 
 
+_ZORDER_STAGING_ROOT = ".zorder_staging"
+_ZORDER_PARKED_ROOT = ".zorder_old"
+
+
+def _zorder_recover(path: str) -> int:
+    """Crash recovery for zorder_maintain's per-partition swaps, run at
+    the head of every maintenance pass. Returns #partitions restored.
+
+    Both helper locations are dot-prefixed, so Spark partition discovery
+    and parquet readers never see them (ADVICE r11: the old scheme's
+    `<part>.zorder.staging` / `<part>.old` sat in the table root WITH an
+    '=' in the name — a crash exposed duplicates or a bogus partition
+    value to readers, and a mid-swap crash left the partition only under
+    `<part>.old`, which discovery then adopted as a wrong value). Rules:
+
+    - `.zorder_old/<entry>` with the live partition MISSING is a
+      mid-swap crash: the parked dir IS the data — restore it.
+    - `.zorder_old/<entry>` with the live partition present is post-swap
+      debris (crash before the final delete) — sweep it.
+    - `.zorder_staging/` is ALWAYS discardable: data still lives in the
+      original partition (crash before the swap) or was already swapped
+      in (the swap consumes the staging dir by rename).
+    - legacy in-root `<part>.old` / `<part>.zorder.staging` artifacts
+      from the pre-r12 scheme are healed the same way (restore-if-
+      missing / sweep), so tables written by the old code converge too.
+    """
+    import os
+    import shutil
+
+    restored = 0
+    parked_root = os.path.join(path, _ZORDER_PARKED_ROOT)
+    if os.path.isdir(parked_root):
+        for entry in os.listdir(parked_root):
+            live = os.path.join(path, entry)
+            parked = os.path.join(parked_root, entry)
+            if os.path.exists(live):
+                shutil.rmtree(parked, ignore_errors=True)
+            else:
+                os.rename(parked, live)
+                restored += 1
+    shutil.rmtree(os.path.join(path, _ZORDER_STAGING_ROOT), ignore_errors=True)
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if entry.endswith(".zorder.staging"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif entry.endswith(".old") and "=" in entry:
+            base = os.path.join(path, entry[: -len(".old")])
+            if os.path.exists(base):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.rename(full, base)
+                restored += 1
+    return restored
+
+
 def zorder_maintain(
     spark: SparkSession,
     path: str,
@@ -222,10 +277,16 @@ def zorder_maintain(
     A partition is CLEAN when its `_ZORDER_OK` marker holds the current
     fingerprint of its data files (written after the last clustering);
     any append/compaction/rewrite since then changes the fingerprint and
-    the partition is re-clustered with zorder_layout + atomic swap
-    (sinks.swap_dir: rename-aside, never delete-first). The marker lands
-    AFTER the swap, so a crash anywhere leaves the partition dirty and
-    the next run converges idempotently.
+    the partition is re-clustered with zorder_layout + atomic swap.
+    Staging lands under `<table>/.zorder_staging/<entry>` and the old
+    partition parks under `<table>/.zorder_old/<entry>` — dot-prefixed
+    names partition discovery IGNORES, so a racing or post-crash reader
+    never sees duplicate rows or a bogus partition value (ADVICE r11).
+    `_zorder_recover` at the head of every pass restores a mid-swap
+    parked partition and sweeps staging debris; the marker lands AFTER
+    the swap, so a crash anywhere leaves the partition dirty and the
+    next run converges idempotently (crash-point sweep pinned in
+    tests/test_layout.py::test_zorder_maintain_crash_points).
 
     Returns [(partition_dir_name, action, n_rows)] per partition, action
     in {'clustered', 'skipped'}.
@@ -240,14 +301,19 @@ def zorder_maintain(
     layout (src/load/main.py:40, SURVEY.md §4.1)."""
     import os
 
-    from ..sinks import swap_dir, swap_recover
+    from ..sinks import swap_dir
 
+    _zorder_recover(path)
     report: list[tuple[str, str, int]] = []
     for entry in sorted(os.listdir(path)):
         part_dir = os.path.join(path, entry)
-        if not os.path.isdir(part_dir) or "=" not in entry:
+        if (
+            not os.path.isdir(part_dir)
+            or "=" not in entry
+            or entry.startswith((".", "_"))
+            or entry.endswith((".old", ".zorder.staging"))
+        ):
             continue
-        swap_recover(spark, part_dir)
         marker = os.path.join(part_dir, _ZORDER_MARKER)
         fp = _partition_fingerprint(part_dir)
         stored = None
@@ -258,9 +324,14 @@ def zorder_maintain(
             report.append((entry, "skipped", -1))
             continue
         df = spark.read.parquet(part_dir)
-        staging = part_dir + ".zorder.staging"
+        staging = os.path.join(path, _ZORDER_STAGING_ROOT, entry)
         zorder_layout(df, cols, staging, n_files=n_files)
-        swap_dir(spark, staging, part_dir)
+        swap_dir(
+            spark,
+            staging,
+            part_dir,
+            park=os.path.join(path, _ZORDER_PARKED_ROOT, entry),
+        )
         with open(os.path.join(part_dir, _ZORDER_MARKER), "w") as f:
             f.write(_partition_fingerprint(part_dir) + "\n")
         report.append((entry, "clustered", _footer_row_count(part_dir)))
@@ -294,9 +365,15 @@ def layout_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders, table, mode="overwrite", partition_by=["o_orderpriority"]
         )
         zorder_maintain(spark, table, ["o_custkey", "o_totalprice"])
-        late = orders.filter(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        ).limit(200)
+        # orderBy before limit: an unordered limit(200) is plan/
+        # partitioning dependent, so the per-partition row counts (and
+        # in the extreme the dirty set) could vary under perturb
+        # settings (ADVICE r11).
+        late = (
+            orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .orderBy("o_orderkey")
+            .limit(200)
+        )
         write_parquet_table(
             late, table, mode="append", partition_by=["o_orderpriority"]
         )

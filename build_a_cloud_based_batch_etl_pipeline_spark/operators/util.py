@@ -447,7 +447,13 @@ def artifact_clear(spark: SparkSession, sf_dir: str | None = None) -> None:
         except OSError:
             entries = []
         for entry in entries:
-            if entry.endswith(f"-{tag}"):
+            # Exact-tag match (ADVICE r11: a bare endswith("-{tag}") let
+            # tag 'a' wipe 'kind-data-a'). Kind names are dash-free by
+            # construction (snake_case identifiers: 'pq_index',
+            # 'mh_index', 'eval_gram_index', ...), so `<kind>-<tag>`
+            # splits unambiguously on the FIRST dash even when the tag
+            # itself contains dashes.
+            if "-" in entry and entry.split("-", 1)[1] == tag:
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     memo_once_clear(spark)
 

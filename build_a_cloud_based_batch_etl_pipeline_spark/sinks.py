@@ -212,27 +212,35 @@ def _must(ok: bool, action: str) -> None:
         raise IOError(f"table swap: {action} failed")
 
 
-def swap_dir(spark, staging: str, path: str) -> None:
+def swap_dir(spark, staging: str, path: str, park: str | None = None) -> None:
     """Swap a fully-written staging directory into place:
-    path -> path.old, staging -> path, delete path.old.
+    path -> park (default `path.old`), staging -> path, delete park.
 
     Plain-FS rename is not transactional, so this narrows rather than
     closes the race: a reader can still catch the instant between the
     two renames (missing-table error — retryable), but never a
     half-deleted listing, and no crash point loses data: a leftover
-    `.old` with the live dir MISSING is a mid-swap crash artifact and is
-    restored first (same logic as swap_recover — every writer path runs
-    it via this function; reader paths call swap_recover explicitly);
-    a leftover `.old` WITH a live dir is post-swap debris and is swept.
-    Every rename/delete result is checked — Hadoop FS signals failure by
-    returning false. A lakehouse table format (Delta/Iceberg) is the
-    real fix once its jars are available (SURVEY.md §2.3)."""
+    park dir with the live dir MISSING is a mid-swap crash artifact and
+    is restored first (same logic as swap_recover — every writer path
+    runs it via this function; reader paths call swap_recover
+    explicitly); a leftover park WITH a live dir is post-swap debris and
+    is swept. Every rename/delete result is checked — Hadoop FS signals
+    failure by returning false. A lakehouse table format (Delta/Iceberg)
+    is the real fix once its jars are available (SURVEY.md §2.3).
+
+    `park` matters when `path` sits INSIDE a directory a reader lists
+    (e.g. one hive partition of a live table): `path.old` would itself
+    be discovered as a bogus partition, so such callers park somewhere
+    discovery ignores (zorder_maintain parks under the dot-prefixed
+    `<table>/.zorder_old/<entry>` — ADVICE r11)."""
     jvm = spark._jvm
     fs_conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     spath = jvm.org.apache.hadoop.fs.Path(staging)
-    opath = jvm.org.apache.hadoop.fs.Path(path + ".old")
+    opath = jvm.org.apache.hadoop.fs.Path(park if park else path + ".old")
     fs = hpath.getFileSystem(fs_conf)
+    if park:
+        _must(fs.mkdirs(opath.getParent()), f"mkdirs parent of {park}")
     if fs.exists(opath):
         if not fs.exists(hpath):
             # mid-swap crash artifact: .old IS the table — restore, so

@@ -299,3 +299,89 @@ def test_zorder_maintain_heals_compaction(spark, tmp_path):
     assert set(r.values()) == {"clustered"}, r
     assert spark.read.parquet(table).count() == orders.count()
     assert _prunable_fraction(part, "o_custkey", 100.0, 200.0) >= 0.5
+
+
+def test_zorder_maintain_crash_points(spark, tmp_path):
+    """Crash-anywhere convergence for the r12 swap scheme (ADVICE r11:
+    the old in-root `<part>.zorder.staging` / `<part>.old` names
+    contained '=', so partition discovery adopted crash artifacts as
+    partitions — duplicate rows or a bogus partition value). Pins, for
+    each crash point, BOTH properties: (a) a reader between the crash
+    and the next maintenance pass sees exactly the real rows — helper
+    dirs are invisible to discovery; (b) the next pass converges.
+
+    Crash points: (1) staging fully written, swap never ran;
+    (2) mid-swap — partition parked under .zorder_old/, live dir gone;
+    (3) post-swap — parked copy not yet deleted; (4) legacy pre-r12
+    artifacts (`<part>.old` with live missing, `<part>.zorder.staging`)
+    are healed, not adopted."""
+    import os
+    import shutil
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.layout import (
+        zorder_layout,
+        zorder_maintain,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.sinks import (
+        write_parquet_table,
+    )
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    table = str(tmp_path / "zt")
+    write_parquet_table(
+        orders, table, mode="overwrite", partition_by=["o_orderpriority"]
+    )
+    cols = ["o_custkey", "o_totalprice"]
+    zorder_maintain(spark, table, cols, n_files=2)
+    total = orders.count()
+    checksum = spark.read.parquet(table).agg(F.sum("o_orderkey")).first()[0]
+
+    def assert_reader_clean():
+        df = spark.read.parquet(table)
+        assert df.count() == total
+        assert df.agg(F.sum("o_orderkey")).first()[0] == checksum
+        vals = {r[0] for r in df.select("o_orderpriority").distinct().collect()}
+        assert not any(
+            v.endswith((".old", ".staging", ".zorder.staging")) for v in vals
+        ), vals
+
+    victim = "o_orderpriority=1-URGENT"
+    part = os.path.join(table, victim)
+
+    # (1) crash BEFORE swap: staging written under .zorder_staging/
+    staging = os.path.join(table, ".zorder_staging", victim)
+    zorder_layout(spark.read.parquet(part), cols, staging, n_files=2)
+    assert_reader_clean()  # no duplicate rows despite a full staged copy
+    r = {p: a for p, a, _ in zorder_maintain(spark, table, cols, n_files=2)}
+    assert not os.path.exists(os.path.join(table, ".zorder_staging", victim))
+    assert_reader_clean()
+
+    # (2) crash MID-swap: live dir parked, nothing swapped in
+    parked = os.path.join(table, ".zorder_old", victim)
+    os.makedirs(os.path.dirname(parked), exist_ok=True)
+    os.rename(part, parked)
+    df = spark.read.parquet(table)  # reader mid-crash: partition absent,
+    assert df.count() < total       # never a bogus partition value
+    r = {p: a for p, a, _ in zorder_maintain(spark, table, cols, n_files=2)}
+    assert victim in r  # restored AND processed in the same pass
+    assert_reader_clean()
+
+    # (3) crash AFTER swap, parked copy not deleted
+    shutil.copytree(part, parked)
+    assert_reader_clean()  # parked copy invisible: no duplicates
+    zorder_maintain(spark, table, cols, n_files=2)
+    assert not os.path.exists(parked)
+    assert_reader_clean()
+
+    # (4) legacy pre-r12 artifacts are healed, not adopted
+    legacy_old = part + ".old"
+    os.rename(part, legacy_old)  # live missing + <part>.old => restore
+    legacy_staging = os.path.join(table, "o_orderpriority=2-HIGH.zorder.staging")
+    shutil.copytree(os.path.join(table, "o_orderpriority=2-HIGH"), legacy_staging)
+    r = {p: a for p, a, _ in zorder_maintain(spark, table, cols, n_files=2)}
+    assert not os.path.exists(legacy_old)
+    assert not os.path.exists(legacy_staging)
+    assert not any(p.endswith((".old", ".zorder.staging")) for p in r), r
+    assert_reader_clean()
