@@ -1137,3 +1137,129 @@ def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("epochs_x1000"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-accurate budgets (VERDICT r11 item 1): the chars/4 and
+# whitespace-count stand-ins above re-based on real BPE token counts.
+# ---------------------------------------------------------------------------
+
+from .text import BPE_DOC_TOKENS_SQL, bpe_doc_tokens, bpe_oracle_chain  # noqa: E402
+
+
+_BPE_PACK_ORACLE = (
+    "WITH RECURSIVE\n"
+    + bpe_oracle_chain()
+    + ",\n"
+    + BPE_DOC_TOKENS_SQL
+    + f""",
+packed AS (
+    SELECT source, bpe_tokens AS est_tokens,
+           CAST(floor(coalesce(sum(bpe_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {_BIN_CAPACITY}.0) AS BIGINT) AS bin
+    FROM dt
+)
+SELECT source, bin,
+       count(*)                        AS n_docs,
+       CAST(sum(est_tokens) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY source, bin"""
+)
+
+
+@query("pack_token_bins_bpe", oracle=_BPE_PACK_ORACLE)
+def pack_token_bins_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_token_bins with TOKENIZER-ACCURATE budgets: same next-fit
+    window packing (stable doc_id order per source, ~8k-token chunks,
+    boundary-straddling doc stays in the bin it started), but est_tokens
+    is the document's real BPE token count under the learned 16-merge
+    table instead of the chars/4 estimate — what a training pipeline
+    actually budgets by. Docs with zero [a-z]+ words pack nothing and
+    drop out (they contribute no tokens). The oracle re-trains the
+    tokenizer AND re-packs in DuckDB.
+
+    Scale shape: bpe_doc_tokens (vocab-bounded training + one corpus
+    join/agg) + the same one-shuffle window cumsum as pack_token_bins."""
+    dt = bpe_doc_tokens(spark, sf_dir).select(
+        "doc_id", "source", F.col("bpe_tokens").alias("est_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = dt.select(
+        "source",
+        "est_tokens",
+        F.floor(
+            F.coalesce(F.sum("est_tokens").over(w), F.lit(0))
+            / float(_BIN_CAPACITY)
+        ).alias("bin"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("est_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+_BPE_MIX_ORACLE = (
+    "WITH RECURSIVE\n"
+    + bpe_oracle_chain()
+    + ",\n"
+    + BPE_DOC_TOKENS_SQL
+    + f""",
+per_src AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(bpe_tokens) AS BIGINT) AS tokens,
+           CAST(CAST(substr(source, 4) AS BIGINT) + 1 AS BIGINT) AS w
+    FROM dt GROUP BY source
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM per_src)
+SELECT source, n_docs, tokens,
+       CAST((1000000 * w) // wsum AS BIGINT)        AS weight_ppm,
+       CAST(({_MIX_BUDGET} * w) // wsum AS BIGINT)  AS alloc_tokens,
+       CAST((1000 * (({_MIX_BUDGET} * w) // wsum))
+            // nullif(tokens, 0) AS BIGINT)         AS epochs_x1000
+FROM per_src, tot"""
+)
+
+
+@query("sample_mixture_plan_bpe", oracle=_BPE_MIX_ORACLE)
+def sample_mixture_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_mixture_plan with TOKENIZER-ACCURATE inventories: per-source
+    token mass is the sum of real BPE token counts (learned 16-merge
+    table) instead of whitespace splits, so allocations and oversampling
+    factors (epochs_x1000) reflect what the training run will actually
+    consume. n_docs counts docs with >=1 [a-z]+ word (docs with no
+    subword content hold no tokens to mix). Same exact-bigint arithmetic
+    — the plan is bit-identical on every engine/host; the oracle
+    re-trains the tokenizer and re-plans in DuckDB.
+
+    Scale shape: bpe_doc_tokens + a |sources|-row aggregate + a 1-row
+    broadcast total (the q11/q15 global-threshold shape)."""
+    dt = bpe_doc_tokens(spark, sf_dir)
+    per_src = dt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("bpe_tokens").cast("long").alias("tokens"),
+        F.max(F.expr("CAST(substr(source, 4) AS BIGINT) + 1")).alias("w"),
+    )
+    tot = per_src.agg(F.sum("w").cast("long").alias("wsum"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("(1000000 * w) div wsum").cast("long").alias("weight_ppm"),
+            F.expr(f"({_MIX_BUDGET} * w) div wsum")
+            .cast("long")
+            .alias("alloc_tokens"),
+            F.expr(
+                f"(1000 * (({_MIX_BUDGET} * w) div wsum)) div nullif(tokens, 0)"
+            )
+            .cast("long")
+            .alias("epochs_x1000"),
+        )
+    )

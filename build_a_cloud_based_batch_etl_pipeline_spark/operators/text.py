@@ -2395,3 +2395,264 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     VOCABULARY-bounded graph tables, never the corpus."""
     outw, nodes = _textrank_graph(spark, sf_dir)
     return _textrank_rank(outw, nodes)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: bounded merge table + corpus encode (VERDICT r11 item 1)
+# ---------------------------------------------------------------------------
+
+_BPE_K = 16  # merges learned and applied — bounded, deterministic
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word table (w, c, s): corpus frequency and the dotted
+    symbol string '.c1.c2...cn.' BPE operates on — cached once per
+    (session, sf). Words are restricted to ^[a-z]+$ so every symbol is
+    regex-literal-safe and the '.' separator can never collide with a
+    symbol character; non-letter 'words' are excluded from the
+    subword model (and from the token budgets built on it) on BOTH
+    engines identically."""
+
+    def build():
+        docs = t(spark, sf_dir, "documents")
+        return (
+            docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w").rlike("^[a-z]+$"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn(
+                "s", F.concat(F.lit("."), F.regexp_replace("w", "(.)", "$1."))
+            )
+        )
+
+    return cache_once(spark, ("bpe_vocab", sf_dir), build)
+
+
+def _bpe_merge_regex(a: str, b: str) -> tuple[str, str]:
+    """Java-regex (pattern, replacement) applying merge (a, b) with
+    CANONICAL greedy left-to-right non-overlapping semantics: the
+    boundary separators are zero-width lookarounds, so back-to-back
+    occurrences ('.a.b.a.b.') both merge — a consumed-separator plain
+    replace() would skip every second one (the Sennrich reference
+    implementation uses exactly this lookaround shape). Symbols are
+    ^[a-z]+$ by _bpe_vocab's filter, so no quoting is needed."""
+    return f"(?<=[.]){a}[.]{b}(?=[.])", a + b
+
+
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_K
+) -> list[tuple[str, str, int]]:
+    """Train a bounded BPE merge table (Sennrich et al. 2016, top-k
+    merges, deterministic tie-break count DESC then pair ASC): k rounds
+    of [count adjacent symbol pairs weighted by word frequency -> take
+    the argmax -> apply it to every word]. memo_once-cached per
+    (session, sf, k).
+
+    Scale shape: the ENTIRE loop runs over the cached distinct-word
+    table (vocabulary-bounded — the corpus collapses to (word, count)
+    via one map-side-combined shuffle, exactly text_bpe_pair_stats's
+    argument), so each round is one tiny aggregate + a 1-row collect;
+    corpus size only affects the initial vocab build. This is how real
+    BPE trainers scale too — they train on word-count dicts, never the
+    token stream. Reference parity: the reference has no tokenizer at
+    all (its only text handling is BigQuery STRING columns,
+    terraform/main.tf:79-88); this extends SURVEY §2.2's text-analysis
+    row to tokenizer-accurate budgets."""
+
+    def train():
+        vocab = _bpe_vocab(spark, sf_dir)
+        merges: list[tuple[str, str, int]] = []
+        cur = vocab.select("c", "s")
+        for _ in range(k):
+            syms = F.split(F.expr("trim(BOTH '.' FROM s)"), "[.]")
+            pairs = cur.select(
+                "c",
+                F.explode(
+                    F.transform(
+                        seq1(F.size(syms) - F.lit(1)),
+                        lambda i: F.struct(
+                            F.element_at(syms, i).alias("a"),
+                            F.element_at(syms, i + F.lit(1)).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("c").cast("long").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # fully merged corpus: no adjacent pairs remain
+            a, b, cnt = top[0]
+            merges.append((a, b, int(cnt)))
+            pat, rep = _bpe_merge_regex(a, b)
+            cur = cur.withColumn("s", F.regexp_replace("s", pat, rep))
+        return merges
+
+    return memo_once(spark, ("bpe_merges", sf_dir, k), train)
+
+
+def bpe_word_tokens(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_K
+) -> DataFrame:
+    """(w, n_tokens): per distinct word, its BPE token count after the
+    learned merges — the k merges applied as a chain of k LITERAL
+    regexp_replace expressions (one codegen'd projection over the
+    vocabulary table, no UDF, no shuffle)."""
+    merges = bpe_merges(spark, sf_dir, k)
+    s = F.col("s")
+    for a, b, _ in merges:
+        pat, rep = _bpe_merge_regex(a, b)
+        s = F.regexp_replace(s, pat, rep)
+    enc = _bpe_vocab(spark, sf_dir).select("w", s.alias("s"))
+    return enc.select(
+        "w",
+        F.size(F.split(F.expr("trim(BOTH '.' FROM s)"), "[.]"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def bpe_doc_tokens(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_K
+) -> DataFrame:
+    """(doc_id, source, n_words, bpe_tokens) per document: the token
+    stream joins the vocabulary-bounded word-token table and sums per
+    doc. Docs with zero [a-z]+ words drop out (no subword content to
+    budget). Two shuffles: the hash join on w (vocab side is
+    vocabulary-bounded but NOT assumed broadcastable at web scale — AQE
+    upgrades it to broadcast when it is) and the per-doc aggregate."""
+    wt = bpe_word_tokens(spark, sf_dir, k)
+    docs = t(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        dw.join(wt, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("bpe_tokens"),
+        )
+    )
+
+
+def bpe_oracle_chain(k: int = _BPE_K) -> str:
+    """DuckDB CTE chain recomputing the ENTIRE BPE training + encode
+    independently (no learned literals smuggled in): k unrolled rounds
+    of pair-count -> argmax -> merge-apply, ending in `wt(w, n_tokens)`.
+    The merge application is a recursive CTE splicing out the LEFTMOST
+    occurrence until none remains — iterated leftmost single-replace IS
+    canonical greedy non-overlap (a new occurrence can never appear
+    earlier than the spliced one, since the merged symbol differs from
+    both halves), matching the Spark side's zero-width-lookaround
+    regexp. Callers prepend 'WITH RECURSIVE'. Same unrolled-iteration
+    discipline as text_textrank's oracle."""
+    ctes = [
+        "w0 AS MATERIALIZED (SELECT w, '.' || array_to_string(string_split(w, ''), '.')"
+        " || '.' AS s, c"
+        " FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        " WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w))"
+    ]
+    for j in range(1, k + 1):
+        p = j - 1
+        ctes.append(
+            f"p{j} AS MATERIALIZED (SELECT syms[CAST(i AS INT)] AS a,"
+            f" syms[CAST(i+1 AS INT)] AS b, CAST(sum(c) AS BIGINT) AS cnt"
+            f" FROM (SELECT string_split(trim(s, '.'), '.') AS syms, c"
+            f" FROM w{p}) t, UNNEST(range(1, len(syms))) AS r(i)"
+            f" GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{j} AS MATERIALIZED (SELECT a, b, cnt, '.' || a || '.' || b || '.' AS pat,"
+            f" '.' || a || b || '.' AS rep FROM p{j}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"r{j} AS (SELECT w, s, c FROM w{p}"
+            f" UNION ALL"
+            f" SELECT w, substring(s, 1, strpos(s, (SELECT pat FROM m{j})) - 1)"
+            f" || (SELECT rep FROM m{j})"
+            f" || substring(s, strpos(s, (SELECT pat FROM m{j}))"
+            f" + length((SELECT pat FROM m{j}))), c"
+            f" FROM r{j} WHERE (SELECT pat FROM m{j}) IS NOT NULL"
+            f" AND strpos(s, (SELECT pat FROM m{j})) > 0)"
+        )
+        ctes.append(
+            f"w{j} AS MATERIALIZED (SELECT w, s, c FROM r{j}"
+            f" WHERE (SELECT pat FROM m{j}) IS NULL"
+            f" OR strpos(s, (SELECT pat FROM m{j})) = 0)"
+        )
+    ctes.append(
+        f"wt AS MATERIALIZED (SELECT w, CAST(len(string_split(trim(s, '.'), '.'))"
+        f" AS BIGINT) AS n_tokens FROM w{k})"
+    )
+    return ",\n".join(ctes)
+
+
+BPE_DOC_TOKENS_SQL = (
+    "dt AS (SELECT d.doc_id, d.source, CAST(count(*) AS BIGINT) AS n_words,"
+    " CAST(sum(wt.n_tokens) AS BIGINT) AS bpe_tokens"
+    " FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w"
+    " FROM documents) d"
+    " JOIN wt ON d.w = wt.w GROUP BY d.doc_id, d.source)"
+)
+
+
+_BPE_MERGE_ORACLE = (
+    "WITH RECURSIVE\n"
+    + bpe_oracle_chain()
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS rk, a || ' ' || b AS pair,"
+        f" a || b AS merged, cnt AS pair_count FROM m{j}"
+        for j in range(1, _BPE_K + 1)
+    )
+)
+
+
+@query("text_bpe_merge_table", oracle=_BPE_MERGE_ORACLE)
+def text_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table itself: rank, pair 'a b', merged
+    symbol, and the weighted pair count at selection time. The oracle
+    RE-TRAINS the tokenizer in DuckDB (16 unrolled rounds, recursive-CTE
+    merge application) — a hash match certifies the whole training loop:
+    pair counting, the count-DESC/pair-ASC tie-break, and canonical
+    non-overlapping merge application, round by round."""
+    merges = bpe_merges(spark, sf_dir)
+    rows = [
+        (j + 1, f"{a} {b}", a + b, cnt) for j, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rk long, pair string, merged string, pair_count long"
+    )
+
+
+_BPE_ENCODE_ORACLE = (
+    "WITH RECURSIVE\n"
+    + bpe_oracle_chain()
+    + ",\n"
+    + BPE_DOC_TOKENS_SQL
+    + "\nSELECT doc_id, n_words, bpe_tokens FROM dt"
+)
+
+
+@query("text_bpe_encode", oracle=_BPE_ENCODE_ORACLE, bench=True)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-accurate token counts per document (VERDICT r11 item 1:
+    training pipelines budget in BPE tokens, not chars/4): per-doc word
+    count and BPE token count under the 16-merge table learned from this
+    corpus. pack_token_bins_bpe / sample_mixture_plan_bpe consume this
+    to make packing and mixture budgets real.
+
+    Scale shape: training and per-WORD encoding are vocabulary-bounded
+    (bpe_merges/bpe_word_tokens); the only corpus-sized work is one
+    projected scan exploding the token stream + a hash join to the word
+    table + the per-doc aggregate."""
+    return bpe_doc_tokens(spark, sf_dir).select(
+        "doc_id", "n_words", "bpe_tokens"
+    )

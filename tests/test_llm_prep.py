@@ -329,3 +329,93 @@ def test_textrank_matches_python_integer_recurrence(spark, sf_dir):
         assert got[w] == (wdeg_of.get(w, 0), rank[w]), f"word {w}"
     top = max(got, key=lambda w: got[w][1])
     assert got[top][0] > 0
+
+
+def test_bpe_canonical_merge_three_engines(spark, tmp_path):
+    """BPE training + encode vs a pure-Python canonical reference (third
+    engine) AND the DuckDB oracle, on a planted corpus heavy in
+    BACK-TO-BACK pair occurrences ('aaaa', 'abab', 'banana') — the case
+    where a consumed-separator replace() deviates from canonical greedy
+    left-to-right merging ([a,a,a,a] must become [aa,aa], not [aa,a,a]).
+    Also pins: non-letter words are excluded everywhere, and docs with
+    zero letter-words drop from the encode output."""
+    import duckdb
+    import pandas as pd
+    from collections import Counter
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        _BPE_ENCODE_ORACLE,
+        _BPE_K,
+        bpe_doc_tokens,
+        bpe_merges,
+    )
+
+    texts = [
+        "aaaa abab abab banana banana banana the cat",
+        "aaaa aaaa baab abab banana mississippi",
+        "123 ?!",  # zero letter-words: must drop from encode output
+        "the the the cat aa a b ab",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0", "src0", "src1", "src1"],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    # --- canonical python reference (list-splice, no regex/replace) ---
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    words = Counter(
+        w for t_ in texts for w in t_.split(" ") if w and w.isalpha() and w.islower()
+    )
+    state = {w: list(w) for w in words}
+    ref_merges = []
+    for _ in range(_BPE_K):
+        pc = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref_merges.append((a, b, cnt))
+        state = {w: merge_word(s, a, b) for w, s in state.items()}
+
+    got = bpe_merges(spark, str(tmp_path))
+    assert got == ref_merges, (got, ref_merges)
+
+    ref_doc = {}
+    for d, t_ in enumerate(texts):
+        ws = [w for w in t_.split(" ") if w and w.isalpha() and w.islower()]
+        if ws:
+            ref_doc[d] = (len(ws), sum(len(state[w]) for w in ws))
+    enc = {
+        r.doc_id: (r.n_words, r.bpe_tokens)
+        for r in bpe_doc_tokens(spark, str(tmp_path)).collect()
+    }
+    assert enc == ref_doc, (enc, ref_doc)
+    assert 2 not in enc  # the no-letter-words doc dropped
+
+    # --- the DuckDB oracle on the SAME planted corpus (its recursive
+    # leftmost-splice must be canonical too, not just on the fixture) ---
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    oracle = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(_BPE_ENCODE_ORACLE).fetchall()
+    }
+    assert oracle == ref_doc, (oracle, ref_doc)

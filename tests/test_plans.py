@@ -132,6 +132,8 @@ INTENTIONAL_CROSS = {
     # 1-row weight-sum total broadcast onto the |sources| inventory rows
     # (the q11/q15 scalar-threshold pattern)
     "sample_mixture_plan",
+    # same shape with BPE-token inventories (r12)
+    "sample_mixture_plan_bpe",
 }
 
 
