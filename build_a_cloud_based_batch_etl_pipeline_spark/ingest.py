@@ -133,7 +133,11 @@ def extract_many_to_landing(
 
 
 def append_idempotent(
-    spark: SparkSession, df: DataFrame, table_path: str, key: str = "id"
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    key: str = "id",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append `df` to the warehouse table, skipping rows whose key is
     already present. Returns the number of NEW rows appended.
@@ -162,7 +166,13 @@ def append_idempotent(
     try:
         n_new = incoming.count()
         if n_new:
-            incoming.write.mode("append").parquet(table_path)
+            writer = incoming.write.mode("append")
+            if partition_by:
+                # hive-partitioned layout so downstream maintenance
+                # (zorder_maintain) and partition pruning see one
+                # directory per key — the clustered-load composition
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(table_path)
     finally:
         incoming.unpersist()
     return n_new

@@ -1845,14 +1845,23 @@ def build_pq_index(
     return True
 
 
-def _encode_codes_df(
-    spark: SparkSession, sf_dir: str, books, coarse, version: str
+def pq_encode_batch(
+    spark: SparkSession, emb: DataFrame, books, coarse, version: str
 ) -> DataFrame:
-    """Distributed PQ encode + IVF assignment: each executor holds the
-    broadcast (M x K x SUB) codebooks + (NLIST x DIM) centroids and
-    emits (vec_id, 16-hex codes, list_id, index_version) — the shape
-    that writes a billion-vector codes table without any driver
-    collect."""
+    """Distributed PQ encode + IVF assignment of ONE batch of vectors
+    against FROZEN artifacts: each executor holds the broadcast
+    (M x K x SUB) codebooks + (NLIST x DIM) centroids and emits
+    (vec_id, 16-hex codes, list_id, recon_cos, index_version) — the
+    shape that writes a billion-vector codes table without any driver
+    collect. Shared by the one-shot build (build_pq_index) and the
+    incremental maintainer (append_pq_epoch), so a batch-built and an
+    epoch-appended codes row are byte-identical for the same vector.
+
+    recon_cos is the cosine between the vector and its PQ
+    reconstruction (concatenated codewords) — the per-row quality
+    signal the drift rule aggregates: a batch the frozen codebooks no
+    longer represent well shows a low epoch mean, flagging retrain
+    instead of silently degrading ANN recall."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -1862,6 +1871,7 @@ def _encode_codes_df(
             T.StructField("vec_id", T.LongType()),
             T.StructField("codes", T.StringType()),
             T.StructField("list_id", T.IntegerType()),
+            T.StructField("recon_cos", T.DoubleType()),
             T.StructField("index_version", T.StringType()),
         ]
     )
@@ -1876,21 +1886,82 @@ def _encode_codes_df(
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             codes = np.empty((len(mat), _PQ_M), dtype=np.int64)
+            recon = np.empty_like(mat)
             for m in range(_PQ_M):
                 sub = mat[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
                 codes[:, m] = _pq_assign(sub, bk[m])
+                recon[:, m * _PQ_SUB : (m + 1) * _PQ_SUB] = bk[m][codes[:, m]]
             lists = _pq_assign(mat, cents)
+            rcos = (mat * recon).sum(axis=1) / np.maximum(
+                np.linalg.norm(recon, axis=1), 1e-12
+            )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "codes": ["".join("%02x" % c for c in row) for row in codes],
                     "list_id": lists.astype(np.int32),
+                    "recon_cos": np.round(rcos, 4),
                     "index_version": version,
                 }
             )
 
+    return emb.select("vec_id", "embedding").mapInPandas(encode, out_schema)
+
+
+def _encode_codes_df(
+    spark: SparkSession, sf_dir: str, books, coarse, version: str
+) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return emb.mapInPandas(encode, out_schema)
+    return pq_encode_batch(spark, emb, books, coarse, version)
+
+
+def _read_index_rows(
+    spark: SparkSession, index_root: str, sub: str, cols: list[str]
+) -> list[tuple]:
+    """Rows of one index table as python tuples. The artifacts are
+    driver-side by design (they get broadcast), so read with pyarrow
+    directly when the index lives on a local path — one C++ scan
+    instead of a Spark job + row collect per table (~3x faster load at
+    fixture scale). Spark read remains the fallback for object-store
+    paths."""
+    import os
+
+    path = f"{index_root}/{sub}"
+    if os.path.isdir(path):
+        try:
+            import pyarrow.dataset as ds
+
+            # hive partitioning so an epoch-partitioned table exposes
+            # its `epoch` directory column; harmless on flat tables
+            tb = ds.dataset(
+                path, format="parquet", partitioning="hive"
+            ).to_table(columns=cols)
+            return list(zip(*(tb.column(c).to_pylist() for c in cols)))
+        except Exception:
+            pass
+    return [
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(path).select(*cols).collect()
+    ]
+
+
+def _load_codebook_arrays(spark: SparkSession, index_root: str):
+    """(books, coarse) numpy arrays from the persisted codebook/centroid
+    tables — no completeness/staleness policy here; callers decide
+    which check applies (load_pq_index: version == live fingerprint;
+    the incremental loader: internal consistency only)."""
+    import numpy as np
+
+    cb = _read_index_rows(spark, index_root, "pq_codebooks", ["m", "k", "centroid"])
+    n_k = max(k for _m, k, _c in cb) + 1  # may be < _PQ_K on tiny corpora
+    books = np.zeros((_PQ_M, n_k, _PQ_SUB))
+    for m, k, cent in cb:
+        books[m, k] = cent
+    ivf = _read_index_rows(spark, index_root, "ivf_centroids", ["list_id", "centroid"])
+    coarse = np.zeros((_IVFPQ_NLIST, _DIM))
+    for li, cent in ivf:
+        coarse[li] = cent
+    return books, coarse
 
 
 def load_pq_index(spark: SparkSession, sf_dir: str, index_root: str):
@@ -1923,38 +1994,10 @@ def load_pq_index(spark: SparkSession, sf_dir: str, index_root: str):
             "(SCALE.md) instead of a flat load"
         )
 
-    # The artifacts are driver-side by design (they get broadcast), so
-    # read them with pyarrow directly when the index lives on a local
-    # path — one C++ scan instead of a Spark job + row collect per
-    # table (~3x faster load at fixture scale). Spark read remains the
-    # fallback for object-store paths.
-    def read_rows(sub: str, cols: list[str]) -> list[tuple]:
-        import os
-
-        path = f"{index_root}/{sub}"
-        if os.path.isdir(path):
-            try:
-                import pyarrow.dataset as ds
-
-                tb = ds.dataset(path, format="parquet").to_table(columns=cols)
-                return list(zip(*(tb.column(c).to_pylist() for c in cols)))
-            except Exception:
-                pass
-        return [
-            tuple(r[c] for c in cols)
-            for r in spark.read.parquet(path).select(*cols).collect()
-        ]
-
-    cb = read_rows("pq_codebooks", ["m", "k", "centroid"])
-    n_k = max(k for _m, k, _c in cb) + 1  # may be < _PQ_K on tiny corpora
-    books = np.zeros((_PQ_M, n_k, _PQ_SUB))
-    for m, k, cent in cb:
-        books[m, k] = cent
-    ivf = read_rows("ivf_centroids", ["list_id", "centroid"])
-    coarse = np.zeros((_IVFPQ_NLIST, _DIM))
-    for li, cent in ivf:
-        coarse[li] = cent
-    rows = read_rows("pq_codes", ["vec_id", "codes", "list_id"])
+    books, coarse = _load_codebook_arrays(spark, index_root)
+    rows = _read_index_rows(
+        spark, index_root, "pq_codes", ["vec_id", "codes", "list_id"]
+    )
     rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     codes = np.array(
@@ -2014,6 +2057,274 @@ def embed_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     books, ids, codes, coarse, assign = load_pq_index(spark, sf_dir, root)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)
+
+
+# ---------------------------------------------------------------------------
+# Incremental PQ-index maintenance (VERDICT r11 item 2): every other
+# persisted index (MinHash, eval-gram, phash) grows by epoch-appends;
+# this gives the PQ/IVF index the same twin. New batches encode against
+# the FROZEN base codebooks into atomic `epoch=<lineage>-<id>`
+# partitions under `{index_root}/pq_codes_epochs`
+# (sinks.commit_epoch_partition — same replay/lineage discipline as
+# maintain_minhash_index), so the accumulated corpus is encoded exactly
+# once and old epochs are never rewritten. Frozen codebooks eventually
+# stop representing new data; the drift rule below flags retrain-needed
+# from the per-row recon_cos column instead of silently degrading
+# recall. Streaming maintenance: ingest_stream.maintain_pq_index.
+# Reference has no vector surface at all (SURVEY.md §2.2); the pattern
+# follows FAISS's add-with-frozen-codebooks + periodic retrain practice
+# (Johnson et al. 2017, §4).
+# ---------------------------------------------------------------------------
+
+# Epoch-mean reconstruction-cosine floor below which the frozen
+# codebooks are declared stale for that batch. Measured on the fixture:
+# HELD-OUT epochs drawn from the training distribution reconstruct at
+# ~0.81 mean / ~0.74 min (the oft-quoted 0.945 is in-sample — K=256
+# codewords over <=2000 training rows partially memorizes), while an
+# off-manifold batch (one-hot spike vectors) lands ~0.59. 0.70 splits
+# the two regimes with ~0.1 margin on both sides (tests pin both
+# directions; the registered drift query pins the negative at 3 SFs).
+_PQ_DRIFT_FLOOR = 0.70
+
+
+def load_pq_codebooks(spark: SparkSession, index_root: str):
+    """(books, coarse, version) from a COMPLETE base index, refusing a
+    missing or torn one — encoding a batch against half-written
+    codebooks would poison every epoch built from them."""
+    stored = _stored_index_version(spark, index_root)
+    if stored is None:
+        raise ValueError(
+            f"no complete PQ base index at {index_root} (missing table "
+            "or mixed versions from a mid-build crash) — run "
+            "build_pq_index before appending epochs"
+        )
+    books, coarse = _load_codebook_arrays(spark, index_root)
+    return books, coarse, stored
+
+
+def append_pq_epoch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_root: str,
+    lineage: str = "batch",
+    epoch_id: int = 0,
+) -> bool:
+    """Encode one NEW batch of vectors against the frozen base codebooks
+    and commit it as an atomic epoch partition of
+    `{index_root}/pq_codes_epochs`. Returns True when this call
+    committed, False on a replayed epoch (partition already present —
+    exactly-once without reading a row of it).
+
+    Scale shape: encoding is the distributed pq_encode_batch map (no
+    driver collect); the commit is one directory rename. Base codebooks
+    are O(M*K*SUB + NLIST*DIM) doubles (~0.6 MB here) loaded from
+    footer-guarded parquet — constant in corpus size, so a 100-TB codes
+    table grows one bounded epoch at a time while training cost stays
+    zero on the ingest path."""
+    from ..sinks import commit_epoch_partition
+
+    books, coarse, version = load_pq_codebooks(spark, index_root)
+    rows = pq_encode_batch(spark, batch, books, coarse, version)
+    return commit_epoch_partition(
+        spark, rows, f"{index_root}/pq_codes_epochs", lineage, epoch_id
+    )
+
+
+def pq_index_drift_report(
+    spark: SparkSession, index_root: str, floor: float = _PQ_DRIFT_FLOOR
+) -> DataFrame:
+    """Per-epoch codebook-drift report over the incremental codes table:
+    (epoch, n_vectors, mean_recon_cos, min_recon_cos, retrain_needed).
+    retrain_needed is the drift rule — epoch mean below the floor means
+    the frozen codebooks no longer represent that batch and the base
+    index should be retrained (build_pq_index force=True) rather than
+    silently serving degraded ADC scores. One vocabulary-bounded
+    aggregate over the epochs table; never reads the base codes."""
+    epochs = spark.read.parquet(f"{index_root}/pq_codes_epochs")
+    return (
+        epochs.groupBy("epoch")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("recon_cos"), 4).alias("mean_recon_cos"),
+            F.round(F.min("recon_cos"), 4).alias("min_recon_cos"),
+        )
+        .withColumn("retrain_needed", F.col("mean_recon_cos") < floor)
+        .orderBy("epoch")
+    )
+
+
+def load_pq_index_incremental(
+    spark: SparkSession,
+    index_root: str,
+    allow_drift: bool = False,
+):
+    """Query-side load of base + epoch-appended codes as ONE servable
+    artifact set (books, ids, codes, coarse, assign) — the incremental
+    twin of load_pq_index. Refuses, loudly:
+
+    - a missing/torn base (via load_pq_codebooks);
+    - an epoch whose index_version differs from the base codebooks'
+      (it was encoded against RETRAINED codebooks — its codes index
+      into the wrong codeword tables, so ADC scores would be garbage);
+    - a duplicate vec_id across base+epochs (an id re-ingested with
+      possibly different content — serving either row silently is
+      wrong; the append-only corpus contract is ids are unique);
+    - unless allow_drift, any epoch the drift rule flags — a pipeline
+      acknowledges drift explicitly (and schedules a retrain) instead
+      of inheriting degraded recall.
+
+    The staleness-vs-live-table check of load_pq_index deliberately
+    does NOT apply: an incremental index OUTLIVES its base fingerprint
+    by design — its freshness contract is 'base + committed epochs
+    cover the ingested corpus', enforced by the maintainer's
+    exactly-once epoch commits, not by re-fingerprinting."""
+    import os
+
+    import numpy as np
+
+    books, coarse, version = load_pq_codebooks(spark, index_root)
+    rows = _read_index_rows(
+        spark, index_root, "pq_codes", ["vec_id", "codes", "list_id"]
+    )
+    rows = [(r[0], r[1], r[2]) for r in rows]
+    ep_path = f"{index_root}/pq_codes_epochs"
+    if os.path.isdir(ep_path):
+        ep_rows = _read_index_rows(
+            spark,
+            index_root,
+            "pq_codes_epochs",
+            ["vec_id", "codes", "list_id", "recon_cos", "index_version", "epoch"],
+        )
+        bad = {r[5] for r in ep_rows if r[4] != version}
+        if bad:
+            raise ValueError(
+                f"epochs {sorted(bad)} at {ep_path} were encoded against "
+                f"codebook version != {version} (base was retrained "
+                "after they were appended) — rebuild the epochs or the "
+                "base; mixed-codebook codes cannot be served"
+            )
+        if not allow_drift:
+            by_epoch: dict[str, list[float]] = {}
+            for r in ep_rows:
+                by_epoch.setdefault(r[5], []).append(r[3])
+            drifted = {
+                e
+                for e, cs in by_epoch.items()
+                if sum(cs) / len(cs) < _PQ_DRIFT_FLOOR
+            }
+            if drifted:
+                raise ValueError(
+                    f"epochs {sorted(drifted)} fail the codebook-drift "
+                    f"floor (mean recon_cos < {_PQ_DRIFT_FLOOR}): the "
+                    "frozen codebooks no longer represent that data — "
+                    "retrain via build_pq_index(force=True) (or pass "
+                    "allow_drift=True to serve degraded scores "
+                    "deliberately)"
+                )
+        rows += [(r[0], r[1], r[2]) for r in ep_rows]
+    if len(rows) > _MAX_INDEX_ROWS:
+        raise ValueError(
+            f"base+epoch codes exceed the {_MAX_INDEX_ROWS}-row "
+            "broadcast cap; shard the inverted lists across executors "
+            "(SCALE.md) instead of a flat load"
+        )
+    seen = {r[0] for r in rows}
+    if len(seen) != len(rows):
+        raise ValueError(
+            "duplicate vec_id across base+epochs — an id was re-ingested; "
+            "the append-only index contract requires globally unique ids"
+        )
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    codes = np.array(
+        [np.frombuffer(bytes.fromhex(r[1]), dtype=np.uint8) for r in rows]
+    )
+    assign = np.array([r[2] for r in rows], dtype=np.int64)
+    return books, ids, codes, coarse, assign
+
+
+def _pq_inc_fixture_root(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted incremental-index fixture: base index trained+built on
+    the 'already ingested' ~90% of the embeddings corpus (md5 buckets
+    >= '1a'), then two later batches (buckets < '0d' and ['0d','1a'))
+    epoch-appended against the frozen codebooks — the accumulated state
+    a nightly ingest leaves behind. Content-addressed on the embeddings
+    fingerprint (util.persisted_artifact), so warm calls pay load+score
+    only and a rewritten fixture rebuilds instead of serving stale
+    codes."""
+    import shutil
+    import tempfile
+
+    from .sampling import _TEST_LT, _split_bucket
+    from .util import persisted_artifact
+
+    def build(tmp: str) -> None:
+        emb = t(spark, sf_dir, "embeddings")
+        bucket = _split_bucket("vec_id")
+        workdir = tempfile.mkdtemp(prefix="pq_inc_base_")
+        try:
+            # stage the base corpus as its own table dir so the
+            # one-shot builder trains/encodes on exactly that slice
+            base_sf = f"{workdir}/basecorpus"
+            emb.filter(~(bucket < _TEST_LT)).write.parquet(
+                f"{base_sf}/embeddings.parquet"
+            )
+            build_pq_index(spark, base_sf, tmp)
+            new = emb.filter(bucket < _TEST_LT)
+            append_pq_epoch(
+                spark, new.filter(bucket < "0d"), tmp, "batch", 1
+            )
+            append_pq_epoch(
+                spark, new.filter(~(bucket < "0d")), tmp, "batch", 2
+            )
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    fp = _table_fingerprint(table_path(sf_dir, "embeddings"))
+    return persisted_artifact(spark, "pq_inc_index", sf_dir, fp, build)
+
+
+@query("embed_ann_pq_incremental")
+def embed_ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained ANN index, end to end (rows-only: PQ
+    code arithmetic is not SQL-expressible — one-shot equivalence,
+    replay safety, torn-base/version-mismatch refusal, and the drift
+    flag are pinned in tests/test_similarity.py and
+    tests/test_streaming.py): the deterministic md5 split plays time —
+    the base corpus (~90%) was indexed offline (codebooks trained +
+    codes built), two later ingest batches were epoch-appended against
+    the FROZEN codebooks, and queries now serve IVF-ADC top-k over
+    base+epochs as one index. No vector is ever encoded twice; training
+    cost is zero on the ingest path — the maintenance shape that holds
+    when the codes table is 100 TB and a day's ingest is 0.1% of it.
+    Reference: no vector/index surface (SURVEY.md §2.2); FAISS-style
+    add-then-periodic-retrain (Johnson et al. 2017)."""
+    root = _pq_inc_fixture_root(spark, sf_dir)
+    books, ids, codes, coarse, assign = load_pq_index_incremental(spark, root)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)
+
+
+@query("embed_pq_index_drift")
+def embed_pq_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-drift report over the incrementally-maintained PQ index
+    (rows-only: recon_cos is PQ arithmetic; the flag's firing threshold
+    is pinned both ways in tests/test_similarity.py): per epoch-append,
+    the mean/min reconstruction cosine of that batch under the FROZEN
+    base codebooks and whether the drift rule demands a retrain. The
+    fixture's two epochs are drawn from the training distribution, so
+    both report retrain_needed=false — the positive case (a batch the
+    codebooks cannot represent) is exercised in tests where the corpus
+    can be synthetic. One bounded aggregate; the base codes are never
+    read."""
+    root = _pq_inc_fixture_root(spark, sf_dir)
+    return pq_index_drift_report(spark, root).select(
+        "epoch",
+        "n_vectors",
+        "mean_recon_cos",
+        "min_recon_cos",
+        "retrain_needed",
+    )
 
 
 @query(

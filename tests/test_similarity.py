@@ -964,3 +964,217 @@ def test_pca_variance_explained_matches_numpy(spark, sf_dir):
         key=lambda r: r.component,
     )
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def _mk_gauss_corpus(spark, path: str, n: int, seed: int, id0: int = 0):
+    """Write n seeded gaussian vectors as an embeddings.parquet table;
+    returns the (vec_id, embedding) rows for direct numpy checks."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, 64).astype("float32")
+    rows = [
+        (int(id0 + i), [float(x) for x in vecs[i]], int(i % 3))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    return rows
+
+
+def test_pq_incremental_epoch_append_contract(spark, tmp_path):
+    """Incremental PQ-index maintenance (VERDICT r11 item 2): an
+    epoch-appended batch is encoded EXACTLY as a one-shot encode of the
+    same vectors against the same frozen codebooks (one-shot
+    equivalence); a replayed epoch is a no-op; a torn base refuses to
+    accept epochs; epochs encoded against a retrained base are refused
+    at load; a re-ingested vec_id is refused at load."""
+    import os
+
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path / "sfdir")
+    os.makedirs(sf)
+    _mk_gauss_corpus(spark, sf, 600, seed=11)
+    root = str(tmp_path / "pq_inc_root")
+    assert sim.build_pq_index(spark, sf, root) is True
+
+    rng = np.random.RandomState(12)
+    new_vecs = rng.randn(40, 64).astype("float32")
+    new_df = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in new_vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    assert sim.append_pq_epoch(spark, new_df, root, "batch", 1) is True
+    # replay: partition exists -> skipped, nothing re-encoded
+    assert sim.append_pq_epoch(spark, new_df, root, "batch", 1) is False
+
+    books, ids, codes, coarse, assign = sim.load_pq_index_incremental(
+        spark, root
+    )
+    assert len(ids) == 640 and sorted(ids) == list(ids)
+
+    # one-shot equivalence: incremental rows == encoding base+new in one
+    # pass against the SAME frozen codebooks
+    b2, c2, version = sim.load_pq_codebooks(spark, root)
+    union = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).union(new_df)
+    oneshot = {
+        r.vec_id: (r.codes, r.list_id)
+        for r in sim.pq_encode_batch(spark, union, b2, c2, version).collect()
+    }
+    for i, vid in enumerate(ids):
+        want_codes, want_list = oneshot[int(vid)]
+        assert codes[i].tobytes().hex() == want_codes, vid
+        assert int(assign[i]) == want_list, vid
+
+    # epoch vectors survive a base-files-untouched check: committing an
+    # epoch never rewrites base codes
+    base_files = sorted(os.listdir(f"{root}/pq_codes"))
+    sim.append_pq_epoch(
+        spark,
+        spark.createDataFrame(
+            [(2000, [0.5] * 64)], "vec_id long, embedding array<float>"
+        ),
+        root,
+        "batch",
+        2,
+    )
+    assert sorted(os.listdir(f"{root}/pq_codes")) == base_files
+
+    # torn base: desync one table's version -> epoch append refuses
+    from pyspark.sql import functions as F
+
+    cb = spark.read.parquet(f"{root}/pq_codebooks")
+    good_cb = cb.collect()
+    torn = cb.withColumn("index_version", F.lit("deadbeef00000000"))
+    sim._swap_write(spark, torn.coalesce(1), f"{root}/pq_codebooks")
+    with pytest.raises(ValueError, match="no complete PQ base index"):
+        sim.append_pq_epoch(spark, new_df, root, "batch", 3)
+    sim._swap_write(
+        spark,
+        spark.createDataFrame(good_cb).coalesce(1),
+        f"{root}/pq_codebooks",
+    )
+    sim.load_pq_index_incremental(spark, root)  # healed
+
+    # retrained base under existing epochs: version mismatch is refused
+    _mk_gauss_corpus(spark, sf, 600, seed=99)
+    assert sim.build_pq_index(spark, sf, root) is True
+    with pytest.raises(ValueError, match="encoded against"):
+        sim.load_pq_index_incremental(spark, root)
+
+
+def test_pq_incremental_refuses_duplicate_vec_id(spark, tmp_path):
+    import os
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path / "sfdir")
+    os.makedirs(sf)
+    rows = _mk_gauss_corpus(spark, sf, 300, seed=21)
+    root = str(tmp_path / "pq_dup_root")
+    sim.build_pq_index(spark, sf, root)
+    # re-ingest an id already in the base
+    dup = spark.createDataFrame(
+        [(rows[0][0], rows[0][1])], "vec_id long, embedding array<float>"
+    )
+    sim.append_pq_epoch(spark, dup, root, "batch", 1)
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        sim.load_pq_index_incremental(spark, root)
+
+
+def test_pq_drift_rule_flags_off_manifold_epoch(spark, tmp_path):
+    """The drift rule both ways: an in-distribution epoch reports
+    retrain_needed=false and serves; an off-manifold epoch (one-hot
+    spike vectors, measured ~0.59 mean recon-cos vs the 0.70 floor)
+    reports retrain_needed=true, the incremental loader REFUSES it, and
+    allow_drift=True serves it deliberately."""
+    import os
+
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path / "sfdir")
+    os.makedirs(sf)
+    _mk_gauss_corpus(spark, sf, 600, seed=31)
+    root = str(tmp_path / "pq_drift_root")
+    sim.build_pq_index(spark, sf, root)
+
+    rng = np.random.RandomState(32)
+    good = rng.randn(40, 64).astype("float32")
+    sim.append_pq_epoch(
+        spark,
+        spark.createDataFrame(
+            [(3000 + i, [float(x) for x in good[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        ),
+        root,
+        "batch",
+        1,
+    )
+    rep = {
+        r.epoch: r for r in sim.pq_index_drift_report(spark, root).collect()
+    }
+    assert rep["batch-1"].retrain_needed is False
+    assert rep["batch-1"].mean_recon_cos > sim._PQ_DRIFT_FLOOR
+    sim.load_pq_index_incremental(spark, root)  # serves
+
+    spikes = np.eye(64, dtype="float32")[:40]
+    sim.append_pq_epoch(
+        spark,
+        spark.createDataFrame(
+            [(4000 + i, [float(x) for x in spikes[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        ),
+        root,
+        "batch",
+        2,
+    )
+    rep = {
+        r.epoch: r for r in sim.pq_index_drift_report(spark, root).collect()
+    }
+    assert rep["batch-1"].retrain_needed is False
+    assert rep["batch-2"].retrain_needed is True
+    assert rep["batch-2"].mean_recon_cos < sim._PQ_DRIFT_FLOOR
+    with pytest.raises(ValueError, match="drift"):
+        sim.load_pq_index_incremental(spark, root)
+    books, ids, codes, coarse, assign = sim.load_pq_index_incremental(
+        spark, root, allow_drift=True
+    )
+    assert len(ids) == 680
+
+
+def test_pq_incremental_registered_queries(spark, sf_dir):
+    """The registered fixture queries: embed_ann_pq_incremental serves
+    base+epochs as one index whose row set covers every query vector
+    with k neighbors (same shape contract as embed_ann_ivf_pq), and
+    embed_pq_index_drift reports both fixture epochs in-distribution
+    (retrain_needed=false — held-out recon ~0.81 vs floor 0.70) and is
+    deterministic across calls."""
+    reg = load_all()
+    out = reg["embed_ann_pq_incremental"].fn(spark, sf_dir).collect()
+    assert out, "incremental ANN must return neighbors"
+    per_q: dict[int, int] = {}
+    for r in out:
+        per_q[r.qid] = per_q.get(r.qid, 0) + 1
+        assert r.qid != r.nid
+    assert max(per_q.values()) <= 5
+
+    drift = reg["embed_pq_index_drift"].fn(spark, sf_dir).collect()
+    assert [r.epoch for r in drift] == ["batch-1", "batch-2"]
+    assert all(r.retrain_needed is False for r in drift)
+    assert all(r.mean_recon_cos > 0.70 for r in drift)
+    again = reg["embed_pq_index_drift"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in drift]

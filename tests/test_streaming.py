@@ -1259,3 +1259,246 @@ def test_cooc_graph_stream_equals_batch_textrank(spark, tmp_path, sf_dir):
         for r in text_textrank_keywords(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pq_index_stream_maintenance_replay_and_missing_base(
+    spark, tmp_path, monkeypatch
+):
+    """Streaming PQ-index maintenance (VERDICT r11 item 2): a stream
+    against a MISSING base index fails loudly with build_pq_index's
+    instruction (training never happens implicitly on the ingest path);
+    once the base exists, each wave of arriving embedding files commits
+    exactly one epoch; base files are never rewritten; a no-new-files
+    rerun changes nothing; a crash after the epoch commit (before the
+    checkpoint commit) converges on replay with no duplicate rows; and
+    the incremental loader serves base+epochs as one index."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    embdir = tmp_path / "pq_emb"
+    embdir.mkdir()
+    schema = "vec_id long, embedding array<double>"
+    sf = str(tmp_path / "pq_sf")
+    os.makedirs(sf)
+    root = str(tmp_path / "pq_stream_index")
+    ckpt = str(tmp_path / "pq_stream_ckpt")
+
+    rng = np.random.RandomState(41)
+    base = rng.randn(400, 64).astype("float32")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]], 0) for i in range(400)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(2).write.parquet(f"{sf}/embeddings.parquet")
+
+    def drop(name, id0, vecs):
+        with open(embdir / name, "w") as f:
+            for i in range(len(vecs)):
+                f.write(
+                    json.dumps(
+                        {"vec_id": id0 + i,
+                         "embedding": [float(x) for x in vecs[i]]}
+                    )
+                    + "\n"
+                )
+
+    def listing():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{root}/**/*", recursive=True)
+            if os.path.isfile(p)
+        }
+
+    drop("w1.json", 1000, rng.randn(30, 64))
+
+    # missing base: the first batch must fail with the build instruction
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as exc_info:
+        ingest_stream.maintain_pq_index(spark, str(embdir), root, ckpt, schema)
+    assert "build_pq_index" in str(exc_info.value)
+
+    assert sim.build_pq_index(spark, sf, root) is True
+    # restart on the SAME checkpoint: the failed batch replays and
+    # commits now that the base exists
+    ingest_stream.maintain_pq_index(spark, str(embdir), root, ckpt, schema)
+    epochs1 = glob.glob(f"{root}/pq_codes_epochs/epoch=*")
+    assert len(epochs1) == 1
+    snap1 = listing()
+
+    # wave 2: new epoch, wave-1 epoch + base files byte-stable
+    drop("w2.json", 2000, rng.randn(25, 64))
+    ingest_stream.maintain_pq_index(spark, str(embdir), root, ckpt, schema)
+    snap2 = listing()
+    for p, meta in snap1.items():
+        assert snap2[p] == meta, f"earlier index file rewritten: {p}"
+    assert len(glob.glob(f"{root}/pq_codes_epochs/epoch=*")) == 2
+
+    # no new files -> byte-stable
+    ingest_stream.maintain_pq_index(spark, str(embdir), root, ckpt, schema)
+    assert listing() == snap2
+
+    # crash AFTER the epoch commit, before the checkpoint commit: the
+    # replayed epoch finds its partition present and skips
+    drop("w3.json", 3000, rng.randn(20, 64))
+    real_append = sim.append_pq_epoch
+
+    def crash_after_commit(spark_, batch, index_root, lineage, epoch_id):
+        committed = real_append(spark_, batch, index_root, lineage, epoch_id)
+        raise RuntimeError(
+            f"injected crash: epoch committed={committed}, checkpoint not"
+        )
+
+    import build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity as sim_mod
+
+    monkeypatch.setattr(sim_mod, "append_pq_epoch", crash_after_commit)
+    with pytest.raises(StreamingQueryException) as exc_info:
+        ingest_stream.maintain_pq_index(spark, str(embdir), root, ckpt, schema)
+    assert "injected crash" in str(exc_info.value)
+    monkeypatch.setattr(sim_mod, "append_pq_epoch", real_append)
+    ingest_stream.maintain_pq_index(spark, str(embdir), root, ckpt, schema)
+
+    assert len(glob.glob(f"{root}/pq_codes_epochs/epoch=*")) == 3
+    ep = spark.read.parquet(f"{root}/pq_codes_epochs")
+    assert ep.count() == ep.select("vec_id").distinct().count() == 75
+
+    books, ids, codes, coarse, assign = sim.load_pq_index_incremental(
+        spark, root
+    )
+    assert len(ids) == 475
+    # every stored code indexes into the loaded codebooks
+    assert codes.max() < books.shape[1]
+
+
+def test_incremental_load_clustered_dirty_only_and_crash_convergence(
+    spark, tmp_path, monkeypatch
+):
+    """The ingest→OPTIMIZE-ZORDER loop composed into one stream
+    (VERDICT r11 item 5): wave 2 touches only one of wave 1's
+    partitions — the untouched partition's files (data + marker) stay
+    byte-identical (dirty-only maintenance, mechanically asserted on
+    the listing); a crash between the idempotent append and the
+    maintenance pass converges across a checkpoint restart to exactly
+    the crash-free state (no duplicate keys, every partition
+    marker-clean); replays append nothing."""
+    import glob
+    import os
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        layout as layout_mod,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.layout import (
+        _ZORDER_MARKER,
+        _partition_fingerprint,
+    )
+
+    srcdir = tmp_path / "clustered_src"
+    srcdir.mkdir()
+    schema = "id long, grp string, x long, y long"
+    table = str(tmp_path / "clustered_table")
+    ckpt = str(tmp_path / "clustered_ckpt")
+
+    def drop(name, rows):
+        with open(srcdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run():
+        ingest_stream.incremental_load_clustered(
+            spark, str(srcdir), table, ckpt, schema, "grp", ["x", "y"]
+        )
+
+    def part_listing(part):
+        d = os.path.join(table, part)
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if os.path.isfile(os.path.join(d, f))
+        }
+
+    def assert_all_clean():
+        for entry in os.listdir(table):
+            d = os.path.join(table, entry)
+            if not os.path.isdir(d) or "=" not in entry:
+                continue
+            marker = os.path.join(d, _ZORDER_MARKER)
+            assert os.path.isfile(marker), f"{entry} unclustered"
+            with open(marker) as f:
+                assert f.read().strip() == _partition_fingerprint(d), entry
+
+    # wave 1: two partitions
+    drop("w1.json", [
+        {"id": i, "grp": "a" if i % 2 else "b",
+         "x": i * 7 % 101, "y": i * 13 % 97}
+        for i in range(200)
+    ])
+    run()
+    assert_all_clean()
+    snap_b = part_listing("grp=b")
+
+    # wave 2: touches ONLY grp=a (plus replayed ids that must be no-ops)
+    drop("w2.json", [
+        {"id": 1000 + i, "grp": "a", "x": i, "y": i * 3 % 31}
+        for i in range(50)
+    ] + [{"id": 0, "grp": "b", "x": 0, "y": 0}])  # id=0 already loaded
+    run()
+    assert_all_clean()
+    assert part_listing("grp=b") == snap_b, (
+        "untouched partition was rewritten — maintenance must be dirty-only"
+    )
+    df = spark.read.parquet(table)
+    assert df.count() == df.select("id").distinct().count() == 250
+
+    # wave 3 with an injected crash BETWEEN append and maintenance
+    drop("w3.json", [
+        {"id": 2000 + i, "grp": "b", "x": i * 5 % 89, "y": i}
+        for i in range(40)
+    ])
+    real_maintain = layout_mod.zorder_maintain
+
+    def crash_before_maintain(*a, **k):
+        raise RuntimeError("injected crash: appended, not maintained")
+
+    monkeypatch.setattr(layout_mod, "zorder_maintain", crash_before_maintain)
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as exc_info:
+        run()
+    assert "injected crash" in str(exc_info.value)
+    # crash window state: rows appended, partition dirty (marker stale)
+    bdir = os.path.join(table, "grp=b")
+    with open(os.path.join(bdir, _ZORDER_MARKER)) as f:
+        assert f.read().strip() != _partition_fingerprint(bdir), (
+            "crash point must leave the touched partition dirty"
+        )
+
+    monkeypatch.setattr(layout_mod, "zorder_maintain", real_maintain)
+    run()  # restart on the same checkpoint: replay converges
+    assert_all_clean()
+    df = spark.read.parquet(table)
+    assert df.count() == df.select("id").distinct().count() == 290
+    assert df.filter("grp = 'b'").count() == 140
+    # no parked/staging debris anywhere
+    assert not glob.glob(f"{table}/.zorder_old/*")
+    assert not glob.glob(f"{table}/.zorder_staging/*")
+
+    # no new files -> full no-op pass
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{table}/**/*", recursive=True)
+        if os.path.isfile(p)
+    }
+    run()
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{table}/**/*", recursive=True)
+        if os.path.isfile(p)
+    }
+    assert after == before
