@@ -97,6 +97,12 @@ HEADLINE = [
     # corpus streamed against masked inverted lists; warm runs measure
     # load + score — the build is memoized per content fingerprint).
     "embed_ann_join_ivf_pq",
+    # r12 addition (this round becomes its anchor): ANN top-k served
+    # from the incrementally-maintained PQ index (base + epoch-appended
+    # codes against frozen codebooks; warm runs measure load + union +
+    # score — the build and the epoch appends are memoized per content
+    # fingerprint, as in production where they are the ingest path).
+    "embed_ann_pq_incremental",
 ]
 
 
@@ -135,17 +141,35 @@ def main() -> None:
     # were min-of-3 jitter-tail draws on 1-2 s rows, the same class the
     # r7 sub-second fix already closed. ~20 s more bench wall buys the
     # multi-second band the same tight floor.
+    # r12 (VERDICT r11 item 3): min-of-5 bounds but cannot eliminate the
+    # ±0.1 s scheduler/GC band on SUB-SECOND rows — r11 measured two
+    # same-round draws of dedup_ngram_containment at 1.15 and 1.37
+    # vs-anchor on a byte-identical plan (~0.5 s absolute). So sub-second
+    # rows additionally get 4 extra runs (9 total) and report a
+    # STEADY-STATE statistic: the median of runs 3..9 (drop the first
+    # two — they can carry residual compile/cache-warm cost). A median
+    # over 7 warm draws has ~N× tighter sampling error on the center of
+    # the jitter band than a min over the same draws has on its floor,
+    # so round-over-round deltas on `vs_stable` reflect plan changes,
+    # not tail draws. The min-of-N `queries` rows stay — they are the
+    # anchor-comparable series back to r1.
     timings: dict[str, float] = {}
+    stable: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        best = float("inf")
-        n = 0
-        while n < 5:
+        runs: list[float] = []
+        while len(runs) < 5:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-            n += 1
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if min(runs) < 1.0:
+            while len(runs) < 9:
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            warm = sorted(runs[2:])
+            stable[name] = round(warm[len(warm) // 2], 3)
+        timings[name] = round(min(runs), 3)
 
     # Reference-workload parity: the reference's entire job is one
     # 100-row HTTP->GCS->BigQuery batch per 6-hour tick (reference
@@ -210,9 +234,73 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stable": stable,
         "calib_seconds": round(calib, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # Steady-state anchors for the sub-second rows (VERDICT r11 item 3),
+    # seeded from the r12 quiet-host run (calib 0.315 — hence
+    # _STABLE_CALIB_REF below); a row appears here only if its min-of-5
+    # dipped sub-second that round. Gate on the MEDIAN of the
+    # normalized ratios, not single rows — see the note for the
+    # measured between-run variance this policy accounts for.
+    _STABLE_ANCHORS: dict[str, float] = {
+        "customer_rfm_segments": 0.324,
+        "decontaminate_ngram_overlap": 1.039,
+        "dedup_incremental_index": 1.020,
+        "dedup_ngram_containment": 0.573,
+        "dedup_repeated_spans": 0.855,
+        "dedup_triangle_count": 0.227,
+        "doc_chunk_cdc": 0.396,
+        "dq_anomaly_mad": 0.647,
+        "dq_referential_integrity": 0.777,
+        "embed_ann_ivf_pq": 0.987,
+        "embed_ann_join_ivf_pq": 0.290,
+        "embed_ann_pq_incremental": 0.606,
+        "embed_cosine_topk": 0.545,
+        "embed_kmeans_step": 0.592,
+        "embed_range_search": 0.552,
+        "events_latency_percentiles": 0.551,
+        "events_session": 0.276,
+        "join_asof": 0.324,
+        "q10_returned_items": 0.702,
+        "q1_pricing_summary": 0.575,
+        "q3_shipping_priority": 0.776,
+        "q5_region_revenue": 0.657,
+        "q6_forecast_revenue": 0.204,
+        "snapshot_diff": 0.442,
+        "text_collocation_pmi": 0.686,
+        "text_filter_funnel": 1.150,
+        "text_heavy_hitters_cms": 0.247,
+        "text_inverted_index": 0.549,
+        "text_tfidf": 0.812,
+        "text_vocab_coverage": 0.304,
+        "topk_per_group": 0.536,
+        "window_ranking": 0.398,
+    }
+    # calib of the host the stable anchors were measured on
+    _STABLE_CALIB_REF = 0.315
+    if stable and _STABLE_ANCHORS:
+        _raw_stable = {
+            q: v / _STABLE_ANCHORS[q]
+            for q, v in stable.items()
+            if _STABLE_ANCHORS.get(q)
+        }
+        out["vs_stable"] = {q: round(r, 2) for q, r in _raw_stable.items()}
+        snorm = _STABLE_CALIB_REF / calib if calib > 0 else 1.0
+        out["vs_stable_calib_norm"] = {
+            q: round(r * snorm, 2) for q, r in _raw_stable.items()
+        }
+        svals = sorted(out["vs_stable_calib_norm"].values())
+        if svals:
+            mid = len(svals) // 2
+            out["median_vs_stable_calib_norm"] = round(
+                svals[mid]
+                if len(svals) % 2
+                else (svals[mid - 1] + svals[mid]) / 2,
+                2,
+            )
 
     # Per-query delta vs the recorded anchor so regressions stay visible
     # through host-load noise: ratio > 1 is slower than the anchor.
@@ -261,6 +349,11 @@ def main() -> None:
         # r11 suite addition, anchored to its first (r11) warm-best on
         # an anchor-speed host (calib 0.280)
         "embed_ann_join_ivf_pq": 0.294,
+        # r12 suite addition, anchored to its first (r12) warm-best
+        # (calib 0.315 — ~12% outside the 0.261-0.286 anchor band, so
+        # this anchor is mildly conservative: future anchor-speed hosts
+        # will read slightly under 1.0)
+        "embed_ann_pq_incremental": 0.553,
     }
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
     if os.path.exists(anchor_path):
@@ -319,7 +412,17 @@ def main() -> None:
             "0.28/calib_seconds to remove host speed (anchor hosts "
             "measured 0.261-0.286). Gate on BOTH medians: raw is the "
             "hard signal, normalized explains host drift — a raw "
-            "regression is never excused by normalization alone."
+            "regression is never excused by normalization alone. "
+            "Sub-second rows (r12): `stable` is the median of 7 warm "
+            "runs — it kills WITHIN-run draw noise (the class behind "
+            "r11's dedup_ngram_containment 1.15-vs-1.37 same-round "
+            "min-of-5 draws). BETWEEN-run host variance remains (two "
+            "quiet r12 runs 20 min apart measured per-row normalized "
+            "spread up to ±0.3): gate on median_vs_stable_calib_norm "
+            "(~30-row median averages that down to ~±0.05); a SINGLE "
+            "row's vs_stable flags a plan regression only when its "
+            "PLANS.md row changed or the delta persists across two "
+            "rounds — otherwise it is environment."
         )
     # Persist the complete table alongside stdout: the driver captures
     # only a truncated stdout tail (BENCH_r10.json lost per-query rows,
