@@ -2254,6 +2254,34 @@ def load_pq_index_incremental(
     return books, ids, codes, coarse, assign
 
 
+def retrain_pq_index(spark: SparkSession, sf_dir: str, index_root: str) -> bool:
+    """The retrain step the drift rule points at: rebuild the base index
+    from the LIVE embeddings table (which, in the ingest pipeline,
+    already contains every epoch-appended batch — ingest lands vectors
+    in the table AND encodes them into the index), then clear the
+    now-superseded epoch partitions. Returns True when a rebuild ran.
+
+    Crash ordering is deliberate: the base rebuild swaps in FIRST, so a
+    crash before the epoch clear leaves epochs whose index_version
+    mismatches the new codebooks — load_pq_index_incremental REFUSES
+    that state loudly (never serves a vector twice or against the wrong
+    codebooks), and re-running this function converges (the rebuild is
+    an idempotent skip, the clear completes). Clearing first would
+    instead open a window where the index silently lacks the epoch
+    vectors. Pinned in tests/test_similarity.py.
+
+    force=False is load-bearing: under the ingest invariant the live
+    table gained the epoch batches, so its fingerprint differs from
+    the stored version and the rebuild runs; on a crash-retry where
+    the rebuild already landed, it skips instead of re-training —
+    that skip IS the idempotence."""
+    import shutil
+
+    ran = build_pq_index(spark, sf_dir, index_root)
+    shutil.rmtree(f"{index_root}/pq_codes_epochs", ignore_errors=True)
+    return ran
+
+
 def _pq_inc_fixture_root(spark: SparkSession, sf_dir: str) -> str:
     """Persisted incremental-index fixture: base index trained+built on
     the 'already ingested' ~90% of the embeddings corpus (md5 buckets

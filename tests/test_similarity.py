@@ -1226,3 +1226,60 @@ def test_filtered_search_predicate_and_recall(spark, sf_dir):
     for r in reg["embed_ann_filtered_ivf_pq"].fn(spark, sf_dir).collect():
         again.setdefault(r.qid, set()).add(r.nid)
     assert again == ann
+
+
+def test_pq_retrain_clears_drift_and_crash_orders_safely(spark, tmp_path):
+    """The retrain closure of the drift loop: a drifted epoch makes the
+    incremental loader refuse; after the drifted batch also lands in
+    the live table (the ingest pipeline's invariant), retrain_pq_index
+    rebuilds the base from the live table and clears the epochs — the
+    loader then serves every vector exactly once. The crash window
+    between rebuild and epoch-clear is REFUSED (version mismatch), not
+    silently served, and re-running the retrain converges."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path / "sfdir")
+    os.makedirs(sf)
+    _mk_gauss_corpus(spark, sf, 500, seed=51)
+    root = str(tmp_path / "pq_retrain_root")
+    sim.build_pq_index(spark, sf, root)
+
+    # an off-manifold batch arrives: epoch-append flags drift
+    spikes = np.eye(64, dtype="float32")[:30]
+    batch = spark.createDataFrame(
+        [(5000 + i, [float(x) for x in spikes[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    sim.append_pq_epoch(spark, batch, root, "batch", 1)
+    with pytest.raises(ValueError, match="drift"):
+        sim.load_pq_index_incremental(spark, root)
+
+    # the same batch lands in the live table (ingest invariant), plus
+    # label column to match the table schema
+    spark.createDataFrame(
+        [(5000 + i, [float(x) for x in spikes[i]], 0) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("append").parquet(f"{sf}/embeddings.parquet")
+
+    # crash window: simulate rebuild-done/clear-not-run by retraining
+    # with the epoch dir restored afterwards
+    ep_backup = str(tmp_path / "ep_backup")
+    shutil.copytree(f"{root}/pq_codes_epochs", ep_backup)
+    assert sim.retrain_pq_index(spark, sf, root) is True
+    shutil.copytree(ep_backup, f"{root}/pq_codes_epochs")
+    with pytest.raises(ValueError, match="encoded against"):
+        sim.load_pq_index_incremental(spark, root)  # refused, not silent
+    # re-run converges: rebuild skips (fresh), clear completes
+    assert sim.retrain_pq_index(spark, sf, root) is False
+    books, ids, codes, coarse, assign = sim.load_pq_index_incremental(
+        spark, root
+    )
+    assert len(ids) == 530 and len(set(ids)) == 530
+    assert not os.path.isdir(f"{root}/pq_codes_epochs")

@@ -272,6 +272,24 @@ def main() -> None:
             # Run 1 pays the fingerprint-keyed index build; min-of-runs
             # measures the warm query path.
             "embed_ann_join_ivf_pq",
+            # r12: the incrementally-maintained ANN index (base build on
+            # ~90% + two epoch appends against frozen codebooks, all
+            # inside the fingerprint-keyed artifact build paid by run 1;
+            # min-of-runs measures warm load+union+score). Same
+            # fixed-nlist caveat as the join row: the registered query
+            # holds nlist constant, so the measured exponent documents
+            # the parameter-mistake cost; the production rule stays
+            # nlist ~ N (the embed_ann_ivf row measures that at e~0.1).
+            "embed_ann_pq_incremental",
+            # r12: exact filtered search. The label-shifted copies keep
+            # only copy-0 labels inside the predicate, so the broadcast
+            # candidate side stays CONSTANT as the corpus replicates
+            # while queries grow k-fold — expected e~1 dominated by the
+            # query-side scan (the realistic regime: a selective filter
+            # makes exact search CHEAPER per corpus growth, which is
+            # why the exact path is the production choice whenever the
+            # filtered pool fits the broadcast cap).
+            "embed_topk_filtered",
         ]
         sweep_queries = [n for n in sweep_queries if want(n)]
         for name in sweep_queries:
