@@ -1502,3 +1502,16 @@ def test_incremental_load_clustered_dirty_only_and_crash_convergence(
         if os.path.isfile(p)
     }
     assert after == before
+
+    # the point of the loop: the streamed table's files are actually
+    # CLUSTERED — a narrow x-band prunes row groups in every partition.
+    # At 4 tiny files/partition the z-curve's per-file x-extent bounds
+    # the fraction (~0.25-0.5 here); the clustering QUALITY floor
+    # (>=0.5 on real partition sizes, vs <0.25 unclustered) is pinned
+    # in tests/test_layout.py — this asserts the stream composition
+    # produces clustered output at all crash/replay paths.
+    from tests.test_layout import _prunable_fraction
+
+    for part in ("grp=a", "grp=b"):
+        frac = _prunable_fraction(os.path.join(table, part), "x", 92.0, 100.0)
+        assert frac >= 0.25, (part, frac)
