@@ -153,6 +153,56 @@ def run_validated_stream(
         return {"success": False, "error": f"validated stream failed: {exc}"}
 
 
+def run_zorder_maintain(
+    spark: SparkSession, cfg: IngestConfig
+) -> dict[str, Any]:
+    """Scheduled layout maintenance: incremental OPTIMIZE-ZORDER over a
+    hive-partitioned table (operators.layout.zorder_maintain — only
+    partitions whose data changed since their marker re-cluster). The
+    cron sibling of `compact`: where compact bounds small files, this
+    restores multi-column skipping after appends. Table and clustering
+    columns come from the same env surface as the rest of the job
+    (ENGINE_ZORDER_TABLE, default the warehouse table;
+    ENGINE_ZORDER_COLS, comma-separated, required). The reference has
+    no layout surface at all — BigQuery manages physical layout
+    invisibly (src/load/main.py:40); on plain parquet it is an explicit
+    scheduled step."""
+    import os
+
+    from .operators.layout import zorder_maintain
+
+    table = os.environ.get("ENGINE_ZORDER_TABLE", cfg.table_path())
+    cols = [
+        c.strip()
+        for c in os.environ.get("ENGINE_ZORDER_COLS", "").split(",")
+        if c.strip()
+    ]
+    if not 2 <= len(cols) <= 4:
+        return {
+            "success": False,
+            "error": (
+                "ENGINE_ZORDER_COLS must name 2-4 clustering columns "
+                f"(got {cols!r})"
+            ),
+        }
+    try:
+        report = zorder_maintain(spark, table, cols)
+        n_clustered = sum(1 for _e, a, _n in report if a == "clustered")
+        n_skipped = sum(1 for _e, a, _n in report if a == "skipped")
+        return {
+            "success": True,
+            "message": (
+                f"zorder-maintained {table} on {cols}: "
+                f"{n_clustered} partition(s) re-clustered, "
+                f"{n_skipped} clean"
+            ),
+            "partitions_clustered": n_clustered,
+            "partitions_skipped": n_skipped,
+        }
+    except Exception as exc:
+        return {"success": False, "error": f"zorder-maintain failed: {exc}"}
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI entry point:
     ``spark-submit path/to/build_a_cloud_based_batch_etl_pipeline_spark/job.py <step>`` or
@@ -166,7 +216,7 @@ def main(argv: list[str] | None = None) -> int:
         "step",
         choices=[
             "extract", "load", "pipeline", "stream", "stream-validated",
-            "compact",
+            "compact", "zorder-maintain",
         ],
     )
     args = ap.parse_args(argv)
@@ -182,6 +232,7 @@ def main(argv: list[str] | None = None) -> int:
         "stream": run_stream,
         "stream-validated": run_validated_stream,
         "compact": run_compact,
+        "zorder-maintain": run_zorder_maintain,
     }[args.step]
     envelope = step(spark, cfg)
     print(json.dumps(envelope))

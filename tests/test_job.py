@@ -114,3 +114,38 @@ def test_stream_validated_step_envelope(spark, tmp_path):
     assert quar.count() == 1 and quar.first().reasons == "userid_null"
     env2 = job.run_validated_stream(spark, cfg)
     assert (env2["rows_appended"], env2["rows_quarantined"]) == (0, 0)
+
+
+def test_job_zorder_maintain_step(spark, tmp_path, monkeypatch):
+    """The zorder-maintain step: missing/short ENGINE_ZORDER_COLS is a
+    failure envelope (exit-1 signal, no work attempted); with a real
+    hive-partitioned table and cols set, the first run re-clusters
+    every partition and a rerun reports them all clean — the dirty-only
+    contract surfaced through the scheduled-job envelope."""
+    from build_a_cloud_based_batch_etl_pipeline_spark import job
+    from build_a_cloud_based_batch_etl_pipeline_spark.sinks import (
+        write_parquet_table,
+    )
+
+    cfg = _cfg(tmp_path)
+    monkeypatch.delenv("ENGINE_ZORDER_COLS", raising=False)
+    out = job.run_zorder_maintain(spark, cfg)
+    assert out["success"] is False and "ENGINE_ZORDER_COLS" in out["error"]
+
+    table = str(tmp_path / "orders_zt")
+    df = spark.range(600).selectExpr(
+        "id",
+        "CAST(id % 3 AS STRING) AS grp",
+        "CAST(id * 7 % 101 AS LONG) AS x",
+        "CAST(id * 13 % 97 AS LONG) AS y",
+    )
+    write_parquet_table(df, table, mode="overwrite", partition_by=["grp"])
+    monkeypatch.setenv("ENGINE_ZORDER_TABLE", table)
+    monkeypatch.setenv("ENGINE_ZORDER_COLS", "x,y")
+    out = job.run_zorder_maintain(spark, cfg)
+    assert out["success"] is True
+    assert out["partitions_clustered"] == 3 and out["partitions_skipped"] == 0
+    again = job.run_zorder_maintain(spark, cfg)
+    assert again["success"] is True
+    assert again["partitions_clustered"] == 0 and again["partitions_skipped"] == 3
+    assert spark.read.parquet(table).count() == 600
