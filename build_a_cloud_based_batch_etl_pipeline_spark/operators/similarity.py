@@ -2508,6 +2508,208 @@ def embed_ann_filtered_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embed_topk_same_label",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dp
+        FROM u a JOIN u b
+          ON a.i = b.i AND a.label = b.label AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT qid, nid, round(dp / (x.nrm * y.nrm), 4) AS cosine
+        FROM dots
+        JOIN norms x ON qid = x.vec_id
+        JOIN norms y ON nid = y.vec_id
+    )
+    SELECT qid, nid, cosine FROM (
+        SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def embed_topk_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY dynamically filtered exact search: each vector's top-3
+    cosine neighbors among vectors sharing ITS OWN label — the
+    per-tenant / per-language / per-collection retrieval shape, where
+    the predicate differs per query row (vs embed_topk_filtered's one
+    static predicate). Fully oracled (label-equality join + windowed
+    top-k in SQL).
+
+    Scale shape: label is a PARTITIONING key, not a broadcast filter —
+    applyInPandas groups the corpus by label and brute-forces within
+    each group, so there is NO driver collect and NO broadcast cap:
+    parallelism = |labels|, per-task memory = group size (the blocked
+    exact-search discipline of dedup_embedding_cosine; a label group
+    too big for one task is exactly the case the ANN twin's per-query
+    masking serves). One shuffle on label. Reference: no vector
+    surface (SURVEY.md §2.2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def topk_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"qid": [], "nid": [], "cosine": []})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 4)
+        res_q, res_n, res_c = [], [], []
+        for i in range(len(ids)):
+            mask = ids != ids[i]
+            row, cand = sims[i][mask], ids[mask]
+            order = np.lexsort((cand, -row))[:3]
+            res_q.extend([ids[i]] * len(order))
+            res_n.extend(cand[order].tolist())
+            res_c.extend(row[order].tolist())
+        return pd.DataFrame({"qid": res_q, "nid": res_n, "cosine": res_c})
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return emb.groupBy("label").applyInPandas(topk_group, out_schema)
+
+
+@query("embed_ann_same_label_ivf_pq")
+def embed_ann_same_label_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query dynamically filtered ANN via the PERSISTED IVF-PQ
+    index (rows-only: ADC arithmetic; label agreement of every emitted
+    pair and recall vs the oracled exact twin embed_topk_same_label are
+    pinned in tests/test_similarity.py): the scorer carries the stored
+    index's label array, and each query's eligible-candidate mask is
+    `labels[cand] == its own label` — applied per query AFTER the
+    per-task inverted-list grouping, the dynamic-filter counterpart of
+    embed_ann_filtered_ivf_pq's static fold. Probes are
+    selectivity-scaled exactly as the static path (each label is ~10%
+    of the corpus here, so every list is probed — at that selectivity
+    a production deployment label-PARTITIONS the codes table instead,
+    which is the exact twin's applyInPandas shape; the dynamic mask
+    earns its keep when labels are many and the filter is per-query).
+
+    Scale shape: one extra int64 per index vector rides the broadcast;
+    per-query cost adds one vectorized label compare. At 100 TB with
+    few labels, partition the codes table by label; with many sparse
+    labels, this masked path is the one that works."""
+    import math
+
+    import numpy as np
+
+    root = _pq_index_artifact(spark, sf_dir)
+    books, ids, codes, coarse, assign = load_pq_index(spark, sf_dir, root)
+    lab_rows = _read_index_rows(
+        spark, sf_dir, "embeddings.parquet", ["vec_id", "label"]
+    )
+    label_of = {int(v): int(lb) for v, lb in lab_rows}
+    index_labels = np.array([label_of[int(v)] for v in ids], dtype=np.int64)
+    n_labels = max(1, len(set(index_labels.tolist())))
+    nprobe = min(_IVFPQ_NLIST, math.ceil(_IVFPQ_NPROBE * n_labels))
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return _ivf_adc_topk_label_stream(
+        spark, emb, books, ids, codes, coarse, assign, index_labels,
+        k=3, nprobe=nprobe,
+    )
+
+
+def _ivf_adc_topk_label_stream(
+    spark: SparkSession,
+    emb: DataFrame,
+    books,
+    ids,
+    codes,
+    coarse,
+    assign,
+    index_labels,
+    k: int = 3,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """IVF-ADC top-k with a PER-QUERY label-equality mask: identical
+    routing/LUT/tie-break discipline as _ivf_adc_topk_stream, plus one
+    vectorized `labels[cand] == qlabel` compare per query. Kept as a
+    sibling rather than a flag on the shared scorer so the static-mask
+    paths pay zero per-query filter cost."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    n_probe = min(
+        _IVFPQ_NLIST, _IVFPQ_NPROBE if nprobe is None else int(nprobe)
+    )
+    b_all = spark.sparkContext.broadcast(
+        (books, ids, codes, coarse, assign, index_labels)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("adc_score", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        bk, index_ids, index_codes, cents, bucket_of, labs = b_all.value
+        members = [
+            np.flatnonzero(bucket_of == li) for li in range(len(cents))
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            qids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            qlabs = pdf["label"].to_numpy(dtype=np.int64)
+            qsim = q @ cents.T
+            probes = np.argsort(-qsim, axis=1)[:, :n_probe]
+            lut = np.einsum(
+                "bms,mks->bmk", q.reshape(len(q), _PQ_M, _PQ_SUB), bk
+            )
+            out_q, out_n, out_s = [], [], []
+            for bi in range(len(q)):
+                cand = np.concatenate([members[p] for p in probes[bi]])
+                cand = cand[
+                    (index_ids[cand] != qids[bi])
+                    & (labs[cand] == qlabs[bi])
+                ]
+                if not len(cand):
+                    continue
+                s = np.zeros(len(cand))
+                for m in range(_PQ_M):
+                    s += lut[bi, m, index_codes[cand, m]]
+                kk = min(k, len(cand))
+                top = np.lexsort((index_ids[cand], -s))[:kk]
+                out_q.extend([qids[bi]] * kk)
+                out_n.extend(index_ids[cand[top]])
+                out_s.extend(np.round(s[top], 4))
+            yield pd.DataFrame(
+                {
+                    "qid": np.array(out_q, dtype=np.int64),
+                    "nid": np.array(out_n, dtype=np.int64),
+                    "adc_score": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    return emb.mapInPandas(score, out_schema)
+
+
 @query("embed_pq_index_drift")
 def embed_pq_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook-drift report over the incrementally-maintained PQ index
