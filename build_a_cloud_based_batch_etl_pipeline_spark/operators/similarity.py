@@ -2710,6 +2710,166 @@ def _ivf_adc_topk_label_stream(
     return emb.mapInPandas(score, out_schema)
 
 
+# Hybrid retrieval: reciprocal-rank fusion of a lexical ranking and a
+# vector ranking — the fusion step every hybrid (BM25 + embedding)
+# search stack runs (Cormack et al. 2009). Fixed query terms and the
+# corpus-centroid query vector keep both retrievers deterministic and
+# fully SQL-expressible, so the WHOLE fusion is oracled.
+_RRF_TERMS = ("vector", "join", "filter")
+_RRF_K = 60
+_RRF_LIST = 100
+_RRF_TOPN = 20
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ),
+    lex AS (
+        SELECT doc_id, count(*) AS lex_score
+        FROM tok WHERE w IN {_RRF_TERMS}
+        GROUP BY doc_id
+    ),
+    lex_top AS (
+        SELECT doc_id, lex_score FROM lex
+        ORDER BY lex_score DESC, doc_id LIMIT {_RRF_LIST}
+    ),
+    lex_rank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lex_score DESC, doc_id) AS rl
+        FROM lex_top
+    ),
+    u AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT i, round(avg(v), 6) AS c FROM u GROUP BY i),
+    cn AS (SELECT sqrt(sum(c * c)) AS cnrm FROM cent),
+    dots AS (
+        SELECT vec_id, sum(v * c) AS dp, sqrt(sum(v * v)) AS vnrm
+        FROM u JOIN cent USING (i) GROUP BY vec_id
+    ),
+    cos AS (
+        SELECT vec_id,
+               round(dp / (vnrm * (SELECT cnrm FROM cn)), 4) AS cosine
+        FROM dots
+    ),
+    vec_top AS (
+        SELECT vec_id, cosine FROM cos
+        ORDER BY cosine DESC, vec_id LIMIT {_RRF_LIST}
+    ),
+    vec_rank AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS rv
+        FROM vec_top
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+               COALESCE(1000000000 // ({_RRF_K} + rl), 0)
+                 + COALESCE(1000000000 // ({_RRF_K} + rv), 0) AS rrf_ppb,
+               COALESCE(rl, 0) AS lex_rank,
+               COALESCE(rv, 0) AS vec_rank
+        FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.vec_id
+    )
+    SELECT doc_id, rrf_ppb, lex_rank, vec_rank FROM fused
+    ORDER BY rrf_ppb DESC, doc_id LIMIT {_RRF_TOPN}
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009), fully oracled: a LEXICAL retriever (docs ranked by
+    query-term token count for the fixed query {vector, join, filter})
+    and a VECTOR retriever (docs ranked by cosine to the 6dp-rounded
+    corpus centroid — both engines fuse identical inputs) each produce
+    a deterministic top-100 list; per-list ranks convert to bigint
+    reciprocal-rank points 1e9 div (60 + rank) — integer division, so
+    fusion arithmetic is bit-exact cross-engine — and the summed score
+    ranks the final top-20. A doc missing from one list contributes 0
+    from it (rank columns report 0), the standard RRF treatment.
+
+    Scale shape: each retriever ends in TakeOrderedAndProject (top-100
+    per-partition heaps + driver merge, never a global sort); the
+    row_number windows rank 100-row bounded lists (aggregates below —
+    the token-count groupBy and the dot-product fold); the fusion is a
+    full-outer join of two 100-row sets. The centroid is one 64-cell
+    aggregate collected driver-side (constant) and folded in-row via
+    zip_with — embedding arrays never shuffle. At 100 TB the retriever
+    lists come from the BM25 index and the ANN index respectively;
+    fusion cost is O(list x retrievers) regardless of corpus size.
+    Reference: no retrieval surface at all (SURVEY.md §2.2)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    )
+    lex_top = (
+        tok.filter(F.col("w").isin(*_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("lex_score"))
+        .orderBy(F.desc("lex_score"), "doc_id")
+        .limit(_RRF_LIST)
+    )
+    lex_rank = lex_top.withColumn(
+        "rl",
+        F.row_number().over(Window.orderBy(F.desc("lex_score"), "doc_id")),
+    ).select("doc_id", "rl")
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "v"
+            )
+        )
+        .groupBy("i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .collect()
+    )
+    cent = [0.0] * _DIM
+    for r in cent_rows:
+        cent[r.i] = float(r.c)
+    cnrm = sum(c * c for c in cent) ** 0.5
+    cent_col = F.array(*[F.lit(c) for c in cent])
+    cos = emb.select(
+        "vec_id",
+        F.round(
+            dot(F.col("embedding"), cent_col)
+            / (l2_norm(F.col("embedding")) * F.lit(cnrm)),
+            4,
+        ).alias("cosine"),
+    )
+    vec_top = cos.orderBy(F.desc("cosine"), "vec_id").limit(_RRF_LIST)
+    vec_rank = vec_top.withColumn(
+        "rv",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), "vec_id")),
+    ).select(F.col("vec_id").alias("vdoc"), "rv")
+
+    pts = "bigint(1000000000) div (%d + %s)"
+    fused = (
+        lex_rank.join(
+            vec_rank, lex_rank["doc_id"] == vec_rank["vdoc"], "full_outer"
+        )
+        .select(
+            F.coalesce("doc_id", "vdoc").alias("doc_id"),
+            (
+                F.coalesce(F.expr(pts % (_RRF_K, "rl")), F.lit(0))
+                + F.coalesce(F.expr(pts % (_RRF_K, "rv")), F.lit(0))
+            ).alias("rrf_ppb"),
+            F.coalesce("rl", F.lit(0)).alias("lex_rank"),
+            F.coalesce("rv", F.lit(0)).alias("vec_rank"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_ppb"), "doc_id").limit(_RRF_TOPN)
+
+
 @query("embed_pq_index_drift")
 def embed_pq_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook-drift report over the incrementally-maintained PQ index

@@ -220,6 +220,12 @@ GLOBAL_WINDOW_BOUNDED = {
     # the window: |C| rows, not |O|; docstring states the
     # approx-percentile swap for |C| beyond one node)
     "customer_rfm_segments",
+    # r12: both RRF per-list rank windows sit over top-100
+    # TakeOrderedAndProject outputs — 100-row bounded lists by literal
+    # limit (the lexical branch also has the token-count groupBy below;
+    # the vector branch's centroid aggregate is a driver-side collect,
+    # so its boundedness proof is the limit itself)
+    "hybrid_rrf_fusion",
 }
 
 _BOUNDED_DIM_SCANS = ("supplier", "nation", "region")
@@ -241,13 +247,21 @@ def test_global_windows_only_over_bounded_inputs(spark, sf_dir):
             continue
         for ln, sub in gw:
             has_agg = any("Aggregate" in s for s in sub)
+            # a literal LIMIT below the window bounds its input by
+            # construction regardless of corpus size (r12: the RRF
+            # rank windows sit over TakeOrderedAndProject top-100
+            # lists — per-partition heaps, no global sort)
+            has_limit = any(
+                "GlobalLimit" in s or "TakeOrderedAndProject" in s
+                for s in sub
+            )
             scans = [
                 s for s in sub if "FileScan" in s or "Scan parquet" in s
             ]
             dims_only = scans and all(
                 any(d in s for d in _BOUNDED_DIM_SCANS) for s in scans
             )
-            if not (has_agg or dims_only):
+            if not (has_agg or has_limit or dims_only):
                 unbounded.append((name, ln.strip()[:100]))
     assert not offenders, f"unlisted global windows in: {offenders}"
     assert not unbounded, f"global window over unbounded input: {unbounded}"
