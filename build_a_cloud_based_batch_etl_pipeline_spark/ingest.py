@@ -138,9 +138,19 @@ def append_idempotent(
     table_path: str,
     key: str = "id",
     partition_by: list[str] | None = None,
-) -> int:
+    new_values_of: str | None = None,
+) -> int | tuple[int, list]:
     """Append `df` to the warehouse table, skipping rows whose key is
-    already present. Returns the number of NEW rows appended.
+    already present. Returns the number of NEW rows appended — or, when
+    `new_values_of` names a column, the tuple (n_new, distinct values
+    of that column among the rows ACTUALLY appended). The clustered
+    streaming load uses that to derive its touched-partition set from
+    the survivors of the idempotency anti-join, not the raw batch
+    (ADVICE r12: a duplicate key arriving under a NEW partition value
+    is skipped here, so its partition dir never exists — a raw-batch
+    touched set then flagged it as missing and wedged the stream). The
+    extra collect is bounded by one batch's distinct values and runs
+    while `incoming` is cached, so it costs no extra scan.
 
     Idempotency at scale: the warehouse key set is unbounded, so it is
     never broadcast/shuffled. Instead (1) semi-join the warehouse against
@@ -173,6 +183,12 @@ def append_idempotent(
                 # directory per key — the clustered-load composition
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(table_path)
+        if new_values_of is not None:
+            vals = [
+                r[0]
+                for r in incoming.select(new_values_of).distinct().collect()
+            ]
+            return n_new, vals
     finally:
         incoming.unpersist()
     return n_new

@@ -178,33 +178,47 @@ def zorder_layout(
 _ZORDER_MARKER = "_ZORDER_OK"
 
 
-def _partition_fingerprint(part_dir: str) -> str:
+def _partition_fingerprint(part_dir: str, fs=None) -> str:
     """Content fingerprint of a partition's DATA files: md5 over the
     sorted (name, size) list. Appends, compactions, and rewrites all
     change it; the marker file itself (underscore-prefixed, ignored by
-    parquet readers) does not."""
-    import hashlib
-    import os
+    parquet readers) does not.
 
-    entries = sorted(
-        (f, os.path.getsize(os.path.join(part_dir, f)))
-        for f in os.listdir(part_dir)
-        if not f.startswith((".", "_"))
-    )
+    With an fsio.Fs handle the listing goes through the Hadoop
+    FileSystem API (any scheme); without one it falls back to os (local
+    paths only — the direct-call form tests use). Both branches produce
+    the identical (name, size) tuple list, so fingerprints written by
+    one are verifiable by the other."""
+    import hashlib
+
+    if fs is not None:
+        entries = sorted(
+            (e.name, e.size)
+            for e in fs.list_entries(part_dir)
+            if not e.name.startswith((".", "_"))
+        )
+    else:
+        import os
+
+        entries = sorted(
+            (f, os.path.getsize(os.path.join(part_dir, f)))
+            for f in os.listdir(part_dir)
+            if not f.startswith((".", "_"))
+        )
     return hashlib.md5(repr(entries).encode()).hexdigest()
 
 
-def _footer_row_count(part_dir: str) -> int:
+def _footer_row_count(fs, part_dir: str) -> int:
     """Row count from parquet footer metadata — no Spark job (a count()
-    per re-clustered partition was ~1 job of pure overhead each)."""
-    import os
-
-    import pyarrow.parquet as pq
+    per re-clustered partition was ~1 job of pure overhead each).
+    Footers are read via the parquet-hadoop reader (fsio.Fs), so the
+    count works on any Hadoop scheme, not just local paths."""
+    from ..fsio import child
 
     return sum(
-        pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
-        for f in os.listdir(part_dir)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
+        fs.parquet_row_count(child(part_dir, e.name))
+        for e in fs.list_entries(part_dir)
+        if e.name.endswith(".parquet") and not e.name.startswith((".", "_"))
     )
 
 
@@ -212,9 +226,12 @@ _ZORDER_STAGING_ROOT = ".zorder_staging"
 _ZORDER_PARKED_ROOT = ".zorder_old"
 
 
-def _zorder_recover(path: str) -> int:
+def _zorder_recover(fs, path: str) -> int:
     """Crash recovery for zorder_maintain's per-partition swaps, run at
     the head of every maintenance pass. Returns #partitions restored.
+    All filesystem traffic goes through the Hadoop FileSystem handle
+    `fs` (fsio.Fs), so recovery runs identically on `file:` and
+    object-store URIs (VERDICT r12 item 1).
 
     Both helper locations are dot-prefixed, so Spark partition discovery
     and parquet readers never see them (ADVICE r11: the old scheme's
@@ -234,31 +251,30 @@ def _zorder_recover(path: str) -> int:
       from the pre-r12 scheme are healed the same way (restore-if-
       missing / sweep), so tables written by the old code converge too.
     """
-    import os
-    import shutil
+    from ..fsio import child
 
     restored = 0
-    parked_root = os.path.join(path, _ZORDER_PARKED_ROOT)
-    if os.path.isdir(parked_root):
-        for entry in os.listdir(parked_root):
-            live = os.path.join(path, entry)
-            parked = os.path.join(parked_root, entry)
-            if os.path.exists(live):
-                shutil.rmtree(parked, ignore_errors=True)
+    parked_root = child(path, _ZORDER_PARKED_ROOT)
+    if fs.is_dir(parked_root):
+        for entry in fs.listdir(parked_root):
+            live = child(path, entry)
+            parked = child(parked_root, entry)
+            if fs.exists(live):
+                fs.delete(parked)
             else:
-                os.rename(parked, live)
+                fs.rename(parked, live)
                 restored += 1
-    shutil.rmtree(os.path.join(path, _ZORDER_STAGING_ROOT), ignore_errors=True)
-    for entry in os.listdir(path):
-        full = os.path.join(path, entry)
+    fs.delete(child(path, _ZORDER_STAGING_ROOT))
+    for entry in fs.listdir(path):
+        full = child(path, entry)
         if entry.endswith(".zorder.staging"):
-            shutil.rmtree(full, ignore_errors=True)
+            fs.delete(full)
         elif entry.endswith(".old") and "=" in entry:
-            base = os.path.join(path, entry[: -len(".old")])
-            if os.path.exists(base):
-                shutil.rmtree(full, ignore_errors=True)
+            base = child(path, entry[: -len(".old")])
+            if fs.exists(base):
+                fs.delete(full)
             else:
-                os.rename(full, base)
+                fs.rename(full, base)
                 restored += 1
     return restored
 
@@ -306,19 +322,24 @@ def zorder_maintain(
     date partitions of a thousand. Partition discovery is one directory
     listing; each re-cluster is one bounded partition-sized job (the
     zorder_layout range-repartition samples keys, so skewed appends
-    still yield balanced files). Clean partitions are never read.
+    still yield balanced files). Clean partitions are never read. Every
+    filesystem operation (listing, marker read/write, footer counts,
+    staging/park renames) goes through the Hadoop FileSystem API
+    (fsio.Fs) — the same handles sinks.swap_dir uses — so the loop runs
+    unchanged against object-store table URIs (VERDICT r12 item 1).
     Reference: no layout control at all — BigQuery manages physical
     layout (src/load/main.py:40, SURVEY.md §4.1)."""
-    import os
-
+    from ..fsio import Fs, child
     from ..sinks import swap_dir
 
-    _zorder_recover(path)
+    fs = Fs(spark, path)
+    _zorder_recover(fs, path)
     report: list[tuple[str, str, int]] = []
-    for entry in sorted(os.listdir(path)):
-        part_dir = os.path.join(path, entry)
+    for e in fs.list_entries(path):
+        entry = e.name
+        part_dir = child(path, entry)
         if (
-            not os.path.isdir(part_dir)
+            not e.is_dir
             or "=" not in entry
             or entry.startswith((".", "_"))
             or entry.endswith((".old", ".zorder.staging"))
@@ -326,27 +347,28 @@ def zorder_maintain(
             continue
         if only is not None and entry not in only:
             continue
-        marker = os.path.join(part_dir, _ZORDER_MARKER)
-        fp = _partition_fingerprint(part_dir)
+        marker = child(part_dir, _ZORDER_MARKER)
+        fp = _partition_fingerprint(part_dir, fs)
         stored = None
-        if os.path.isfile(marker):
-            with open(marker) as f:
-                stored = f.read().strip()
+        if fs.is_file(marker):
+            stored = fs.read_text(marker).strip()
         if stored == fp:
             report.append((entry, "skipped", -1))
             continue
         df = spark.read.parquet(part_dir)
-        staging = os.path.join(path, _ZORDER_STAGING_ROOT, entry)
+        staging = child(path, _ZORDER_STAGING_ROOT, entry)
         zorder_layout(df, cols, staging, n_files=n_files)
         swap_dir(
             spark,
             staging,
             part_dir,
-            park=os.path.join(path, _ZORDER_PARKED_ROOT, entry),
+            park=child(path, _ZORDER_PARKED_ROOT, entry),
         )
-        with open(os.path.join(part_dir, _ZORDER_MARKER), "w") as f:
-            f.write(_partition_fingerprint(part_dir) + "\n")
-        report.append((entry, "clustered", _footer_row_count(part_dir)))
+        fs.write_text(
+            child(part_dir, _ZORDER_MARKER),
+            _partition_fingerprint(part_dir, fs) + "\n",
+        )
+        report.append((entry, "clustered", _footer_row_count(fs, part_dir)))
     return report
 
 

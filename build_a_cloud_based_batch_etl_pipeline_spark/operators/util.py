@@ -312,16 +312,18 @@ _ARTIFACT_MARKER = "_ARTIFACT_OK"
 
 
 def _artifacts_base(spark: SparkSession) -> str:
-    """Local root for persisted index/graph artifacts:
+    """Root for persisted index/graph artifacts:
     <spark.sql.warehouse.dir>/_artifacts. Deliberately the warehouse
     dir, not a tempdir — artifacts described as 'persisted' must
-    survive the session and be reused by the next one."""
-    import os
-
+    survive the session and be reused by the next one. A local `file:`
+    warehouse yields a plain local path (so pyarrow fast-path readers
+    like similarity._read_index_rows keep working); any other scheme is
+    kept as a URI — the artifact lifecycle itself is Hadoop-FS-routed
+    either way."""
     wh = spark.conf.get("spark.sql.warehouse.dir")
     if wh.startswith("file:"):
         wh = wh[len("file:") :]
-    return os.path.join(wh, "_artifacts")
+    return wh.rstrip("/") + "/_artifacts"
 
 
 def persisted_artifact(
@@ -352,48 +354,56 @@ def persisted_artifact(
     The fs probe is wrapped in memo_once so warm in-session calls skip
     the stat; memo_once_clear()/artifact_clear() force a re-probe /
     re-build respectively (the perturb gate clears both so artifact
-    builds are exercised under every shuffle-partition setting)."""
+    builds are exercised under every shuffle-partition setting).
+
+    All filesystem traffic goes through the Hadoop FileSystem API
+    (fsio.Fs) so the artifact lifecycle runs unchanged when the
+    warehouse dir is an object-store URI (VERDICT r12 item 1); the
+    no-replace publish uses Fs.rename_no_nest because Hadoop rename
+    onto an existing directory NESTS instead of failing like
+    os.rename."""
     import os
-    import shutil
     import uuid
+
+    from ..fsio import Fs, child
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
 
     def resolve() -> str:
-        kind_dir = os.path.join(_artifacts_base(spark), f"{kind}-{tag}")
-        root = os.path.join(kind_dir, fingerprint)
-        marker = os.path.join(root, _ARTIFACT_MARKER)
-        if os.path.isfile(marker):
+        kind_dir = child(_artifacts_base(spark), f"{kind}-{tag}")
+        root = child(kind_dir, fingerprint)
+        marker = child(root, _ARTIFACT_MARKER)
+        fs = Fs(spark, kind_dir)
+        if fs.is_file(marker):
             return root
-        if os.path.isdir(root):  # torn build — never serve it
+        if fs.is_dir(root):  # torn build — never serve it
             # ADVICE r10: re-probe the marker immediately before the
-            # rmtree — a concurrent builder's atomic rename may have
-            # published between the isfile miss above and here, and the
+            # delete — a concurrent builder's atomic rename may have
+            # published between the is_file miss above and here, and the
             # marker lands inside the renamed dir, so marker-present
             # means complete.
-            if os.path.isfile(marker):
+            if fs.is_file(marker):
                 return root
-            shutil.rmtree(root, ignore_errors=True)
-        tmp = os.path.join(kind_dir, f".tmp-{fingerprint}-{uuid.uuid4().hex[:8]}")
-        os.makedirs(tmp, exist_ok=True)
+            fs.delete(root)
+        tmp = child(kind_dir, f".tmp-{fingerprint}-{uuid.uuid4().hex[:8]}")
+        fs.mkdirs(tmp)
         try:
             build(tmp)
-            with open(os.path.join(tmp, _ARTIFACT_MARKER), "w") as f:
-                f.write(fingerprint + "\n")
-            try:
-                os.rename(tmp, root)
-            except OSError:
-                # concurrent builder won the rename; serve theirs
-                shutil.rmtree(tmp, ignore_errors=True)
-                if not os.path.isfile(marker):
-                    raise
+            fs.write_text(child(tmp, _ARTIFACT_MARKER), fingerprint + "\n")
+            if not fs.rename_no_nest(tmp, root):
+                # concurrent builder won the publish; serve theirs
+                if not fs.is_file(marker):
+                    raise IOError(
+                        f"artifact publish lost to a concurrent builder "
+                        f"but no complete artifact at {root}"
+                    )
         except BaseException:
-            shutil.rmtree(tmp, ignore_errors=True)
+            fs.delete(tmp)
             raise
-        for entry in os.listdir(kind_dir):
+        for entry in fs.listdir(kind_dir):
             if entry == fingerprint:
                 continue
-            p = os.path.join(kind_dir, entry)
+            p = child(kind_dir, entry)
             if entry.startswith(".tmp-"):
                 # another builder may still be writing here — only
                 # reap tmps that are clearly abandoned (crashed build).
@@ -404,21 +414,11 @@ def persisted_artifact(
                 try:
                     import time
 
-                    newest = os.path.getmtime(p)
-                    for dpath, _dirs, files in os.walk(p):
-                        newest = max(
-                            newest,
-                            os.path.getmtime(dpath),
-                            *(
-                                os.path.getmtime(os.path.join(dpath, fn))
-                                for fn in files
-                            ),
-                        )
-                    if time.time() - newest < 3600:
+                    if time.time() - fs.newest_mtime(p) < 3600:
                         continue
-                except OSError:
+                except (IOError, OSError):
                     continue
-            shutil.rmtree(p, ignore_errors=True)
+            fs.delete(p)
         return root
 
     return memo_once(spark, ("persisted_artifact", kind, tag, fingerprint), resolve)
@@ -433,18 +433,22 @@ def artifact_clear(spark: SparkSession, sf_dir: str | None = None) -> None:
     (ADVICE r10: the unscoped rmtree crossed the per-SF prune boundary
     the persisted_artifact docstring promises — a concurrent bench/check
     session on the OTHER sf lost its live artifacts mid-query). None
-    keeps the full wipe for single-session test teardown."""
+    keeps the full wipe for single-session test teardown. Deletes go
+    through the Hadoop FileSystem API (fsio.Fs) like the rest of the
+    artifact lifecycle."""
     import os
-    import shutil
+
+    from ..fsio import Fs, child
 
     base = _artifacts_base(spark)
+    fs = Fs(spark, base)
     if sf_dir is None:
-        shutil.rmtree(base, ignore_errors=True)
+        fs.delete(base)
     else:
         tag = os.path.basename(os.path.normpath(sf_dir)) or "root"
         try:
-            entries = os.listdir(base)
-        except OSError:
+            entries = fs.listdir(base)
+        except FileNotFoundError:
             entries = []
         for entry in entries:
             # Exact-tag match (ADVICE r11: a bare endswith("-{tag}") let
@@ -454,7 +458,7 @@ def artifact_clear(spark: SparkSession, sf_dir: str | None = None) -> None:
             # splits unambiguously on the FIRST dash even when the tag
             # itself contains dashes.
             if "-" in entry and entry.split("-", 1)[1] == tag:
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                fs.delete(child(base, entry))
     memo_once_clear(spark)
 
 

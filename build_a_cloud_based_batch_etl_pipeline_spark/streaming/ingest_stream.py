@@ -709,6 +709,15 @@ def incremental_load_clustered(
     replayed epoch's keys are already present, so the re-append is a
     no-op), then (2) run operators.layout.zorder_maintain over ONLY the
     partitions this batch touched, re-clustering them on zorder_cols.
+    "Touched" means partitions that RECEIVED an append — derived from
+    the rows surviving the idempotency anti-join, not the raw batch
+    (ADVICE r12: a duplicate key arriving under a new partition value
+    appends nothing and creates no dir; treating it as touched wedged
+    the stream on a missing-dir error at every replay). A full-replay
+    epoch (zero survivors) falls back to the raw values intersected
+    with existing dirs, so a crash between append and maintenance
+    still converges. Directory checks go through the Hadoop FS API
+    (fsio.Fs) — object-store table URIs work.
 
     Crash contract (pinned in tests/test_streaming.py): every
     crash point converges across a checkpoint restart —
@@ -738,27 +747,55 @@ def incremental_load_clustered(
         if batch.isEmpty():
             return
         batch = batch.dropDuplicates([key])
-        append_idempotent(
-            spark, batch, table_path, key=key, partition_by=[partition_col]
+        # touched partitions come from the rows that SURVIVE the
+        # idempotency anti-join, not the raw batch (ADVICE r12: a
+        # duplicate key arriving under a NEW partition value is skipped
+        # by append_idempotent, so its dir never exists — deriving
+        # `touched` from the raw batch then tripped the missing-dir
+        # guard below and wedged the stream on every replay). Bounded
+        # collect: one row per partition value actually appended.
+        _n_new, new_vals = append_idempotent(
+            spark,
+            batch,
+            table_path,
+            key=key,
+            partition_by=[partition_col],
+            new_values_of=partition_col,
         )
-        # bounded collect: one row per partition value in THIS batch
-        touched = {
-            f"{partition_col}={r[0]}"
-            for r in batch.select(partition_col).distinct().collect()
-        }
-        # fail LOUD if a value's directory name doesn't match the
-        # f-string form (hive path-escaping of special chars): a
-        # silently-skipped entry would stay dirty forever
-        import os
+        from ..fsio import Fs
 
-        missing = touched - set(os.listdir(table_path))
-        if missing:
-            raise ValueError(
-                f"partition dirs not found for {sorted(missing)} — "
-                "values needing hive path-escaping aren't supported by "
-                "the touched-partition restriction; use path-safe "
-                "partition values"
-            )
+        listing = set(Fs(spark, table_path).listdir(table_path))
+        if new_vals:
+            touched = {f"{partition_col}={v}" for v in new_vals}
+            # fail LOUD if a value's directory name doesn't match the
+            # f-string form (hive path-escaping of special chars): a
+            # silently-skipped entry would stay dirty forever. Since
+            # `touched` only holds partitions that received an append,
+            # a miss here really is path-escaping, never an
+            # already-present-key skip.
+            missing = touched - listing
+            if missing:
+                raise ValueError(
+                    f"partition dirs not found for {sorted(missing)} "
+                    "even though rows were appended under those values "
+                    "— the values need hive path-escaping, which the "
+                    "touched-partition restriction doesn't support; "
+                    "use path-safe partition values"
+                )
+        else:
+            # full-replay epoch (crash between append and maintenance,
+            # then checkpoint restart): nothing re-appends, but the
+            # pre-crash append may have left partitions dirty — fall
+            # back to the raw batch's values, keeping only partitions
+            # that EXIST (a duplicate key under a brand-new partition
+            # value never created a dir and never got rows, so it is
+            # legitimately not dirty — not an error).
+            touched = {
+                f"{partition_col}={r[0]}"
+                for r in batch.select(partition_col).distinct().collect()
+            } & listing
+            if not touched:
+                return
         zorder_maintain(spark, table_path, zorder_cols, only=touched)
 
     q = (
