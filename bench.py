@@ -287,6 +287,13 @@ def main() -> None:
             for q, v in stable.items()
             if _STABLE_ANCHORS.get(q)
         }
+        # ADVICE r12: a sub-second row with no anchor was silently
+        # excluded from the steady-state gate — surface it so a future
+        # query that newly dips sub-second is visibly ungated until its
+        # anchor is seeded from a quiet-host run.
+        out["stable_unanchored"] = sorted(
+            q for q in stable if not _STABLE_ANCHORS.get(q)
+        )
         out["vs_stable"] = {q: round(r, 2) for q, r in _raw_stable.items()}
         snorm = _STABLE_CALIB_REF / calib if calib > 0 else 1.0
         out["vs_stable_calib_norm"] = {

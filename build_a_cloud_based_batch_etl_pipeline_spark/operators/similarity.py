@@ -2168,6 +2168,7 @@ def load_pq_index_incremental(
     spark: SparkSession,
     index_root: str,
     allow_drift: bool = False,
+    floor: float = _PQ_DRIFT_FLOOR,
 ):
     """Query-side load of base + epoch-appended codes as ONE servable
     artifact set (books, ids, codes, coarse, assign) — the incremental
@@ -2182,7 +2183,13 @@ def load_pq_index_incremental(
       wrong; the append-only corpus contract is ids are unique);
     - unless allow_drift, any epoch the drift rule flags — a pipeline
       acknowledges drift explicitly (and schedules a retrain) instead
-      of inheriting degraded recall.
+      of inheriting degraded recall. The rule here is evaluated
+      EXACTLY as pq_index_drift_report evaluates it — same `floor`
+      parameter, same 4dp rounding of the epoch mean — so the report
+      and the loader can never disagree about a boundary epoch
+      (ADVICE r12: the loader hardcoded the floor and compared the
+      unrounded mean, so an epoch with mean in [0.69995, 0.70) was
+      reported retrain_needed=false yet refused at load).
 
     The staleness-vs-live-table check of load_pq_index deliberately
     does NOT apply: an incremental index OUTLIVES its base fingerprint
@@ -2221,12 +2228,12 @@ def load_pq_index_incremental(
             drifted = {
                 e
                 for e, cs in by_epoch.items()
-                if sum(cs) / len(cs) < _PQ_DRIFT_FLOOR
+                if round(sum(cs) / len(cs), 4) < floor
             }
             if drifted:
                 raise ValueError(
                     f"epochs {sorted(drifted)} fail the codebook-drift "
-                    f"floor (mean recon_cos < {_PQ_DRIFT_FLOOR}): the "
+                    f"floor (mean recon_cos < {floor}): the "
                     "frozen codebooks no longer represent that data — "
                     "retrain via build_pq_index(force=True) (or pass "
                     "allow_drift=True to serve degraded scores "
@@ -2274,11 +2281,47 @@ def retrain_pq_index(spark: SparkSession, sf_dir: str, index_root: str) -> bool:
     table gained the epoch batches, so its fingerprint differs from
     the stored version and the rebuild runs; on a crash-retry where
     the rebuild already landed, it skips instead of re-training —
-    that skip IS the idempotence."""
-    import shutil
+    that skip IS the idempotence.
+
+    The epoch clear is guarded by a coverage assertion (ADVICE r12):
+    before deleting, every epoch vec_id must be present in the rebuilt
+    base's pq_codes. Under the ingest invariant that always holds
+    (epoch batches landed in the live table too, so the rebuild
+    re-encoded them) — but if the invariant is violated (the
+    table-append stream lags the index-maintenance stream, or epochs
+    were appended from batches never landed in the table), an
+    unguarded clear would silently DROP those vectors from the served
+    index with a success return: the one data-loss path everything
+    else here refuses loudly. The check is one driver-side column read
+    of each table, both already bounded by the broadcast-index cap."""
+    from ..fsio import Fs
 
     ran = build_pq_index(spark, sf_dir, index_root)
-    shutil.rmtree(f"{index_root}/pq_codes_epochs", ignore_errors=True)
+    ep_path = f"{index_root}/pq_codes_epochs"
+    fs = Fs(spark, index_root)
+    if fs.exists(ep_path):
+        epoch_ids = {
+            r[0] for r in _read_index_rows(
+                spark, index_root, "pq_codes_epochs", ["vec_id"]
+            )
+        }
+        base_ids = {
+            r[0] for r in _read_index_rows(
+                spark, index_root, "pq_codes", ["vec_id"]
+            )
+        }
+        orphaned = epoch_ids - base_ids
+        if orphaned:
+            raise ValueError(
+                f"retrain refused: {len(orphaned)} epoch vec_ids (e.g. "
+                f"{sorted(orphaned)[:5]}) are absent from the rebuilt "
+                "base index — the ingest invariant (every epoch batch "
+                "also landed in the live embeddings table) is violated; "
+                "clearing the epochs now would silently drop those "
+                "vectors from the served index. Land the missing "
+                "batches in the table and re-run retrain_pq_index."
+            )
+        fs.delete(ep_path)
     return ran
 
 
@@ -2332,15 +2375,37 @@ def embed_ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py): the deterministic md5 split plays time —
     the base corpus (~90%) was indexed offline (codebooks trained +
     codes built), two later ingest batches were epoch-appended against
-    the FROZEN codebooks, and queries now serve IVF-ADC top-k over
-    base+epochs as one index. No vector is ever encoded twice; training
-    cost is zero on the ingest path — the maintenance shape that holds
-    when the codes table is 100 TB and a day's ingest is 0.1% of it.
-    Reference: no vector/index surface (SURVEY.md §2.2); FAISS-style
-    add-then-periodic-retrain (Johnson et al. 2017)."""
+    the FROZEN codebooks, and the NEWEST batch's vectors now query
+    IVF-ADC top-k over base+epochs as one index.
+
+    |Q| is bounded to the newest epoch on purpose (VERDICT r12 item 2):
+    the incremental-maintenance question is "are the vectors that just
+    arrived well-served by the frozen index?", asked once per ingest
+    batch — so query cost is O(|batch| × nprobe × list size) and, under
+    the production nlist ~ N rule (SCALE.md, pinned by the
+    embed_ann_ivf sweep row at e~0.1), constant per query vector.
+    The previous registration scored |Q| = N corpus vectors against
+    N/nlist-member lists — the measured-e=1.32 fixed-nlist trap the
+    r12 sweep documented; the registered plan now embodies the
+    production rule instead of documenting around it. No vector is
+    ever encoded twice; training cost is zero on the ingest path — the
+    maintenance shape that holds when the codes table is 100 TB and a
+    day's ingest is 0.1% of it. Reference: no vector/index surface
+    (SURVEY.md §2.2); FAISS-style add-then-periodic-retrain (Johnson
+    et al. 2017)."""
+    from .sampling import _TEST_LT, _split_bucket
+
     root = _pq_inc_fixture_root(spark, sf_dir)
     books, ids, codes, coarse, assign = load_pq_index_incremental(spark, root)
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # newest epoch = the fixture's batch-2 slice (md5 buckets
+    # ['0d','1a')) — the same deterministic predicate
+    # _pq_inc_fixture_root appended it with
+    bucket = _split_bucket("vec_id")
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter((bucket < _TEST_LT) & ~(bucket < "0d"))
+    )
     return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)
 
 

@@ -1155,6 +1155,22 @@ def test_pq_drift_rule_flags_off_manifold_epoch(spark, tmp_path):
     )
     assert len(ids) == 680
 
+    # report and loader share one rule (ADVICE r12: the loader
+    # hardcoded the floor and compared the unrounded mean): at a floor
+    # UNDER the off-manifold epoch's measured mean, the report says
+    # retrain_needed=false for both epochs — so the loader, given the
+    # SAME floor, must serve without allow_drift.
+    low = float(rep["batch-2"].mean_recon_cos) - 0.01
+    rep_low = {
+        r.epoch: r
+        for r in sim.pq_index_drift_report(spark, root, floor=low).collect()
+    }
+    assert all(not r.retrain_needed for r in rep_low.values())
+    _b, ids_low, _c, _co, _a = sim.load_pq_index_incremental(
+        spark, root, floor=low
+    )
+    assert len(ids_low) == 680
+
 
 def test_pq_incremental_registered_queries(spark, sf_dir):
     """The registered fixture queries: embed_ann_pq_incremental serves
@@ -1171,6 +1187,32 @@ def test_pq_incremental_registered_queries(spark, sf_dir):
         per_q[r.qid] = per_q.get(r.qid, 0) + 1
         assert r.qid != r.nid
     assert max(per_q.values()) <= 5
+
+    # |Q| is bounded to the NEWEST epoch (VERDICT r12 item 2): every
+    # query id comes from the fixture's batch-2 slice, while neighbors
+    # may come from anywhere in base+epochs (the whole served index).
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.sampling import (
+        _TEST_LT,
+        _split_bucket,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucket = _split_bucket("vec_id")
+    newest = {
+        r[0]
+        for r in emb.filter((bucket < _TEST_LT) & ~(bucket < "0d"))
+        .select("vec_id")
+        .collect()
+    }
+    assert newest, "fixture newest-epoch slice must be non-empty"
+    assert set(per_q) == newest, (
+        "query set must be exactly the newest epoch's vectors"
+    )
+    all_ids = {r[0] for r in emb.select("vec_id").collect()}
+    assert {r.nid for r in out} <= all_ids
+    assert any(r.nid not in newest for r in out), (
+        "neighbors must be served from the full base+epoch index"
+    )
 
     drift = reg["embed_pq_index_drift"].fn(spark, sf_dir).collect()
     assert [r.epoch for r in drift] == ["batch-1", "batch-2"]
@@ -1283,6 +1325,59 @@ def test_pq_retrain_clears_drift_and_crash_orders_safely(spark, tmp_path):
     )
     assert len(ids) == 530 and len(set(ids)) == 530
     assert not os.path.isdir(f"{root}/pq_codes_epochs")
+
+
+def test_pq_retrain_refuses_uncovered_epochs(spark, tmp_path):
+    """ADVICE r12 (medium): retrain_pq_index must never clear epoch
+    partitions whose vectors the rebuilt base does NOT cover — if the
+    ingest invariant is violated (epoch batches never landed in the
+    live embeddings table), an unguarded clear silently drops those
+    vectors from the served index with a success return. The refusal
+    must leave the epochs intact, and landing the missing batch in the
+    table makes the same call succeed."""
+    import os
+
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path / "sfdir")
+    os.makedirs(sf)
+    _mk_gauss_corpus(spark, sf, 400, seed=52)
+    root = str(tmp_path / "pq_refuse_root")
+    sim.build_pq_index(spark, sf, root)
+
+    # epoch batch that NEVER lands in the live table (invariant broken)
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(25, 64)).astype("float32")
+    sim.append_pq_epoch(
+        spark,
+        spark.createDataFrame(
+            [(9000 + i, [float(x) for x in vecs[i]]) for i in range(25)],
+            "vec_id long, embedding array<float>",
+        ),
+        root,
+        "batch",
+        1,
+    )
+    with pytest.raises(ValueError, match="retrain refused"):
+        sim.retrain_pq_index(spark, sf, root)
+    # the one data-loss path is refused WITHOUT destroying the epochs
+    assert os.path.isdir(f"{root}/pq_codes_epochs")
+
+    # land the batch in the table -> same call now rebuilds and clears
+    spark.createDataFrame(
+        [(9000 + i, [float(x) for x in vecs[i]], 0) for i in range(25)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("append").parquet(f"{sf}/embeddings.parquet")
+    assert sim.retrain_pq_index(spark, sf, root) is True
+    assert not os.path.isdir(f"{root}/pq_codes_epochs")
+    _books, ids, _codes, _coarse, _assign = sim.load_pq_index_incremental(
+        spark, root
+    )
+    assert len(ids) == 425 and 9000 in set(ids)
 
 
 def test_same_label_search_agreement_and_recall(spark, sf_dir):
