@@ -2464,22 +2464,8 @@ def bpe_merges(
         merges: list[tuple[str, str, int]] = []
         cur = vocab.select("c", "s")
         for _ in range(k):
-            syms = F.split(F.expr("trim(BOTH '.' FROM s)"), "[.]")
-            pairs = cur.select(
-                "c",
-                F.explode(
-                    F.transform(
-                        seq1(F.size(syms) - F.lit(1)),
-                        lambda i: F.struct(
-                            F.element_at(syms, i).alias("a"),
-                            F.element_at(syms, i + F.lit(1)).alias("b"),
-                        ),
-                    )
-                ).alias("p"),
-            )
             top = (
-                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("c").cast("long").alias("cnt"))
+                _bpe_pair_counts(cur)
                 .orderBy(F.col("cnt").desc(), "a", "b")
                 .limit(1)
                 .collect()
@@ -2493,6 +2479,112 @@ def bpe_merges(
         return merges
 
     return memo_once(spark, ("bpe_merges", sf_dir, k), train)
+
+
+def _bpe_pair_counts(cur: DataFrame, weight=None) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair counts over a (c, s) word
+    table, weighted by word frequency c (optionally sign-flipped via
+    `weight` for delta maintenance). One explode + one map-side-
+    combined aggregate."""
+    syms = F.split(F.expr("trim(BOTH '.' FROM s)"), "[.]")
+    pairs = cur.select(
+        (weight if weight is not None else F.col("c")).alias("wc"),
+        F.explode(
+            F.transform(
+                seq1(F.size(syms) - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("wc").cast("long").alias("cnt")
+    )
+
+
+def bpe_merges_delta(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_K
+) -> list[tuple[str, str, int]]:
+    """bpe_merges with INCREMENTAL pair-count maintenance — the
+    production BPE-training shape (VERDICT r12 item 5): instead of
+    recounting every adjacent pair of every word each round
+    (k full passes over the vocabulary — fine at k=16, the wrong shape
+    at k~30000), the pair-count table is built ONCE and then updated
+    per round with deltas from only the words the last merge CHANGED
+    (Sennrich's reference trainer and every real implementation —
+    HuggingFace tokenizers, SentencePiece BPE — maintain pair counts
+    exactly this way; only pairs adjacent to a replaced occurrence can
+    change).
+
+    Per round: (1) argmax over the maintained pair-count table
+    (vocabulary-bounded, 1-row collect); (2) affected = words whose
+    symbol string contains the merged pair (a substring filter — at
+    steady state a tiny fraction of the vocabulary); (3) delta = pair
+    counts of affected words AFTER the rewrite minus BEFORE (two
+    explodes over affected words only, counts are exact longs so the
+    subtraction is exact); (4) fold the delta into the pair table and
+    drop zeroed pairs. localCheckpoint truncates the per-round lineage
+    (the table is vocabulary-bounded, so materializing it is cheap and
+    keeps round j's plan O(1)-deep instead of O(j)).
+
+    MUST be bit-identical to bpe_merges — same counts, same
+    count-DESC/pair-ASC tie-break, same canonical non-overlapping
+    merge application — which the registered query
+    text_bpe_merge_table_delta certifies against the SAME re-training
+    DuckDB oracle as text_bpe_merge_table (hash parity), and
+    tests/test_llm_prep.py pins list-equality against bpe_merges."""
+
+    def train():
+        vocab = _bpe_vocab(spark, sf_dir)
+        merges: list[tuple[str, str, int]] = []
+        cur = vocab.select("c", "s")
+        counts = _bpe_pair_counts(cur).localCheckpoint()
+        for _ in range(k):
+            top = (
+                counts.orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, cnt = top[0]
+            if cnt <= 0:
+                break
+            merges.append((a, b, int(cnt)))
+            pat, rep = _bpe_merge_regex(a, b)
+            # coalesce(1) is load-bearing: affected is small by
+            # definition (only words containing the merged pair), and
+            # without it the round-j union below inherits round j-1's
+            # partition count on BOTH sides — partition counts then
+            # DOUBLE per round (2^k empty tasks by round k)
+            affected = (
+                cur.filter(F.col("s").contains(f".{a}.{b}."))
+                .coalesce(1)
+                .localCheckpoint()
+            )
+            rewritten = affected.withColumn(
+                "s", F.regexp_replace("s", pat, rep)
+            )
+            delta = _bpe_pair_counts(
+                affected.select("c", "s"), weight=-F.col("c")
+            ).unionByName(_bpe_pair_counts(rewritten.select("c", "s")))
+            counts = (
+                counts.unionByName(delta)
+                .groupBy("a", "b")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+                .localCheckpoint()
+            )
+            # only the affected rows are rewritten; unaffected rows
+            # pass through untouched (no k-deep regexp chain on them)
+            cur = cur.filter(
+                ~F.col("s").contains(f".{a}.{b}.")
+            ).unionByName(rewritten)
+        return merges
+
+    return memo_once(spark, ("bpe_merges_delta", sf_dir, k), train)
 
 
 def bpe_word_tokens(
@@ -2624,6 +2716,23 @@ def text_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counting, the count-DESC/pair-ASC tie-break, and canonical
     non-overlapping merge application, round by round."""
     merges = bpe_merges(spark, sf_dir)
+    rows = [
+        (j + 1, f"{a} {b}", a + b, cnt) for j, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rk long, pair string, merged string, pair_count long"
+    )
+
+
+@query("text_bpe_merge_table_delta", oracle=_BPE_MERGE_ORACLE)
+def text_bpe_merge_table_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge table learned by the INCREMENTAL-pair-maintenance
+    trainer (bpe_merges_delta — the k~30000 production shape, VERDICT
+    r12 item 5), certified against the SAME re-training DuckDB oracle
+    as text_bpe_merge_table: a hash match proves the delta-maintained
+    pair counts select bit-identical merges, round by round, to a full
+    recount — the invariant every real BPE trainer relies on."""
+    merges = bpe_merges_delta(spark, sf_dir)
     rows = [
         (j + 1, f"{a} {b}", a + b, cnt) for j, (a, b, cnt) in enumerate(merges)
     ]

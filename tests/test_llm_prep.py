@@ -396,6 +396,18 @@ def test_bpe_canonical_merge_three_engines(spark, tmp_path):
     got = bpe_merges(spark, str(tmp_path))
     assert got == ref_merges, (got, ref_merges)
 
+    # the incremental-pair-maintenance trainer (the k~30000 production
+    # shape, VERDICT r12 item 5) must be LIST-IDENTICAL: same merges,
+    # same counts, same order — delta-maintained counts are exact longs,
+    # so any divergence is a maintenance bug, not noise. The planted
+    # corpus's back-to-back pairs also stress the delta extraction.
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        bpe_merges_delta,
+    )
+
+    got_delta = bpe_merges_delta(spark, str(tmp_path))
+    assert got_delta == ref_merges, (got_delta, ref_merges)
+
     ref_doc = {}
     for d, t_ in enumerate(texts):
         ws = [w for w in t_.split(" ") if w and w.isalpha() and w.islower()]
