@@ -294,7 +294,30 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     results: dict[str, dict] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if args.vanilla and i and i % 40 == 0:
+            # The vanilla session runs with DEFAULT driver memory (1g —
+            # that is the point: driver-conf parity), so a full-registry
+            # run must bound cross-query state accumulation the way the
+            # real driver's 50-query windows do naturally. Without this,
+            # ~260 queries of cache_once/localCheckpoint blocks squeeze
+            # execution memory until a mid-registry task OOMs the JVM
+            # (r13: dedup_remove_spans died at query ~235 at sf0.1,
+            # while a fresh session runs it in 10 s). Disk-persisted
+            # artifacts are untouched — only session memory is released.
+            from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import (
+                cache_once_clear,
+                memo_once_clear,
+            )
+
+            cache_once_clear(spark)
+            memo_once_clear(spark)
+            spark.catalog.clearCache()
+            # drop py4j refs to out-of-scope DataFrames so the JVM
+            # ContextCleaner can reap their localCheckpoint blocks
+            import gc
+
+            gc.collect()
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf).toPandas()
