@@ -128,6 +128,28 @@ class Fs:
                     stack.append(st.getPath())
         return newest
 
+    def walk_files(self, uri: str) -> list[tuple[str, int, float]]:
+        """All FILES under `uri`, recursively, as (path relative to uri,
+        size, mtime epoch seconds), sorted by relative path. One
+        listFiles stream — the Hadoop-scheme twin of os.walk for
+        fingerprinting and footer-count guards."""
+        p = self._path(uri)
+        # resolve to the same canonical string the statuses use, so the
+        # relative-path strip is exact regardless of how the caller
+        # spelled the URI (trailing slash, implicit scheme)
+        base = self._fs.getFileStatus(p).getPath().toString().rstrip("/")
+        out = []
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            full = st.getPath().toString()
+            rel = full[len(base) + 1 :] if full.startswith(base + "/") else full
+            out.append(
+                (rel, int(st.getLen()), st.getModificationTime() / 1000.0)
+            )
+        out.sort(key=lambda e: e[0])
+        return out
+
     # -- mutation ------------------------------------------------------
     def mkdirs(self, uri: str) -> None:
         self._must(self._fs.mkdirs(self._path(uri)), f"mkdirs {uri}")

@@ -1024,7 +1024,7 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     is_new = _split_bucket() < _TEST_LT
-    fp = _table_fingerprint(table_path(sf_dir, "documents"))
+    fp = _table_fingerprint(table_path(sf_dir, "documents"), spark)
     root = persisted_artifact(
         spark,
         "mh_index",
@@ -1196,7 +1196,7 @@ def _edges_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _table_fingerprint
     from .util import persisted_artifact
 
-    fp = _table_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp = _table_fingerprint(os.path.join(sf_dir, "documents.parquet"), spark)
     root = persisted_artifact(
         spark,
         "mh_edges",

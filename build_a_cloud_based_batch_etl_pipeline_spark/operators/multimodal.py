@@ -457,7 +457,7 @@ def multimodal_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     is_new = _split_bucket() < _TEST_LT
-    fp = _table_fingerprint(table_path(sf_dir, "documents"))
+    fp = _table_fingerprint(table_path(sf_dir, "documents"), spark)
 
     def build(tmp: str) -> None:
         corpus = with_binary_payload(docs.filter(~is_new)).select(

@@ -684,7 +684,7 @@ def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_small_input(t(spark, sf_dir, "documents"), "doc_id")
     is_eval = _split_bucket() < _VALID_LT
-    fp = _table_fingerprint(table_path(sf_dir, "documents"))
+    fp = _table_fingerprint(table_path(sf_dir, "documents"), spark)
     root = persisted_artifact(
         spark,
         "eval_gram_index",

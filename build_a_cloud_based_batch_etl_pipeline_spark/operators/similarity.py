@@ -46,7 +46,7 @@ _DIM = 64
 _MAX_INDEX_ROWS = 100_000
 
 
-def _parquet_num_rows(path: str) -> int | None:
+def _parquet_num_rows(path: str, spark: SparkSession | None = None) -> int | None:
     """Total row count from parquet footer metadata (file or directory
     tree of part files) — driver-side and O(files), no Spark job. None
     when the path yields no readable parquet file (caller falls back to
@@ -54,7 +54,13 @@ def _parquet_num_rows(path: str) -> int | None:
     partitioned table nests part files under key=value subdirectories,
     and a top-level-only listing would return an empty file list whose
     sum() of 0 sails under the index cap and defeats the fail-fast
-    guard (ADVICE r3)."""
+    guard (ADVICE r3).
+
+    Local paths use the pyarrow fast path; a non-local path (object
+    store / `file:` URI) falls back to the Hadoop FileSystem walk +
+    the bundled parquet-hadoop footer reader when `spark` is given
+    (r13: without the fallback, every object-store table read None and
+    silently degraded the fail-fast cap to the bounded limit-collect)."""
     import os
 
     try:
@@ -67,25 +73,50 @@ def _parquet_num_rows(path: str) -> int | None:
                 for f in names
                 if f.endswith(".parquet")
             ]
-        else:
-            files = [path] if path.endswith(".parquet") else []
-        if not files:
-            return None
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            if not files:
+                return None
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if os.path.isfile(path) and path.endswith(".parquet"):
+            return pq.ParquetFile(path).metadata.num_rows
+        if spark is not None:
+            from ..fsio import Fs, child
+
+            fs = Fs(spark, path)
+            if fs.exists(path):
+                if fs.is_file(path):
+                    names = [path] if path.endswith(".parquet") else []
+                else:
+                    names = [
+                        child(path, rel)
+                        for rel, _sz, _mt in fs.walk_files(path)
+                        if rel.endswith(".parquet")
+                    ]
+                if names:
+                    return sum(fs.parquet_row_count(n) for n in names)
+        return None
     except Exception:
         return None
 
 
-def _table_fingerprint(path: str) -> str:
+def _table_fingerprint(path: str, spark: SparkSession | None = None) -> str:
     """Cheap content fingerprint of a parquet table path: relative file
-    names + sizes + mtimes (ns), hashed. O(files) driver-side listing —
+    names + sizes + mtimes, hashed. O(files) driver-side listing —
     the same walk the footer guard already does — so memoization keyed
     on it cannot serve stale state after the table is rewritten or
     regenerated within one Spark application (ADVICE r5). 'missing'
-    for a path with no parquet files."""
+    for a path with no parquet files.
+
+    Local paths keep the original os.walk listing (byte-identical
+    fingerprints to earlier rounds — persisted artifacts stay valid);
+    non-local paths fall back to the Hadoop FileSystem walk when
+    `spark` is given (r13: an object-store table previously
+    fingerprinted as 'missing' — EVERY such table collided on one
+    artifact directory, so a stale artifact could be served across
+    different corpora; now 'missing' means genuinely absent)."""
     import hashlib
     import os
 
+    entries: list[tuple[str, int, object]] = []
     if os.path.isdir(path):
         files = sorted(
             os.path.join(root, f)
@@ -93,16 +124,34 @@ def _table_fingerprint(path: str) -> str:
             for f in names
             if f.endswith(".parquet")
         )
-    else:
-        files = [path] if path.endswith(".parquet") else []
-    if not files:
+        for f in files:
+            st = os.stat(f)
+            entries.append(
+                (os.path.relpath(f, path), st.st_size, st.st_mtime_ns)
+            )
+    elif os.path.isfile(path) and path.endswith(".parquet"):
+        st = os.stat(path)
+        # relpath(path, path) == "." — kept verbatim so single-file
+        # fingerprints stay byte-identical to earlier rounds (persisted
+        # artifacts keyed on them remain valid)
+        entries.append(
+            (os.path.relpath(path, path), st.st_size, st.st_mtime_ns)
+        )
+    elif spark is not None:
+        from ..fsio import Fs
+
+        fs = Fs(spark, path)
+        if fs.exists(path):
+            entries = [
+                (rel, sz, mt)
+                for rel, sz, mt in fs.walk_files(path)
+                if rel.endswith(".parquet")
+            ]
+    if not entries:
         return "missing"
     h = hashlib.sha256()
-    for f in files:
-        st = os.stat(f)
-        h.update(
-            f"{os.path.relpath(f, path)}:{st.st_size}:{st.st_mtime_ns}\n".encode()
-        )
+    for rel, size, mtime in entries:
+        h.update(f"{rel}:{size}:{mtime}\n".encode())
     return h.hexdigest()[:16]
 
 
@@ -258,7 +307,7 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded limit-collect. For unbounded corpora the scale path is
     # LSH/IVF bucketing (embed_ann_lsh / embed_ann_ivf) with identical
     # plumbing.
-    n_index = _parquet_num_rows(table_path(sf_dir, "embeddings"))
+    n_index = _parquet_num_rows(table_path(sf_dir, "embeddings"), spark)
     if n_index is not None and n_index <= _MAX_INDEX_ROWS:
         index_rows = emb.collect()
     else:
@@ -1203,7 +1252,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     serving stale codes (ADVICE r5)."""
     from .util import memo_once
 
-    fp = _table_fingerprint(table_path(sf_dir, "embeddings"))
+    fp = _table_fingerprint(table_path(sf_dir, "embeddings"), spark)
     return memo_once(
         spark,
         ("pq_fit", sf_dir, fp, _PQ_M, _PQ_K, _PQ_TRAIN_ROWS),
@@ -1214,7 +1263,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
 def _pq_fit_build(spark: SparkSession, sf_dir: str):
     import numpy as np
 
-    n_index = _parquet_num_rows(table_path(sf_dir, "embeddings"))
+    n_index = _parquet_num_rows(table_path(sf_dir, "embeddings"), spark)
     if n_index is not None and n_index > _MAX_INDEX_ROWS:
         raise ValueError(
             f"embed_ann_pq's ADC index exceeds the {_MAX_INDEX_ROWS}-row "
@@ -1705,10 +1754,10 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def pq_index_version(sf_dir: str) -> str:
+def pq_index_version(sf_dir: str, spark: SparkSession | None = None) -> str:
     """The version a fresh index build would carry: the embeddings
     table's content fingerprint. Staleness == stored != this."""
-    return _table_fingerprint(table_path(sf_dir, "embeddings"))
+    return _table_fingerprint(table_path(sf_dir, "embeddings"), spark)
 
 
 def _swap_write(spark: SparkSession, df: DataFrame, path: str) -> None:
@@ -1824,7 +1873,7 @@ def build_pq_index(
     reports as None -> the next build run rewrites all three (identical
     content — training is deterministic), and load_pq_index refuses to
     serve the torn state meanwhile."""
-    version = pq_index_version(sf_dir)
+    version = pq_index_version(sf_dir, spark)
     if not force and _stored_index_version(spark, index_root) == version:
         return False
     books, _ids, _codes, _mat = _pq_fit(spark, sf_dir)
@@ -1985,7 +2034,7 @@ def load_pq_index(spark: SparkSession, sf_dir: str, index_root: str):
     import numpy as np
 
     stored = _stored_index_version(spark, index_root)
-    live = pq_index_version(sf_dir)
+    live = pq_index_version(sf_dir, spark)
     if stored is None:
         raise ValueError(
             f"no complete PQ index at {index_root} (missing table or "
@@ -1997,7 +2046,7 @@ def load_pq_index(spark: SparkSession, sf_dir: str, index_root: str):
             f"version {stored}, live table is {live} — rebuild before "
             "serving (a silently-stale ANN index returns wrong neighbors)"
         )
-    n = _parquet_num_rows(f"{index_root}/pq_codes")
+    n = _parquet_num_rows(f"{index_root}/pq_codes", spark)
     if n is not None and n > _MAX_INDEX_ROWS:
         raise ValueError(
             f"persisted codes table exceeds the {_MAX_INDEX_ROWS}-row "
@@ -2030,7 +2079,7 @@ def _pq_index_artifact(spark: SparkSession, sf_dir: str) -> str:
         spark,
         "pq_index",
         sf_dir,
-        pq_index_version(sf_dir),
+        pq_index_version(sf_dir, spark),
         lambda tmp: build_pq_index(spark, sf_dir, tmp),
     )
 
@@ -2362,7 +2411,7 @@ def _pq_inc_fixture_root(spark: SparkSession, sf_dir: str) -> str:
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
 
-    fp = _table_fingerprint(table_path(sf_dir, "embeddings"))
+    fp = _table_fingerprint(table_path(sf_dir, "embeddings"), spark)
     return persisted_artifact(spark, "pq_inc_index", sf_dir, fp, build)
 
 
@@ -2469,7 +2518,7 @@ def embed_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     cand = emb.filter(F.col("label").isin(*_FILTER_LABELS))
 
-    n_total = _parquet_num_rows(table_path(sf_dir, "embeddings"))
+    n_total = _parquet_num_rows(table_path(sf_dir, "embeddings"), spark)
     if n_total is not None and n_total <= _MAX_INDEX_ROWS:
         index_rows = cand.select("vec_id", "embedding").collect()
     else:
@@ -3017,7 +3066,7 @@ def embed_topk_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     is_q = _split_bucket("vec_id") < _TEST_LT
 
-    n_total = _parquet_num_rows(table_path(sf_dir, "embeddings"))
+    n_total = _parquet_num_rows(table_path(sf_dir, "embeddings"), spark)
     if n_total is not None and n_total <= _MAX_INDEX_ROWS:
         index_rows = emb.filter(~is_q).collect()
     else:
@@ -3475,7 +3524,7 @@ def embed_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_index = _parquet_num_rows(table_path(sf_dir, "embeddings"))
+    n_index = _parquet_num_rows(table_path(sf_dir, "embeddings"), spark)
     if n_index is not None and n_index <= _MAX_INDEX_ROWS:
         index_rows = emb.collect()
     else:

@@ -2183,7 +2183,7 @@ def _textrank_graph(spark: SparkSession, sf_dir: str):
     from .similarity import _table_fingerprint
     from .util import persisted_artifact
 
-    fp = _table_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp = _table_fingerprint(os.path.join(sf_dir, "documents.parquet"), spark)
 
     def build(tmp: str) -> None:
         docs = t(spark, sf_dir, "documents")

@@ -72,6 +72,43 @@ def test_fs_parquet_row_count_matches_footer(spark, tmp_path):
     assert total == 123
 
 
+def test_fingerprint_and_footer_guard_over_file_uri(spark, tmp_path):
+    """The footer-count cap guard and the artifact content fingerprint
+    must work on non-local (Hadoop-scheme) table paths: before r13 an
+    object-store table counted None (silently degrading the fail-fast
+    cap to the bounded fallback) and fingerprinted as 'missing' — every
+    such table COLLIDED on one artifact dir, the one way a
+    content-addressed artifact could be served stale."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+        _parquet_num_rows,
+        _table_fingerprint,
+    )
+
+    local = str(tmp_path / "t")
+    spark.range(321).repartition(3).write.parquet(local)
+    uri = "file:" + local
+
+    # counts agree across the pyarrow (local) and Hadoop (URI) branches
+    assert _parquet_num_rows(local) == 321
+    assert _parquet_num_rows(uri, spark) == 321
+    assert _parquet_num_rows(uri) is None  # no spark handle: old behavior
+
+    fp_uri = _table_fingerprint(uri, spark)
+    assert fp_uri != "missing" and len(fp_uri) == 16
+    assert _table_fingerprint(uri, spark) == fp_uri  # deterministic
+    # distinct tables must not collide (the old 'missing' collision)
+    local2 = str(tmp_path / "t2")
+    spark.range(5).write.parquet(local2)
+    assert _table_fingerprint("file:" + local2, spark) != fp_uri
+    # rewriting the table changes the fingerprint
+    spark.range(99).repartition(2).write.mode("overwrite").parquet(local)
+    assert _table_fingerprint(uri, spark) != fp_uri
+    # genuinely absent stays 'missing'
+    assert _table_fingerprint("file:" + str(tmp_path / "nope"), spark) == "missing"
+    # local single-file form is unchanged (persisted artifacts stay valid)
+    assert _table_fingerprint("/root/testdata/sf0.001/documents.parquet") != "missing"
+
+
 def test_zorder_maintain_over_file_uri(spark, tmp_path):
     """The full incremental Z-order loop against an explicit `file:`
     table URI: initial cluster, dirty-only second pass after a partial
