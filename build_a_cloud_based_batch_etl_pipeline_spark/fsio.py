@@ -193,19 +193,21 @@ class Fs:
 
     # -- tiny files ----------------------------------------------------
     def read_text(self, uri: str, max_bytes: int = 4096) -> str:
-        """Contents of a small text file (markers, fingerprints). Byte
-        reads round-trip py4j, so this is for <=4 KB control files
-        only — which is every caller."""
+        """Contents of a small text file (markers, fingerprints) in ONE
+        JVM round trip: commons-io IOUtils.toByteArray drains the
+        stream JVM-side and py4j hands the byte[] back as python bytes
+        (VERDICT r13 item 3 — the old byte-at-a-time loop paid one py4j
+        round trip PER BYTE, ~4096 calls for a 4 KB marker). max_bytes
+        stays a defensive cap applied to the returned buffer; every
+        caller reads <=4 KB control files."""
         ins = self._fs.open(self._path(uri))
         try:
-            buf = bytearray()
-            b = ins.read()
-            while b != -1 and len(buf) < max_bytes:
-                buf.append(b)
-                b = ins.read()
+            data = bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
+            )
         finally:
             ins.close()
-        return buf.decode("utf-8")
+        return data[:max_bytes].decode("utf-8")
 
     def write_text(self, uri: str, text: str) -> None:
         out = self._fs.create(self._path(uri), True)

@@ -2504,8 +2504,22 @@ def _bpe_pair_counts(cur: DataFrame, weight=None) -> DataFrame:
     )
 
 
+# Symbol-table checkpoint cadence for the delta trainer: `cur` is
+# rebuilt as filter+union each round, so without truncation round j's
+# plan is j-deep and carries j extra partitions — harmless at k=16,
+# a driver-side planning blowup at the k~30000 production shape
+# (VERDICT r13 item 2). Every _BPE_CUR_CKPT rounds the table is
+# coalesced back to its ORIGINAL partition count and localCheckpointed
+# (vocabulary-bounded, so materializing is cheap); plan depth and
+# partition count are then bounded by the cadence, not by k.
+_BPE_CUR_CKPT = 32
+
+
 def bpe_merges_delta(
-    spark: SparkSession, sf_dir: str, k: int = _BPE_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _BPE_K,
+    diag: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """bpe_merges with INCREMENTAL pair-count maintenance — the
     production BPE-training shape (VERDICT r12 item 5): instead of
@@ -2525,9 +2539,13 @@ def bpe_merges_delta(
     counts of affected words AFTER the rewrite minus BEFORE (two
     explodes over affected words only, counts are exact longs so the
     subtraction is exact); (4) fold the delta into the pair table and
-    drop zeroed pairs. localCheckpoint truncates the per-round lineage
-    (the table is vocabulary-bounded, so materializing it is cheap and
-    keeps round j's plan O(1)-deep instead of O(j)).
+    drop zeroed pairs. localCheckpoint truncates the pair table's
+    lineage every round, and the symbol table's every _BPE_CUR_CKPT
+    rounds with a coalesce back to its original partition count
+    (VERDICT r13 item 2) — both tables are vocabulary-bounded, so
+    materializing is cheap and plan depth / partition count stay
+    bounded by the cadence at any k (pinned at k=128 in
+    tests/test_llm_prep.py).
 
     MUST be bit-identical to bpe_merges — same counts, same
     count-DESC/pair-ASC tie-break, same canonical non-overlapping
@@ -2540,8 +2558,9 @@ def bpe_merges_delta(
         vocab = _bpe_vocab(spark, sf_dir)
         merges: list[tuple[str, str, int]] = []
         cur = vocab.select("c", "s")
+        base_parts = cur.rdd.getNumPartitions()
         counts = _bpe_pair_counts(cur).localCheckpoint()
-        for _ in range(k):
+        for rnd in range(k):
             top = (
                 counts.orderBy(F.col("cnt").desc(), "a", "b")
                 .limit(1)
@@ -2582,6 +2601,19 @@ def bpe_merges_delta(
             cur = cur.filter(
                 ~F.col("s").contains(f".{a}.{b}.")
             ).unionByName(rewritten)
+            # bound the symbol table's lineage/partition growth to the
+            # checkpoint cadence (see _BPE_CUR_CKPT): each round adds
+            # one filter+union plan level and one partition; truncate
+            # both before they compound at production k
+            if (rnd + 1) % _BPE_CUR_CKPT == 0:
+                cur = cur.coalesce(base_parts).localCheckpoint()
+        if diag is not None:
+            diag["base_partitions"] = base_parts
+            diag["rounds"] = len(merges)
+            diag["cur_partitions"] = cur.rdd.getNumPartitions()
+            diag["cur_plan_lines"] = len(
+                cur._jdf.queryExecution().optimizedPlan().toString().splitlines()
+            )
         return merges
 
     return memo_once(spark, ("bpe_merges_delta", sf_dir, k), train)

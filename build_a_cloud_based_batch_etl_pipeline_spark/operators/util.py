@@ -416,9 +416,21 @@ def persisted_artifact(
 
                     if time.time() - fs.newest_mtime(p) < 3600:
                         continue
-                except (IOError, OSError):
+                except Exception:
+                    # broad on purpose (ADVICE r13): a concurrent
+                    # builder renaming its tmp away between the listing
+                    # and this probe surfaces as Py4JJavaError
+                    # (FileNotFoundException), NOT OSError — any probe
+                    # failure means "can't prove abandoned", so skip.
                     continue
-            fs.delete(p)
+            try:
+                fs.delete(p)
+            except Exception:
+                # reaping is best-effort housekeeping (the old shutil
+                # path was ignore_errors=True): a concurrent session
+                # racing the same stale entry must not fail THIS
+                # session's successful artifact resolve.
+                continue
         return root
 
     return memo_once(spark, ("persisted_artifact", kind, tag, fingerprint), resolve)

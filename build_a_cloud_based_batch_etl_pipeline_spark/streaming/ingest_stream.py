@@ -713,11 +713,13 @@ def incremental_load_clustered(
     the rows surviving the idempotency anti-join, not the raw batch
     (ADVICE r12: a duplicate key arriving under a new partition value
     appends nothing and creates no dir; treating it as touched wedged
-    the stream on a missing-dir error at every replay). A full-replay
-    epoch (zero survivors) falls back to the raw values intersected
-    with existing dirs, so a crash between append and maintenance
-    still converges. Directory checks go through the Hadoop FS API
-    (fsio.Fs) — object-store table URIs work.
+    the stream on a missing-dir error at every replay) — UNIONED with
+    the raw batch's values intersected with existing dirs, so a torn
+    pre-crash append converges even when the replay has surviving rows
+    (ADVICE r13: the survivors-only set left pre-crash-appended,
+    duplicate-on-replay partitions permanently unclustered). Directory
+    checks go through the Hadoop FS API (fsio.Fs) — object-store table
+    URIs work.
 
     Crash contract (pinned in tests/test_streaming.py): every
     crash point converges across a checkpoint restart —
@@ -765,37 +767,41 @@ def incremental_load_clustered(
         from ..fsio import Fs
 
         listing = set(Fs(spark, table_path).listdir(table_path))
-        if new_vals:
-            touched = {f"{partition_col}={v}" for v in new_vals}
-            # fail LOUD if a value's directory name doesn't match the
-            # f-string form (hive path-escaping of special chars): a
-            # silently-skipped entry would stay dirty forever. Since
-            # `touched` only holds partitions that received an append,
-            # a miss here really is path-escaping, never an
-            # already-present-key skip.
-            missing = touched - listing
-            if missing:
-                raise ValueError(
-                    f"partition dirs not found for {sorted(missing)} "
-                    "even though rows were appended under those values "
-                    "— the values need hive path-escaping, which the "
-                    "touched-partition restriction doesn't support; "
-                    "use path-safe partition values"
-                )
-        else:
-            # full-replay epoch (crash between append and maintenance,
-            # then checkpoint restart): nothing re-appends, but the
-            # pre-crash append may have left partitions dirty — fall
-            # back to the raw batch's values, keeping only partitions
-            # that EXIST (a duplicate key under a brand-new partition
-            # value never created a dir and never got rows, so it is
-            # legitimately not dirty — not an error).
-            touched = {
+        appended = {f"{partition_col}={v}" for v in new_vals}
+        # fail LOUD if a value's directory name doesn't match the
+        # f-string form (hive path-escaping of special chars): a
+        # silently-skipped entry would stay dirty forever. Since
+        # `appended` only holds partitions that received an append,
+        # a miss here really is path-escaping, never an
+        # already-present-key skip.
+        missing = appended - listing
+        if missing:
+            raise ValueError(
+                f"partition dirs not found for {sorted(missing)} "
+                "even though rows were appended under those values "
+                "— the values need hive path-escaping, which the "
+                "touched-partition restriction doesn't support; "
+                "use path-safe partition values"
+            )
+        # ALWAYS union in the raw batch's values that already have a
+        # dir (ADVICE r13): a torn pre-crash append replayed with SOME
+        # surviving rows would otherwise derive `touched` solely from
+        # the survivors, leaving partitions appended pre-crash but
+        # duplicate-on-replay permanently unclustered. Raw values whose
+        # dir doesn't exist are duplicate keys under brand-new
+        # partition values — legitimately not dirty, not an error
+        # (ADVICE r12). Extra existing-but-clean entries cost one
+        # fingerprint-vs-marker check each in zorder_maintain, never a
+        # re-cluster.
+        touched = appended | (
+            {
                 f"{partition_col}={r[0]}"
                 for r in batch.select(partition_col).distinct().collect()
-            } & listing
-            if not touched:
-                return
+            }
+            & listing
+        )
+        if not touched:
+            return
         zorder_maintain(spark, table_path, zorder_cols, only=touched)
 
     q = (

@@ -164,6 +164,178 @@ def test_zorder_maintain_over_file_uri(spark, tmp_path):
     assert not fs.exists(child(table, ".zorder_old", victim))
 
 
+def test_pq_incremental_loader_includes_epochs_over_file_uri(spark, tmp_path):
+    """ADVICE r13 (medium): load_pq_index_incremental probed the epochs
+    dir with os.path.isdir — always False for an object-store or
+    explicit `file:` URI index_root, so committed epoch partitions were
+    SILENTLY excluded from the served index (missing vectors, no
+    error). Both the flat and the distributed loader must include the
+    epoch vectors when the root is a Hadoop URI."""
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path / "sfdir")
+    rng = np.random.RandomState(51)
+    vecs = rng.randn(300, 64).astype("float32")
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(2).write.parquet(f"{sf}/embeddings.parquet")
+
+    root = "file:" + str(tmp_path / "pq_uri_root")
+    sim.build_pq_index(spark, sf, root)
+    new_df = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in rng.randn(64)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    assert sim.append_pq_epoch(spark, new_df, root, "batch", 1) is True
+
+    _b, ids, _codes, _co, _a = sim.load_pq_index_incremental(spark, root)
+    assert len(ids) == 320, "epoch vectors missing from the flat loader"
+    assert {int(i) for i in ids if i >= 1000} == set(range(1000, 1020))
+
+    codes_df, _bk, _ce = sim.ivf_pq_codes_df(spark, root)
+    assert codes_df.count() == 320
+    assert codes_df.filter("vec_id >= 1000").count() == 20
+
+
+def test_fs_over_viewfs_scheme(spark, tmp_path):
+    """A non-`file:` Hadoop scheme WITH a real authority — viewfs://vt/
+    mounted onto a local dir — through the full Fs surface and the
+    Z-order maintenance loop (VERDICT r13 item 7): a scheme-string
+    assumption (authority handling, child() joins, an os.path fallback
+    that 'works' because file: resolves locally) cannot hide behind
+    file: here, because os.path on a viewfs:// string matches nothing."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.layout import (
+        zorder_maintain,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.sinks import (
+        write_parquet_table,
+    )
+
+    (tmp_path / "mnt").mkdir()
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.vt.link./data", "file://" + str(tmp_path / "mnt")
+    )
+    uri = "viewfs://vt/data"
+    fs = Fs(spark, uri)
+
+    # primitives: write/read/list/rename/delete + footer counts
+    fs.mkdirs(child(uri, "d", "sub"))
+    fs.write_text(child(uri, "d", "m.txt"), "abc\n")
+    assert fs.read_text(child(uri, "d", "m.txt")) == "abc\n"
+    assert fs.is_dir(child(uri, "d")) and fs.is_file(child(uri, "d", "m.txt"))
+    assert set(fs.listdir(child(uri, "d"))) == {"m.txt", "sub"}
+    fs.rename(child(uri, "d"), child(uri, "e"))
+    assert fs.exists(child(uri, "e", "m.txt")) and not fs.exists(child(uri, "d"))
+    fs.delete(child(uri, "e"))
+
+    # the maintenance loop: initial cluster, dirty-only second pass,
+    # no-op third pass — all via viewfs:// handles
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    table = child(uri, "zt")
+    write_parquet_table(
+        orders, table, mode="overwrite", partition_by=["o_orderpriority"]
+    )
+    cols = ["o_custkey", "o_totalprice"]
+    r1 = zorder_maintain(spark, table, cols, n_files=2)
+    assert {a for _, a, _ in r1} == {"clustered"} and len(r1) == 5
+    assert sum(n for _, _, n in r1) == orders.count()
+
+    late = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+    write_parquet_table(
+        late, table, mode="append", partition_by=["o_orderpriority"]
+    )
+    r2 = {p: a for p, a, _ in zorder_maintain(spark, table, cols, n_files=2)}
+    assert r2["o_orderpriority=1-URGENT"] == "clustered"
+    assert sum(1 for a in r2.values() if a == "clustered") == 1, r2
+    assert all(
+        a == "skipped" for _, a, _ in zorder_maintain(spark, table, cols, n_files=2)
+    )
+    assert spark.read.parquet(table).count() == orders.count() + 50
+
+
+def test_clustered_load_torn_append_replay_reclusters(spark, tmp_path):
+    """ADVICE r13: a torn pre-crash append replayed WITH surviving rows
+    — the survivors-only touched set left the pre-crash-appended,
+    duplicate-on-replay partition permanently unclustered. The raw
+    batch's values (intersected with existing dirs) must be unioned in,
+    so the stale partition re-clusters on the replay epoch."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.sinks import (
+        write_parquet_table,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.streaming import (
+        ingest_stream,
+    )
+
+    srcdir = tmp_path / "tornsrc"
+    srcdir.mkdir()
+    table = "file:" + str(tmp_path / "torn_table")
+    ckpt = str(tmp_path / "torn_ckpt")
+    schema = "id long, grp string, x long, y long"
+
+    def drop(name, rows):
+        with open(srcdir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run():
+        ingest_stream.incremental_load_clustered(
+            spark, str(srcdir), table, ckpt, schema, "grp", ["x", "y"]
+        )
+
+    drop(
+        "w1.json",
+        [
+            {"id": i, "grp": "a" if i % 2 else "b", "x": i, "y": i * 7 % 13}
+            for i in range(40)
+        ],
+    )
+    run()
+
+    # simulate the torn pre-crash half of wave 2: id=200 landed in
+    # grp=b (dirtying it) but the epoch never committed...
+    pre_crash = spark.createDataFrame(
+        [(200, "b", 1, 1)], schema
+    )
+    write_parquet_table(
+        pre_crash, table, mode="append", partition_by=["grp"]
+    )
+    # ...and the replayed source batch carries that same row (now a
+    # duplicate — zero appends for grp=b) PLUS a fresh survivor in
+    # grp=a, so the old survivors-only derivation would skip grp=b.
+    drop(
+        "w2.json",
+        [
+            {"id": 200, "grp": "b", "x": 1, "y": 1},
+            {"id": 201, "grp": "a", "x": 2, "y": 2},
+        ],
+    )
+    run()
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.layout import (
+        zorder_maintain,
+    )
+
+    # both rows landed exactly once, and grp=b was re-clustered by the
+    # replay epoch — a follow-up full maintenance pass finds NOTHING
+    # dirty (before the fix, grp=b reported 'clustered' here)
+    df = spark.read.parquet(table)
+    assert df.count() == 42
+    assert df.filter("id = 200").count() == 1
+    after = {p: a for p, a, _ in zorder_maintain(spark, table, ["x", "y"])}
+    assert after == {"grp=a": "skipped", "grp=b": "skipped"}, after
+
+
 def test_clustered_load_duplicate_key_new_partition(spark, tmp_path):
     """ADVICE r12: a replayed/duplicate key arriving under a NEW
     partition value is skipped by the idempotent append, so its

@@ -431,3 +431,37 @@ def test_bpe_canonical_merge_three_engines(spark, tmp_path):
         for r in con.execute(_BPE_ENCODE_ORACLE).fetchall()
     }
     assert oracle == ref_doc, (oracle, ref_doc)
+
+
+def test_bpe_delta_lineage_bounded_at_production_k(spark, sf_dir):
+    """VERDICT r13 item 2: at k=128 the delta trainer's symbol table
+    must hold a BOUNDED plan depth and partition count — each round
+    rebuilds `cur` as filter+union, which would otherwise compound to
+    an O(k)-deep plan carrying k extra partitions, the driver-side
+    planning blowup that makes the k~30000 production shape infeasible.
+    The checkpoint cadence (_BPE_CUR_CKPT=32) truncates both: the
+    fixture corpus exhausts around round ~89, so the cadence fires at
+    least twice (rounds 32 and 64), and the bounds below hold at ANY k.
+    Prefix-stability is the correctness pin: greedy BPE's first 16
+    merges are independent of k, so the long run must start with the
+    k=16 list already certified hash-identical to the retraining
+    DuckDB oracle (text_bpe_merge_table_delta) and list-identical to
+    bpe_merges."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+        _BPE_CUR_CKPT,
+        _BPE_K,
+        bpe_merges_delta,
+    )
+
+    short = bpe_merges_delta(spark, sf_dir, k=_BPE_K)
+    diag: dict = {}
+    long_run = bpe_merges_delta(spark, sf_dir, k=128, diag=diag)
+    assert long_run[:_BPE_K] == short
+    assert diag["rounds"] >= 2 * _BPE_CUR_CKPT, diag
+    # partitions: original count + at most one per round since the last
+    # checkpoint (+1 for the union ordering); plan depth: bounded by
+    # the cadence, never by k
+    assert (
+        diag["cur_partitions"] <= diag["base_partitions"] + _BPE_CUR_CKPT + 1
+    ), diag
+    assert diag["cur_plan_lines"] <= 5 * _BPE_CUR_CKPT, diag

@@ -1069,6 +1069,8 @@ def test_pq_incremental_epoch_append_contract(spark, tmp_path):
     assert sim.build_pq_index(spark, sf, root) is True
     with pytest.raises(ValueError, match="encoded against"):
         sim.load_pq_index_incremental(spark, root)
+    with pytest.raises(ValueError, match="encoded against"):
+        sim.ivf_pq_codes_df(spark, root)
 
 
 def test_pq_incremental_refuses_duplicate_vec_id(spark, tmp_path):
@@ -1090,6 +1092,10 @@ def test_pq_incremental_refuses_duplicate_vec_id(spark, tmp_path):
     sim.append_pq_epoch(spark, dup, root, "batch", 1)
     with pytest.raises(ValueError, match="duplicate vec_id"):
         sim.load_pq_index_incremental(spark, root)
+    # the distributed loader enforces the same contract (as a groupBy
+    # probe, not a driver collect)
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        sim.ivf_pq_codes_df(spark, root)
 
 
 def test_pq_drift_rule_flags_off_manifold_epoch(spark, tmp_path):
@@ -1154,6 +1160,12 @@ def test_pq_drift_rule_flags_off_manifold_epoch(spark, tmp_path):
         spark, root, allow_drift=True
     )
     assert len(ids) == 680
+    # the distributed loader applies the identical rule (it IS the
+    # report's retrain_needed column) and the identical override
+    with pytest.raises(ValueError, match="drift"):
+        sim.ivf_pq_codes_df(spark, root)
+    codes_df, _b, _c = sim.ivf_pq_codes_df(spark, root, allow_drift=True)
+    assert codes_df.count() == 680
 
     # report and loader share one rule (ADVICE r12: the loader
     # hardcoded the floor and compared the unrounded mean): at a floor
@@ -1170,6 +1182,104 @@ def test_pq_drift_rule_flags_off_manifold_epoch(spark, tmp_path):
         spark, root, floor=low
     )
     assert len(ids_low) == 680
+
+
+def test_sharded_ivf_pq_bit_equals_indexed_and_serves_beyond_cap(
+    spark, sf_dir, monkeypatch
+):
+    """The sharded serving path (VERDICT r13's one demand): codes stay
+    a list_id-clustered DataFrame, queries broadcast, per-shard ADC
+    winners reduce to the global top-k. Must be (a) BIT-IDENTICAL to
+    the flat broadcast path embed_ann_ivf_pq_indexed (and therefore to
+    the session-trained embed_ann_ivf_pq and its recall pins), and
+    (b) still answering — identically — when _MAX_INDEX_ROWS is forced
+    below the corpus size, where the flat loader must REFUSE."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    want = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_ivf_pq_indexed"].fn(spark, sf_dir).collect()
+    )
+    got = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_ivf_pq_sharded"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # corpus now "exceeds" the broadcast cap: flat refuses loudly...
+    monkeypatch.setattr(sim, "_MAX_INDEX_ROWS", 10)
+    with pytest.raises(ValueError, match="broadcast cap"):
+        REGISTRY["embed_ann_ivf_pq_indexed"].fn(spark, sf_dir).collect()
+    # ...the sharded server answers, bit-identically (it never consults
+    # the index-side cap — no driver collect of a single code row)
+    got_beyond = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_ivf_pq_sharded"].fn(spark, sf_dir).collect()
+    )
+    assert got_beyond == want
+
+
+def test_sharded_query_batch_cap_refuses(spark, sf_dir, monkeypatch):
+    """The sharded path's ONLY bounded side is the query batch: above
+    _MAX_QUERY_ROWS it refuses with tiling advice instead of silently
+    broadcasting an unbounded batch."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    monkeypatch.setattr(sim, "_MAX_QUERY_ROWS", 10)
+    with pytest.raises(ValueError, match="query batch exceeds"):
+        REGISTRY["embed_ann_ivf_pq_sharded"].fn(spark, sf_dir).collect()
+
+
+def test_sharded_serving_with_epochs_matches_flat_incremental(spark, tmp_path):
+    """serve_ann_ivf_pq over a base+epoch index: the distributed loader
+    (ivf_pq_codes_df) + sharded scorer must reproduce the flat
+    incremental loader + broadcast scorer bit-for-bit, and
+    include_epochs=False must serve only base vectors."""
+    import os
+
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path / "sfdir")
+    os.makedirs(sf)
+    _mk_gauss_corpus(spark, sf, 600, seed=41)
+    root = str(tmp_path / "pq_shard_root")
+    sim.build_pq_index(spark, sf, root)
+    rng = np.random.RandomState(42)
+    new_vecs = rng.randn(40, 64).astype("float32")
+    new_df = spark.createDataFrame(
+        [(5000 + i, [float(x) for x in new_vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    sim.append_pq_epoch(spark, new_df, root, "batch", 1)
+
+    books, ids, codes, coarse, assign = sim.load_pq_index_incremental(
+        spark, root
+    )
+    flat = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim._ivf_adc_topk_stream(
+            spark, new_df, books, ids, codes, coarse, assign
+        ).collect()
+    )
+    shard = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(spark, new_df, root).collect()
+    )
+    assert shard == flat and shard
+
+    # base-only serving: no epoch vector may appear as a neighbor
+    base_only = sim.serve_ann_ivf_pq(
+        spark, new_df, root, include_epochs=False
+    ).collect()
+    assert base_only and all(r.nid < 5000 for r in base_only)
 
 
 def test_pq_incremental_registered_queries(spark, sf_dir):
