@@ -465,3 +465,11 @@ def test_bpe_delta_lineage_bounded_at_production_k(spark, sf_dir):
         diag["cur_partitions"] <= diag["base_partitions"] + _BPE_CUR_CKPT + 1
     ), diag
     assert diag["cur_plan_lines"] <= 5 * _BPE_CUR_CKPT, diag
+    # the pair table holds the same bounds: its fold chain (one
+    # broadcast join + one tiny union per round) truncates on the same
+    # cadence
+    assert (
+        diag["counts_partitions"]
+        <= diag["base_partitions"] + _BPE_CUR_CKPT + 1
+    ), diag
+    assert diag["counts_plan_lines"] <= 8 * _BPE_CUR_CKPT, diag

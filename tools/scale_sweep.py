@@ -442,6 +442,174 @@ def main() -> None:
             results["ingest_e2e"] = {
                 "t": ts, "exponent": fit_exponent(points, ts)
             }
+            print_partial(results)
+
+        # r14: the sharded ANN serving path (VERDICT r13's demand).
+        # |Q| is FIXED (200 vectors) while the corpus replicates, so
+        # the measured exponent isolates the serving architecture's
+        # corpus term: each task groups its own shard's lists once
+        # (linear in shard size) and scores |Q| x nprobe probed lists
+        # (~|Q| x nprobe x N/nlist candidates — linear in N at the
+        # fixture's CONSTANT nlist; the production nlist ~ N rule,
+        # measured at e~0.1 by the embed_ann_ivf row, would make the
+        # per-query term constant). The reduce is |Q| x k x nshards
+        # rows, corpus-independent. Run 1 pays the one-time index
+        # build (driver-bounded training + distributed encode);
+        # min-of-runs measures the warm serving path a request batch
+        # pays.
+        from build_a_cloud_based_batch_etl_pipeline_spark.operators.similarity import (
+            build_pq_index,
+            serve_ann_ivf_pq,
+        )
+
+        if want("serve_ann_ivf_pq"):
+
+            def serve_run(p: int) -> None:
+                root = os.path.join(workdir, f"srv_idx_x{p}")
+                build_pq_index(spark, fixture[p], root)  # warm: skips
+                q = (
+                    tbl(spark, fixture[p], "embeddings")
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id")
+                    .limit(200)
+                )
+                materialize(serve_ann_ivf_pq(spark, q, root))
+
+            ts = {
+                str(p): timed(lambda: serve_run(p), args.runs)
+                for p in points
+            }
+            results["serve_ann_ivf_pq(sharded, |Q|=200, nlist const)"] = {
+                "t": ts, "exponent": fit_exponent(points, ts)
+            }
+            print_partial(results)
+
+        # r14 (VERDICT r13 item 4): the delta-maintained BPE trainer.
+        # The shared suffixed-copy fixture is unusable here twice over:
+        # `w_3` fails _bpe_vocab's ^[a-z]+$ filter (scaled copies would
+        # add ZERO vocabulary), and the synthetic corpus has only ~31
+        # distinct alpha words — any sweep on it times Spark's
+        # scheduling floor. This fixture builds a REAL vocabulary:
+        # 60k seeded pseudo-words (3-10 letters) per copy, letter-tag
+        # suffixed per copy so the distinct-word table — the quantity
+        # per-round trainer cost is bounded by — grows exactly k-fold
+        # with preserved length/pair structure, zipf-ish repetition
+        # (word i appears ~8000/(i+1) times) so merge selection has
+        # realistic skew. 60k (600k words at the 10x point) is sized so
+        # a FULL pair recount is real work (~5M exploded pairs at 10x)
+        # instead of Spark's ~0.4 s/round scheduling floor — a 4k-word
+        # draft of this fixture measured BOTH trainers flat at e~0.0
+        # because 16 rounds of fixed job overhead swamped the vocab
+        # term entirely. Runs are COLD by construction (memo + cache
+        # cleared per run, which is why these rows run LAST): the
+        # trainer IS the artifact build, so a warm min-of-runs would
+        # time a dict lookup. Two rows on the SAME fixtures: the
+        # delta trainer (pair table maintained with deltas from only
+        # merge-affected words — expected near-flat: per-round work is
+        # the affected slice + a vocabulary-bounded fold) vs the naive
+        # full-recount trainer (16 x full pair recount + full rewrite —
+        # expected to grow with vocab). The GAP is the measurement the
+        # 'production shape' claim rests on.
+        from build_a_cloud_based_batch_etl_pipeline_spark.operators.text import (
+            bpe_merges,
+            bpe_merges_delta,
+        )
+        from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import (
+            cache_once_clear,
+            memo_once_clear,
+        )
+
+        def bpe_fixture(k: int) -> str:
+            import numpy as npl
+            import pandas as pdl
+
+            out = os.path.join(workdir, f"bpe_x{k}")
+            if os.path.isdir(out):
+                return out
+            os.makedirs(out)
+            rng = npl.random.RandomState(7)
+            letters = list("abcdefghijklmnopqrstuvwxyz")
+            base = [
+                "".join(rng.choice(letters, size=rng.randint(3, 11)))
+                for _ in range(60_000)
+            ]
+            rows = []
+            did = 0
+            for j in range(k):
+                sfx = "" if j == 0 else "q" + chr(ord("a") + j - 1)
+                stream = []
+                for i, w in enumerate(base):
+                    stream += [w + sfx] * max(1, 8000 // (i + 1))
+                rng.shuffle(stream)
+                for lo in range(0, len(stream), 200):
+                    rows.append((did, " ".join(stream[lo : lo + 200])))
+                    did += 1
+            pdl.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+                os.path.join(out, "documents.parquet"), index=False
+            )
+            return out
+
+        def bpe_cold(trainer, d: str) -> None:
+            memo_once_clear(spark)
+            cache_once_clear(spark)
+            trainer(spark, d)
+
+        if want("text_bpe_merge_table_delta"):
+            ts = {
+                str(p): timed(
+                    lambda: bpe_cold(bpe_merges_delta, bpe_fixture(p)),
+                    args.runs,
+                )
+                for p in points
+            }
+            results["text_bpe_merge_table_delta(cold, vocab x k)"] = {
+                "t": ts, "exponent": fit_exponent(points, ts)
+            }
+            print_partial(results)
+
+        if want("bpe_merges_full_recount"):
+            ts = {
+                str(p): timed(
+                    lambda: bpe_cold(bpe_merges, bpe_fixture(p)), args.runs
+                )
+                for p in points
+            }
+            results["bpe_merges_full_recount(cold, vocab x k)"] = {
+                "t": ts, "exponent": fit_exponent(points, ts)
+            }
+            print_partial(results)
+
+        # The PRODUCTION axis for a BPE trainer is k (merge rounds,
+        # ~30000 in real tokenizers), not corpus size — per-round cost
+        # is vocabulary-bounded for BOTH trainers (rows above), but the
+        # naive trainer's round r recomputes its r-deep lazy
+        # regexp-chain from scratch (argmax is its only action), so its
+        # TOTAL cost is O(k^2) vocabulary scans, while the delta
+        # trainer materializes per-round state and pays O(k) rounds of
+        # bounded work. This row measures exactly that: both trainers,
+        # cold, on the FIXED 60k-word fixture, k in {16, 64, 256} —
+        # exponent ~1 is the delta claim, superlinear is the naive
+        # chain.
+        if want("bpe_trainer_k_sweep"):
+            d1 = bpe_fixture(1)
+            ks = [16, 64, 256]
+            for label, trainer in [
+                ("delta", bpe_merges_delta),
+                ("full_recount", bpe_merges),
+            ]:
+                ts = {
+                    str(kk): timed(
+                        lambda kk=kk: bpe_cold(
+                            lambda s, d: trainer(s, d, k=kk), d1
+                        ),
+                        args.runs,
+                    )
+                    for kk in ks
+                }
+                results[f"bpe_{label}(cold, 60k vocab, k in 16/64/256)"] = {
+                    "t": ts, "exponent": fit_exponent(ks, ts)
+                }
+                print_partial(results)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
