@@ -2419,6 +2419,7 @@ def ivf_pq_codes_df(
     include_epochs: bool = True,
     allow_drift: bool = False,
     floor: float = _PQ_DRIFT_FLOOR,
+    cluster: bool = True,
 ):
     """(codes DataFrame clustered by list_id, books, coarse) — the
     DISTRIBUTED twin of load_pq_index / load_pq_index_incremental: the
@@ -2484,8 +2485,11 @@ def ivf_pq_codes_df(
             "globally unique ids"
         )
     # cluster shards by inverted list so a task holds whole lists (and,
-    # persisted, partition pruning could skip unprobed lists entirely)
-    return codes.repartition("list_id"), books, coarse
+    # persisted, partition pruning could skip unprobed lists entirely);
+    # cluster=False lets a caller that still restricts the candidate
+    # set (serve_ann_ivf_pq's eligible semi-join) defer the clustering
+    # shuffle until after its join instead of shuffling twice
+    return (codes.repartition("list_id") if cluster else codes), books, coarse
 
 
 def _ivf_adc_topk_sharded(
@@ -2632,19 +2636,37 @@ def serve_ann_ivf_pq(
     allow_drift: bool = False,
     k: int = 5,
     nprobe: int | None = None,
+    eligible: DataFrame | None = None,
 ) -> DataFrame:
     """Online ANN serving against a persisted (optionally
     epoch-appended) IVF-PQ index with the codes table DISTRIBUTED — the
     entry point a query service calls per request batch. Composes the
     distributed loader's refusal contract with the sharded scorer; the
     only driver-side state is the O(M*K*SUB) codebooks and the bounded
-    query batch."""
+    query batch.
+
+    eligible: optional (vec_id) DataFrame restricting the candidate
+    side — the sharded twin of the flat path's index_mask (metadata
+    filtered search / two-corpus joins). Applied as a semi-join BEFORE
+    the list_id clustering, so shards hold only eligible codes and the
+    per-query path is unchanged (pre-filtered lists, never a
+    post-filtered top-k that under-fills k). At 100 TB this is a
+    predicate/join on the codes table — no driver-side mask array of
+    corpus length, which is how the flat path's mask would die at
+    scale. Callers compensate selectivity via `nprobe`, exactly like
+    the flat path (bit-equality with the flat filtered search pinned
+    in tests/test_similarity.py)."""
     codes_df, books, coarse = ivf_pq_codes_df(
         spark,
         index_root,
         include_epochs=include_epochs,
         allow_drift=allow_drift,
+        cluster=eligible is None,
     )
+    if eligible is not None:
+        codes_df = codes_df.join(
+            eligible.select("vec_id").distinct(), "vec_id", "left_semi"
+        ).repartition("list_id")
     return _ivf_adc_topk_sharded(
         spark, codes_df, q_df, books, coarse, k=k, nprobe=nprobe
     )

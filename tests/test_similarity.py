@@ -1234,6 +1234,44 @@ def test_sharded_query_batch_cap_refuses(spark, sf_dir, monkeypatch):
         REGISTRY["embed_ann_ivf_pq_sharded"].fn(spark, sf_dir).collect()
 
 
+def test_sharded_filtered_serving_matches_flat_filtered(spark, sf_dir):
+    """Metadata-filtered search through the SHARDED server: the
+    eligible-set semi-join (pre-filtered lists, no driver-side mask
+    array) with the same selectivity-scaled probe budget must
+    reproduce the flat masked path embed_ann_filtered_ivf_pq
+    bit-for-bit — the filtered API keeps working when the codes table
+    outgrows the broadcast cap."""
+    import math
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    flat = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_filtered_ivf_pq"].fn(spark, sf_dir).collect()
+    )
+    root = sim._pq_index_artifact(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eligible = emb.filter(
+        emb.label.isin(*sim._FILTER_LABELS)
+    ).select("vec_id")
+    sel = max(eligible.count() / emb.count(), 1.0 / sim._IVFPQ_NLIST)
+    nprobe = math.ceil(sim._IVFPQ_NPROBE / sel)
+    shard = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(
+            spark,
+            emb.select("vec_id", "embedding"),
+            root,
+            k=3,
+            nprobe=nprobe,
+            eligible=eligible,
+        ).collect()
+    )
+    assert shard == flat and shard
+
+
 def test_sharded_serving_with_epochs_matches_flat_incremental(spark, tmp_path):
     """serve_ann_ivf_pq over a base+epoch index: the distributed loader
     (ivf_pq_codes_df) + sharded scorer must reproduce the flat
