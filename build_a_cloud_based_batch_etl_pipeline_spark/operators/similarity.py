@@ -2500,6 +2500,7 @@ def _ivf_adc_topk_sharded(
     coarse,
     k: int = 5,
     nprobe: int | None = None,
+    same_label: bool = False,
 ) -> DataFrame:
     """IVF-routed ADC top-k with the CODES side distributed: broadcast
     the bounded query batch, score shard-locally with the same
@@ -2507,7 +2508,13 @@ def _ivf_adc_topk_sharded(
     then reduce per-shard winners to the global top-k. Raw (unrounded)
     scores travel through the reduce and are rounded by the identical
     numpy round at the very end, so the output is bit-equal to the
-    broadcast scorer's for the same artifacts."""
+    broadcast scorer's for the same artifacts.
+
+    same_label=True adds the PER-QUERY dynamic label filter
+    (_ivf_adc_topk_label_stream's semantics): q_df and codes_df must
+    both carry a `label` column, and a candidate is eligible only for
+    queries sharing its label — one vectorized compare per query, with
+    the label ints riding the codes shards and the query broadcast."""
     import numpy as np
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
@@ -2515,9 +2522,8 @@ def _ivf_adc_topk_sharded(
     n_probe = min(
         _IVFPQ_NLIST, _IVFPQ_NPROBE if nprobe is None else int(nprobe)
     )
-    q_rows = q_df.select("vec_id", "embedding").limit(
-        _MAX_QUERY_ROWS + 1
-    ).collect()
+    q_cols = ["vec_id", "embedding"] + (["label"] if same_label else [])
+    q_rows = q_df.select(*q_cols).limit(_MAX_QUERY_ROWS + 1).collect()
     if len(q_rows) > _MAX_QUERY_ROWS:
         raise ValueError(
             f"query batch exceeds the {_MAX_QUERY_ROWS}-row broadcast "
@@ -2528,7 +2534,12 @@ def _ivf_adc_topk_sharded(
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    b = spark.sparkContext.broadcast((books, coarse, qids, qmat))
+    qlabs = (
+        np.array([r[2] for r in q_rows], dtype=np.int64)
+        if same_label
+        else None
+    )
+    b = spark.sparkContext.broadcast((books, coarse, qids, qmat, qlabs))
     part_schema = T.StructType(
         [
             T.StructField("qid", T.LongType()),
@@ -2540,11 +2551,11 @@ def _ivf_adc_topk_sharded(
     def score_shard(batches):
         import pandas as pd
 
-        bk, cents, q_ids, q = b.value
+        bk, cents, q_ids, q, q_labs = b.value
         # materialize THIS SHARD's codes (a shard is whole inverted
         # lists, corpus/nshards rows — the quantity sized to executor
         # memory; never the full table)
-        ids_l, codes_l, lists_l = [], [], []
+        ids_l, codes_l, lists_l, labs_l = [], [], [], []
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -2558,11 +2569,14 @@ def _ivf_adc_topk_sharded(
                 )
             )
             lists_l.append(pdf["list_id"].to_numpy(np.int64))
+            if q_labs is not None:
+                labs_l.append(pdf["label"].to_numpy(np.int64))
         if not ids_l:
             return
         index_ids = np.concatenate(ids_l)
         index_codes = np.concatenate(codes_l)
         bucket_of = np.concatenate(lists_l)
+        labs = np.concatenate(labs_l) if q_labs is not None else None
         members = {
             int(li): np.flatnonzero(bucket_of == li)
             for li in np.unique(bucket_of)
@@ -2587,7 +2601,10 @@ def _ivf_adc_topk_sharded(
                 if not hit:
                     continue
                 cand = np.concatenate(hit)
-                cand = cand[index_ids[cand] != q_ids[bi]]
+                keep = index_ids[cand] != q_ids[bi]
+                if q_labs is not None:
+                    keep &= labs[cand] == q_labs[bi]
+                cand = cand[keep]
                 if not len(cand):
                     continue
                 s = np.zeros(len(cand))
@@ -2637,6 +2654,7 @@ def serve_ann_ivf_pq(
     k: int = 5,
     nprobe: int | None = None,
     eligible: DataFrame | None = None,
+    label_of: DataFrame | None = None,
 ) -> DataFrame:
     """Online ANN serving against a persisted (optionally
     epoch-appended) IVF-PQ index with the codes table DISTRIBUTED — the
@@ -2655,20 +2673,42 @@ def serve_ann_ivf_pq(
     corpus length, which is how the flat path's mask would die at
     scale. Callers compensate selectivity via `nprobe`, exactly like
     the flat path (bit-equality with the flat filtered search pinned
+    in tests/test_similarity.py).
+
+    label_of: optional (vec_id, label) DataFrame switching on the
+    PER-QUERY dynamic label filter (the flat
+    _ivf_adc_topk_label_stream's semantics at corpus scale): candidate
+    labels attach to the codes shards by join, query labels ride the
+    broadcast (q_df must then carry a `label` column), and each query
+    only matches candidates sharing its label. Callers scale `nprobe`
+    by the label count exactly like the flat path (bit-equality pinned
     in tests/test_similarity.py)."""
     codes_df, books, coarse = ivf_pq_codes_df(
         spark,
         index_root,
         include_epochs=include_epochs,
         allow_drift=allow_drift,
-        cluster=eligible is None,
+        cluster=eligible is None and label_of is None,
     )
     if eligible is not None:
         codes_df = codes_df.join(
             eligible.select("vec_id").distinct(), "vec_id", "left_semi"
-        ).repartition("list_id")
+        )
+    if label_of is not None:
+        codes_df = codes_df.join(
+            label_of.select("vec_id", "label"), "vec_id"
+        )
+    if eligible is not None or label_of is not None:
+        codes_df = codes_df.repartition("list_id")
     return _ivf_adc_topk_sharded(
-        spark, codes_df, q_df, books, coarse, k=k, nprobe=nprobe
+        spark,
+        codes_df,
+        q_df,
+        books,
+        coarse,
+        k=k,
+        nprobe=nprobe,
+        same_label=label_of is not None,
     )
 
 

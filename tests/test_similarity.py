@@ -1272,6 +1272,46 @@ def test_sharded_filtered_serving_matches_flat_filtered(spark, sf_dir):
     assert shard == flat and shard
 
 
+def test_sharded_same_label_serving_matches_flat_dynamic(spark, sf_dir):
+    """PER-QUERY dynamic label filtering through the SHARDED server:
+    candidate labels join onto the codes shards, query labels ride the
+    broadcast, and with the flat path's label-count-scaled probe
+    budget the result must reproduce embed_ann_same_label_ivf_pq
+    bit-for-bit — the dynamic-filter API survives the corpus
+    outgrowing the broadcast cap."""
+    import math
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    flat = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_same_label_ivf_pq"].fn(spark, sf_dir).collect()
+    )
+    root = sim._pq_index_artifact(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    nprobe = min(
+        sim._IVFPQ_NLIST, math.ceil(sim._IVFPQ_NPROBE * n_labels)
+    )
+    shard = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(
+            spark,
+            emb.select("vec_id", "embedding", "label"),
+            root,
+            k=3,
+            nprobe=nprobe,
+            label_of=emb.select("vec_id", "label"),
+        ).collect()
+    )
+    assert shard == flat and shard
+    # every emitted pair shares a label (the dynamic-filter contract)
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert all(lab[q] == lab[n] for q, n, _ in shard)
+
+
 def test_sharded_serving_with_epochs_matches_flat_incremental(spark, tmp_path):
     """serve_ann_ivf_pq over a base+epoch index: the distributed loader
     (ivf_pq_codes_df) + sharded scorer must reproduce the flat
