@@ -1272,6 +1272,39 @@ def test_sharded_filtered_serving_matches_flat_filtered(spark, sf_dir):
     assert shard == flat and shard
 
 
+def test_sharded_two_corpus_join_matches_flat(spark, sf_dir):
+    """The two-corpus ANN JOIN through the SHARDED server: the index
+    corpus becomes the `eligible` set (a semi-join on the codes table,
+    not a corpus-length driver mask), queries are the other corpus —
+    must reproduce embed_ann_join_ivf_pq bit-for-bit, so the
+    embedding-join surface also survives the corpus outgrowing the
+    broadcast cap."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators.sampling import (
+        _TEST_LT,
+        _split_bucket,
+    )
+
+    flat = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in REGISTRY["embed_ann_join_ivf_pq"].fn(spark, sf_dir).collect()
+    )
+    root = sim._pq_index_artifact(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucket = _split_bucket("vec_id")
+    queries = emb.filter(bucket < _TEST_LT).select("vec_id", "embedding")
+    eligible = emb.filter(~(bucket < _TEST_LT)).select("vec_id")
+    shard = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(
+            spark, queries, root, k=3, eligible=eligible
+        ).collect()
+    )
+    assert shard == flat and shard
+
+
 def test_sharded_same_label_serving_matches_flat_dynamic(spark, sf_dir):
     """PER-QUERY dynamic label filtering through the SHARDED server:
     candidate labels join onto the codes shards, query labels ride the
