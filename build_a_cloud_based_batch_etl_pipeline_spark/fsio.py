@@ -194,20 +194,33 @@ class Fs:
     # -- tiny files ----------------------------------------------------
     def read_text(self, uri: str, max_bytes: int = 4096) -> str:
         """Contents of a small text file (markers, fingerprints) in ONE
-        JVM round trip: commons-io IOUtils.toByteArray drains the
-        stream JVM-side and py4j hands the byte[] back as python bytes
-        (VERDICT r13 item 3 — the old byte-at-a-time loop paid one py4j
-        round trip PER BYTE, ~4096 calls for a 4 KB marker). max_bytes
-        stays a defensive cap applied to the returned buffer; every
-        caller reads <=4 KB control files."""
+        JVM round trip: commons-io drains the stream JVM-side and py4j
+        hands the byte[] back as python bytes (VERDICT r13 item 3 — the
+        old byte-at-a-time loop paid one py4j round trip PER BYTE,
+        ~4096 calls for a 4 KB marker). max_bytes bounds the READ
+        itself via BoundedInputStream (ADVICE r14: an unbounded
+        toByteArray materialized the whole file in the JVM when a
+        mispointed call hit a large file — the cap no longer bounded
+        memory or transfer); every caller reads <=4 KB control files.
+        A cap landing mid-multi-byte-char drops the incomplete tail
+        instead of raising (truncation is already lossy by intent);
+        corruption anywhere else still raises."""
         ins = self._fs.open(self._path(uri))
         try:
+            bounded = self._jvm.org.apache.commons.io.input.BoundedInputStream(
+                ins, max_bytes
+            )
             data = bytes(
-                self._jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(bounded)
             )
         finally:
             ins.close()
-        return data[:max_bytes].decode("utf-8")
+        try:
+            return data.decode("utf-8")
+        except UnicodeDecodeError as e:
+            if len(data) == max_bytes and e.reason == "unexpected end of data":
+                return data[: e.start].decode("utf-8")
+            raise
 
     def write_text(self, uri: str, text: str) -> None:
         out = self._fs.create(self._path(uri), True)

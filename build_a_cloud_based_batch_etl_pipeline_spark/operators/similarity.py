@@ -2528,8 +2528,15 @@ def _ivf_adc_topk_sharded(
         raise ValueError(
             f"query batch exceeds the {_MAX_QUERY_ROWS}-row broadcast "
             "cap — tile the queries across multiple sharded searches "
-            "(the CODES side is unbounded here; only the per-call "
-            "query batch broadcasts)"
+            "via serve_ann_ivf_pq_tiled (the CODES side is unbounded "
+            "here; only the per-call query batch broadcasts)"
+        )
+    if not q_rows:
+        # a query service passing an empty request batch gets an empty
+        # result with the output schema, matching the flat scorer
+        # (ADVICE r14: np.linalg.norm(axis=1) on a 0x0 array raised)
+        return spark.createDataFrame(
+            [], "qid long, nid long, adc_score double"
         )
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -2695,8 +2702,14 @@ def serve_ann_ivf_pq(
             eligible.select("vec_id").distinct(), "vec_id", "left_semi"
         )
     if label_of is not None:
+        # distinct mirrors the eligible path (ADVICE r14): a label_of
+        # with duplicate (vec_id, label) rows would otherwise duplicate
+        # code rows AFTER the loader's vec_id-uniqueness probe already
+        # ran, yielding duplicate (qid, nid) candidates. Rows that
+        # duplicate a vec_id with CONFLICTING labels remain a caller
+        # contract violation (labels are a function of vec_id).
         codes_df = codes_df.join(
-            label_of.select("vec_id", "label"), "vec_id"
+            label_of.select("vec_id", "label").distinct(), "vec_id"
         )
     if eligible is not None or label_of is not None:
         codes_df = codes_df.repartition("list_id")

@@ -40,6 +40,36 @@ def test_fs_primitives_roundtrip(spark, tmp_path):
         fs.listdir(child(uri, "nope"))
 
 
+def test_fs_read_text_cap_bounds_the_read(spark, tmp_path):
+    """max_bytes bounds the READ itself (ADVICE r14: the unbounded
+    toByteArray drained the entire file into one JVM byte[] before the
+    python-side slice, so a mispointed call at a large file
+    materialized it all): a file far bigger than the cap comes back
+    capped, and a cap landing mid-multi-byte-char drops the incomplete
+    tail instead of raising."""
+    uri = "file:" + str(tmp_path)
+    fs = Fs(spark, uri)
+    big = "x" * 100_000
+    fs.write_text(child(uri, "big.txt"), big)
+    got = fs.read_text(child(uri, "big.txt"), max_bytes=4096)
+    assert got == "x" * 4096
+    # 'é' is 2 bytes in UTF-8: an odd cap splits the final char
+    fs.write_text(child(uri, "multi.txt"), "é" * 100)
+    got = fs.read_text(child(uri, "multi.txt"), max_bytes=7)
+    assert got == "é" * 3
+    # short files (every real caller) are unchanged end to end
+    fs.write_text(child(uri, "small.txt"), "abc\n")
+    assert fs.read_text(child(uri, "small.txt")) == "abc\n"
+    # genuine mid-file corruption still raises
+    out = fs._fs.create(fs._path(child(uri, "bad.bin")), True)
+    try:
+        out.write(b"ok\xff\xfebad" + b"y" * 10)
+    finally:
+        out.close()
+    with pytest.raises(UnicodeDecodeError):
+        fs.read_text(child(uri, "bad.bin"))
+
+
 def test_fs_rename_no_nest_refuses_hdfs_nesting(spark, tmp_path):
     """Hadoop rename onto an existing directory NESTS src inside dst
     (unlike os.rename, which raises). rename_no_nest must turn that

@@ -1234,6 +1234,71 @@ def test_sharded_query_batch_cap_refuses(spark, sf_dir, monkeypatch):
         REGISTRY["embed_ann_ivf_pq_sharded"].fn(spark, sf_dir).collect()
 
 
+def test_sharded_empty_query_batch_returns_empty(spark, sf_dir):
+    """An empty request batch is a legal serving input (ADVICE r14:
+    collect() of zero rows gave a 1-D empty array and np.linalg.norm
+    raised AxisError): the sharded server returns an empty DataFrame
+    with the output schema, matching the flat scorer's tolerance."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    root = sim._pq_index_artifact(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.serve_ann_ivf_pq(
+        spark, emb.select("vec_id", "embedding").limit(0), root
+    )
+    assert out.columns == ["qid", "nid", "adc_score"]
+    assert out.count() == 0
+
+
+def test_sharded_label_of_duplicates_do_not_duplicate_candidates(
+    spark, sf_dir
+):
+    """label_of rows are deduplicated before joining the codes shards
+    (ADVICE r14: the eligible path did .distinct() but label_of did
+    not, so duplicate (vec_id, label) rows duplicated code rows AFTER
+    the loader's vec_id-uniqueness probe already ran): a label_of fed
+    the same mapping three times serves bit-identically to once."""
+    import math
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    root = sim._pq_index_artifact(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    nprobe = min(
+        sim._IVFPQ_NLIST, math.ceil(sim._IVFPQ_NPROBE * n_labels)
+    )
+    lab = emb.select("vec_id", "label")
+    want = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(
+            spark,
+            emb.select("vec_id", "embedding", "label"),
+            root,
+            k=3,
+            nprobe=nprobe,
+            label_of=lab,
+        ).collect()
+    )
+    tripled = lab.unionByName(lab).unionByName(lab)
+    got = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(
+            spark,
+            emb.select("vec_id", "embedding", "label"),
+            root,
+            k=3,
+            nprobe=nprobe,
+            label_of=tripled,
+        ).collect()
+    )
+    assert got == want and got
+
+
 def test_sharded_filtered_serving_matches_flat_filtered(spark, sf_dir):
     """Metadata-filtered search through the SHARDED server: the
     eligible-set semi-join (pre-filtered lists, no driver-side mask
