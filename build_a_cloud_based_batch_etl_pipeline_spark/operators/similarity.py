@@ -2413,6 +2413,87 @@ _MAX_QUERY_ROWS = 100_000
 _SHARD_Q_BLOCK = 1024
 
 
+def _pq_epoch_partitions(
+    spark: SparkSession, index_root: str
+) -> tuple[str, ...]:
+    """Sorted epoch partition names under pq_codes_epochs (empty when
+    the dir is absent) — the epoch-high-water half of the validation
+    stamp. One driver-side directory listing, O(#epochs), never a row
+    read: epochs are append-only (sinks.commit_epoch_partition never
+    rewrites a committed partition), so the NAME SET identifies the
+    epoch contents exactly; the base half of the stamp is the
+    index_version fingerprint (a rebuilt base is a new version)."""
+    from ..fsio import Fs
+
+    ep_path = f"{index_root}/pq_codes_epochs"
+    fs = Fs(spark, index_root)
+    if not fs.is_dir(ep_path):
+        return ()
+    return tuple(
+        sorted(n for n in fs.listdir(ep_path) if n.startswith("epoch="))
+    )
+
+
+def _validate_pq_codes(
+    spark: SparkSession,
+    index_root: str,
+    version: str,
+    codes: DataFrame,
+    has_epochs: bool,
+    allow_drift: bool,
+    floor: float,
+) -> bool:
+    """The full-codes refusal aggregates of the distributed loader —
+    every check a Spark aggregate, so the contract holds at any corpus
+    size. Split out of ivf_pq_codes_df so serving can run it ONCE per
+    (index_version, epoch set) instead of per request batch (ADVICE
+    r14: the duplicate-vec_id groupBy is a full-table shuffle — the
+    right contract at load time, the wrong tax per online query batch).
+    Raises on violation; returns True so the caller can memoize the
+    pass."""
+    if has_epochs:
+        eps = spark.read.parquet(f"{index_root}/pq_codes_epochs")
+        bad = [
+            r[0]
+            for r in eps.filter(F.col("index_version") != version)
+            .select("epoch")
+            .distinct()
+            .orderBy("epoch")
+            .collect()
+        ]
+        if bad:
+            raise ValueError(
+                f"epochs {bad} at {index_root}/pq_codes_epochs were "
+                f"encoded against codebook version != {version} (base "
+                "was retrained after they were appended) — rebuild the "
+                "epochs or the base; mixed-codebook codes cannot be "
+                "served"
+            )
+        if not allow_drift:
+            drifted = [
+                r["epoch"]
+                for r in pq_index_drift_report(spark, index_root, floor)
+                .filter("retrain_needed")
+                .collect()
+            ]
+            if drifted:
+                raise ValueError(
+                    f"epochs {sorted(drifted)} fail the codebook-drift "
+                    f"floor (mean recon_cos < {floor}): the frozen "
+                    "codebooks no longer represent that data — retrain "
+                    "via build_pq_index(force=True) (or pass "
+                    "allow_drift=True to serve degraded scores "
+                    "deliberately)"
+                )
+    if codes.groupBy("vec_id").count().filter("count > 1").head(1):
+        raise ValueError(
+            "duplicate vec_id across base+epochs — an id was "
+            "re-ingested; the append-only index contract requires "
+            "globally unique ids"
+        )
+    return True
+
+
 def ivf_pq_codes_df(
     spark: SparkSession,
     index_root: str,
@@ -2436,56 +2517,53 @@ def ivf_pq_codes_df(
       this loader can never disagree about a boundary epoch (the
       divergence class ADVICE r13 flagged in the flat loader);
     - duplicate vec_id across base+epochs: one groupBy-count probe.
-    """
-    from ..fsio import Fs
+
+    VALIDATE ONCE, SERVE MANY (VERDICT r14 item 1): the aggregates run
+    once per validation stamp — (index_version, sorted epoch partition
+    names, drift policy) — and are skipped while the stamp matches, so
+    a query service calling serve_ann_ivf_pq per request batch pays
+    the O(corpus) checks only on the first touch of a new index
+    version or epoch set. The stamp is sound because the base is
+    content-addressed (a rebuild changes index_version, read per call
+    from footer STATS, not rows) and epochs are append-only atomic
+    partitions (a new epoch changes the name set; a committed one is
+    never rewritten). The memo is per-application (util.memo_once), so
+    a fresh serving process re-proves the invariants exactly once."""
+    from .util import memo_once
 
     books, coarse, version = load_pq_codebooks(spark, index_root)
     codes = spark.read.parquet(f"{index_root}/pq_codes").select(
         "vec_id", "codes", "list_id"
     )
-    ep_path = f"{index_root}/pq_codes_epochs"
-    if include_epochs and Fs(spark, index_root).is_dir(ep_path):
-        eps = spark.read.parquet(ep_path)
-        bad = [
-            r[0]
-            for r in eps.filter(F.col("index_version") != version)
-            .select("epoch")
-            .distinct()
-            .orderBy("epoch")
-            .collect()
-        ]
-        if bad:
-            raise ValueError(
-                f"epochs {bad} at {ep_path} were encoded against "
-                f"codebook version != {version} (base was retrained "
-                "after they were appended) — rebuild the epochs or the "
-                "base; mixed-codebook codes cannot be served"
-            )
-        if not allow_drift:
-            drifted = [
-                r["epoch"]
-                for r in pq_index_drift_report(spark, index_root, floor)
-                .filter("retrain_needed")
-                .collect()
-            ]
-            if drifted:
-                raise ValueError(
-                    f"epochs {sorted(drifted)} fail the codebook-drift "
-                    f"floor (mean recon_cos < {floor}): the frozen "
-                    "codebooks no longer represent that data — retrain "
-                    "via build_pq_index(force=True) (or pass "
-                    "allow_drift=True to serve degraded scores "
-                    "deliberately)"
-                )
+    epochs = (
+        _pq_epoch_partitions(spark, index_root) if include_epochs else ()
+    )
+    if epochs:
+        eps = spark.read.parquet(f"{index_root}/pq_codes_epochs")
         codes = codes.unionByName(eps.select("vec_id", "codes", "list_id"))
-    if codes.groupBy("vec_id").count().filter("count > 1").head(1):
-        raise ValueError(
-            "duplicate vec_id across base+epochs — an id was "
-            "re-ingested; the append-only index contract requires "
-            "globally unique ids"
-        )
+    stamp = (
+        "pq_codes_validated",
+        index_root,
+        version,
+        epochs,
+        bool(allow_drift),
+        None if allow_drift else float(floor),
+    )
+    memo_once(
+        spark,
+        stamp,
+        lambda: _validate_pq_codes(
+            spark,
+            index_root,
+            version,
+            codes,
+            bool(epochs),
+            allow_drift,
+            floor,
+        ),
+    )
     # cluster shards by inverted list so a task holds whole lists (and,
-    # persisted, partition pruning could skip unprobed lists entirely);
+    # persisted, partition pruning skips unprobed lists entirely);
     # cluster=False lets a caller that still restricts the candidate
     # set (serve_ann_ivf_pq's eligible semi-join) defer the clustering
     # shuffle until after its join instead of shuffling twice

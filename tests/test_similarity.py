@@ -1234,6 +1234,76 @@ def test_sharded_query_batch_cap_refuses(spark, sf_dir, monkeypatch):
         REGISTRY["embed_ann_ivf_pq_sharded"].fn(spark, sf_dir).collect()
 
 
+def test_pq_serving_validates_once_per_index_state(
+    spark, tmp_path, monkeypatch
+):
+    """Validate once, serve many (VERDICT r14 item 1): every full-codes
+    refusal aggregate of the distributed loader (the duplicate-vec_id
+    groupBy, the epoch-version distinct, the drift report) lives in
+    _validate_pq_codes, and ivf_pq_codes_df memoizes its pass on the
+    (index_version, epoch partition set, drift policy) stamp — so a
+    second serve call against an unchanged index runs NO full-codes
+    aggregate, while a new epoch (stamp change) re-proves the
+    invariants exactly once, and a different drift policy is a
+    different stamp (a pass under allow_drift must not satisfy the
+    stricter no-drift contract)."""
+    import os
+
+    import numpy as np
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = str(tmp_path / "sfdir")
+    os.makedirs(sf)
+    rows = _mk_gauss_corpus(spark, sf, 300, seed=51)
+    root = str(tmp_path / "pq_memo_root")
+    sim.build_pq_index(spark, sf, root)
+    q = spark.createDataFrame(
+        [(v, e) for v, e, _l in rows[:20]],
+        "vec_id long, embedding array<float>",
+    )
+
+    calls = []
+    real = sim._validate_pq_codes
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sim, "_validate_pq_codes", counting)
+
+    out1 = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(spark, q, root).collect()
+    )
+    assert calls == [1]
+    out2 = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(spark, q, root).collect()
+    )
+    assert calls == [1], "second serve against an unchanged index must not re-validate"
+    assert out2 == out1 and out1
+
+    # an epoch landing changes the stamp: exactly one revalidation
+    rng = np.random.RandomState(52)
+    vecs = rng.randn(10, 64).astype("float32")
+    new_df = spark.createDataFrame(
+        [(9000 + i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    sim.append_pq_epoch(spark, new_df, root, "batch", 1)
+    sim.serve_ann_ivf_pq(spark, q, root).collect()
+    assert calls == [1, 1]
+    sim.serve_ann_ivf_pq(spark, q, root).collect()
+    assert calls == [1, 1]
+
+    # drift policy is part of the stamp, not ignored by it
+    sim.serve_ann_ivf_pq(spark, q, root, allow_drift=True).collect()
+    assert calls == [1, 1, 1]
+
+
 def test_sharded_empty_query_batch_returns_empty(spark, sf_dir):
     """An empty request batch is a legal serving input (ADVICE r14:
     collect() of zero rows gave a 1-D empty array and np.linalg.norm
