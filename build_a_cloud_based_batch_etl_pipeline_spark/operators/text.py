@@ -2717,6 +2717,33 @@ def bpe_merges_delta(
     return memo_once(spark, ("bpe_merges_delta", sf_dir, k), train)
 
 
+# Trainer crossover, measured (r14 k-sweep on the 60k-word fixture,
+# SCALE.md "BPE trainer shape"): below ~256 merges the naive trainer
+# wins — delta's per-round argmax + broadcast fold overhead dominates
+# while the vocabulary recount is still cheap (naive e=1.45 only
+# EMERGES at larger k; at k<=128 its absolute time was below delta's).
+# Above it the delta trainer wins and the gap grows with k (delta
+# e=0.95 linear vs the naive quadratic regexp chain). The dispatch
+# encodes that rule so a caller at the k~30000 production shape cannot
+# accidentally pick the trainer that goes quadratic, and a k=16 fixture
+# query doesn't pay delta's constant factor.
+_BPE_DELTA_CROSSOVER_K = 256
+
+
+def train_bpe(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_K
+) -> list[tuple[str, str, int]]:
+    """BPE merge-table trainer with the shape picked BY k (VERDICT r14
+    item 7): naive full-recount below _BPE_DELTA_CROSSOVER_K merges,
+    incremental pair-count maintenance at or above it. Both trainers
+    are bit-identical in output (pinned in tests/test_llm_prep.py), so
+    the dispatch is purely a cost rule — callers get the measured-fast
+    shape at every k without knowing the crossover."""
+    if k < _BPE_DELTA_CROSSOVER_K:
+        return bpe_merges(spark, sf_dir, k)
+    return bpe_merges_delta(spark, sf_dir, k)
+
+
 def bpe_word_tokens(
     spark: SparkSession, sf_dir: str, k: int = _BPE_K
 ) -> DataFrame:

@@ -304,7 +304,12 @@ def expire_partitions(spark, path: str, partition_col: str, keep: list[str]) -> 
 
 
 def commit_epoch_partition(
-    spark, df, table_path: str, lineage: str, epoch_id
+    spark,
+    df,
+    table_path: str,
+    lineage: str,
+    epoch_id,
+    partition_by: list[str] | None = None,
 ) -> bool:
     """Atomically append one micro-batch epoch to an ACCUMULATING table
     as a hive partition directory `epoch=<lineage>-<id>` — the
@@ -364,7 +369,13 @@ def commit_epoch_partition(
         if fs.exists(spath):
             _must(fs.delete(spath, True), f"sweep stale staging {staging}")
         return False
-    df.write.mode("overwrite").parquet(staging)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        # sub-partitioned epoch (e.g. the PQ codes tables' list_bucket
+        # fan-out): the hive dirs nest INSIDE the atomic epoch rename,
+        # so the commit point is unchanged — one directory rename
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
     _must(fs.rename(spath, ppath), f"commit epoch partition {part}")
     return True
 

@@ -473,3 +473,44 @@ def test_bpe_delta_lineage_bounded_at_production_k(spark, sf_dir):
         <= diag["base_partitions"] + _BPE_CUR_CKPT + 1
     ), diag
     assert diag["counts_plan_lines"] <= 8 * _BPE_CUR_CKPT, diag
+
+
+def test_train_bpe_dispatches_by_measured_crossover(spark, sf_dir, monkeypatch):
+    """train_bpe encodes the measured trainer crossover (VERDICT r14
+    item 7): below _BPE_DELTA_CROSSOVER_K merges it runs the naive
+    full-recount trainer, at or above it the incremental delta trainer
+    — so a k~30000 production caller cannot pick the quadratic shape
+    and a k=16 fixture query skips delta's constant factor. The two
+    trainers' output equality is pinned separately
+    (test_bpe_canonical_merge_three_engines); this pins the routing
+    and that the dispatch returns the real trained table."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import text
+
+    picked = []
+    real_naive, real_delta = text.bpe_merges, text.bpe_merges_delta
+    monkeypatch.setattr(
+        text,
+        "bpe_merges",
+        lambda s, d, k=text._BPE_K: (picked.append("naive"), real_naive(s, d, k))[1],
+    )
+    monkeypatch.setattr(
+        text,
+        "bpe_merges_delta",
+        lambda s, d, k=text._BPE_K: (picked.append("delta"), real_delta(s, d, k))[1],
+    )
+    out_small = text.train_bpe(spark, sf_dir, k=text._BPE_K)
+    assert picked == ["naive"]
+    assert out_small == real_naive(spark, sf_dir, text._BPE_K)
+    assert text.train_bpe(
+        spark, sf_dir, k=text._BPE_DELTA_CROSSOVER_K - 1
+    ) is not None
+    assert picked == ["naive", "naive"]
+    # at the crossover the delta trainer takes over (run the smallest
+    # at-or-above-crossover k the fixture supports by intercepting the
+    # call — the real k=256 train is the scale sweep's job, not a unit
+    # test's)
+    monkeypatch.setattr(
+        text, "bpe_merges_delta", lambda s, d, k: (picked.append("delta"), [])[1]
+    )
+    assert text.train_bpe(spark, sf_dir, k=text._BPE_DELTA_CROSSOVER_K) == []
+    assert picked == ["naive", "naive", "delta"]

@@ -484,6 +484,37 @@ def main() -> None:
             }
             print_partial(results)
 
+        # r15 (VERDICT r14 item 8): the OTHER serving axis — corpus
+        # FIXED (the x1 fixture + its already-built index), |Q| scaled
+        # 200 x p. The r14 row proved the corpus term (e=0.02 at fixed
+        # |Q|); this row confirms the query term the reduce shape
+        # predicts — per-query work is nprobe probed lists x constant
+        # list size plus the |Q| x k x nshards reduce, both LINEAR in
+        # |Q| (the 1024-query LUT block bounds transient memory, not
+        # time). e >> 1 here would mean the broadcast/LUT path hides a
+        # super-linear query term the fixed-|Q| row could never see.
+        if want("serve_ann_ivf_pq_qscale"):
+
+            def serve_q_run(p: int) -> None:
+                root = os.path.join(workdir, "srv_idx_x1")
+                build_pq_index(spark, fixture[1], root)  # warm: skips
+                q = (
+                    tbl(spark, fixture[1], "embeddings")
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id")
+                    .limit(200 * p)
+                )
+                materialize(serve_ann_ivf_pq(spark, q, root))
+
+            ts = {
+                str(p): timed(lambda: serve_q_run(p), args.runs)
+                for p in points
+            }
+            results["serve_ann_ivf_pq_qscale(sharded, corpus fixed, |Q|=200xp)"] = {
+                "t": ts, "exponent": fit_exponent(points, ts)
+            }
+            print_partial(results)
+
         # r14 (VERDICT r13 item 4): the delta-maintained BPE trainer.
         # The shared suffixed-copy fixture is unusable here twice over:
         # `w_3` fails _bpe_vocab's ^[a-z]+$ filter (scaled copies would
