@@ -2454,6 +2454,13 @@ _MAX_QUERY_ROWS = 100_000
 # large the broadcast batch is.
 _SHARD_Q_BLOCK = 1024
 
+# Probe-set pruning only engages when the batch's probed-list union is
+# genuinely sparse: above this many lists the IN (...) literal lists
+# would bloat the plan (a 100k-query batch can probe |Q| x nprobe
+# lists) while pruning little — the dense case reads most of the
+# corpus anyway, so the guard skips the predicates and scans as before.
+_PRUNE_MAX_LISTS = 4096
+
 
 def _pq_epoch_partitions(
     spark: SparkSession, index_root: str
@@ -2692,10 +2699,14 @@ def _ivf_adc_topk_sharded(
     qsim = qmat @ coarse.T
     probes = np.argsort(-qsim, axis=1)[:, :n_probe]
     probed = [int(x) for x in np.unique(probes)]
-    if "list_bucket" in codes_df.columns:
-        buckets = sorted({p % _PQ_LIST_BUCKETS for p in probed})
-        codes_df = codes_df.filter(F.col("list_bucket").isin(buckets))
-    codes_df = codes_df.filter(F.col("list_id").isin(probed))
+    if len(probed) <= _PRUNE_MAX_LISTS and len(probed) < coarse.shape[0]:
+        # sparse probe set: prune. Dense batches (every list probed, or
+        # an IN list big enough to bloat the plan) scan unfiltered —
+        # the predicates would skip nothing worth their planning cost.
+        if "list_bucket" in codes_df.columns:
+            buckets = sorted({p % _PQ_LIST_BUCKETS for p in probed})
+            codes_df = codes_df.filter(F.col("list_bucket").isin(buckets))
+        codes_df = codes_df.filter(F.col("list_id").isin(probed))
     b = spark.sparkContext.broadcast((books, qids, qmat, qlabs, probes))
     part_schema = T.StructType(
         [
