@@ -2935,7 +2935,11 @@ def serve_ann_ivf_pq_tiled(
     tile collects once, exactly what the untiled path pays per batch);
     the codes side stays distributed and is re-scanned per tile with
     that tile's OWN probe-set pruning predicates — sparse tiles skip
-    unprobed list_bucket partitions independently."""
+    unprobed list_bucket partitions independently. The query table is
+    scanned once per tile (the _tile hash is computed, so no pushdown
+    prunes it): O(ntiles x |Q|) cheap row reads, dominated by the ADC
+    scoring those same tiles pay — a job at the many-hundreds-of-tiles
+    scale should pre-write the tiles as a partitioned table instead."""
     import math
 
     limit = int(tile_rows) if tile_rows is not None else _MAX_QUERY_ROWS
