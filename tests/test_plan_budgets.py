@@ -9,12 +9,16 @@ bench regression. Fewer exchanges than recorded is fine (an
 improvement — regenerate PLANS.md to tighten the budget); more is a
 regression. Compared at sf0.01, the same scale PLANS.md is generated
 at, because join-strategy choices (and so exchange counts) are
-data-size dependent. cache_once state is evicted before EVERY query,
-exactly like `tools/explain.py --all --write` does when generating
-PLANS.md: committed budgets are COLD-session plans (what a fresh CI
-run sees), and comparing a warm plan against a cold budget is the
+data-size dependent. cache_once AND memo_once state are evicted before
+EVERY query, exactly like `tools/explain.py --all --write` does when
+generating PLANS.md: committed budgets are COLD-session plans (what a
+fresh CI run sees). Comparing a warm plan against a cold budget is the
 nondeterminism that broke this gate in r6 (dedup_clusters planned 4
-exchanges warm, 6 cold)."""
+exchanges warm, 6 cold); a warm MEMO is the r15 variant — whether
+bpe_merges was memoized decided whether training re-ran during plan
+construction and materialized the vocab cache_once subtree
+(pack_token_bins_bpe: 4 exchanges memoized vs 5 retrained), and memo
+FIFO eviction made that depend on registry order and artifact state."""
 
 from __future__ import annotations
 
@@ -23,6 +27,7 @@ import re
 from build_a_cloud_based_batch_etl_pipeline_spark import plans
 from build_a_cloud_based_batch_etl_pipeline_spark.operators.util import (
     cache_once_clear,
+    memo_once_clear,
 )
 from build_a_cloud_based_batch_etl_pipeline_spark.queries import load_all
 
@@ -55,6 +60,7 @@ def test_no_query_exceeds_committed_shuffle_budget(spark):
     for name, spec in registry.items():
         # cold-plan semantics, identical to PLANS.md generation
         cache_once_clear(spark)
+        memo_once_clear(spark)
         df = spec.fn(spark, SF_PLANS)
         # identical counting to tools/explain.py summarize(): substring
         # count over executedPlan().toString()
