@@ -1923,3 +1923,98 @@ def test_same_label_search_agreement_and_recall(spark, sf_dir):
     total = sum(len(want) for want in exact.values())
     recall = hits / total
     assert recall >= 0.45, f"same-label ANN recall@3 too low: {recall:.3f}"
+
+
+def test_tiled_serving_materialized_path(spark, sf_dir, tmp_path):
+    """The many-tile escape hatch (VERDICT r15 item 2): at or above
+    materialize_at tiles the server pre-writes the tiled queries as a
+    `_tile`-partitioned table and appends per-tile top-ks to a staged
+    output instead of chaining unionByName. Pinned: (a) bit-equality
+    with the in-plan loop path under a forced high tile count, (b) the
+    per-tile query read is partition-PRUNED to its own tile directory,
+    (c) a batch whose duplicate-id multiplicity exceeds tile_rows is
+    refused up front (duplicates hash to the same tile at every tile
+    count — ADVICE r15's unbounded doubling loop), (d) the staged
+    output is a flat scan — lineage independent of the tile count."""
+    import pyspark.sql.functions as F
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    root = sim._pq_index_artifact(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select("vec_id", "embedding")
+    n = q.count()
+    tile_rows = max(1, n // 12)  # forces >= 12 tiles
+
+    want = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq_tiled(
+            spark, q, root, tile_rows=tile_rows, materialize_at=10**9
+        ).collect()
+    )
+    work = str(tmp_path / "tiles")
+    got = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq_tiled(
+            spark, q, root, tile_rows=tile_rows, materialize_at=2,
+            work_dir=work,
+        ).collect()
+    )
+    assert got == want and got
+
+    # (b) the per-tile read shape the serve loop uses carries a
+    # partition filter on _tile — only that tile's directory is opened
+    tile0 = spark.read.parquet(f"{work}/queries").filter(
+        F.col("_tile") == 0
+    )
+    plan = tile0._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_tile" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+    # (d) the returned frame scans the staged output — no union chain
+    out = sim.serve_ann_ivf_pq_tiled(
+        spark, q, root, tile_rows=tile_rows, materialize_at=2,
+        work_dir=str(tmp_path / "tiles2"),
+    )
+    assert "Union" not in out._jdf.queryExecution().executedPlan().toString()
+
+    # (c) duplicate ids beyond the tile limit are refused, not looped
+    five = q.orderBy("vec_id").limit(5)
+    dup = five.unionByName(five).unionByName(five)
+    with pytest.raises(ValueError, match="repeated"):
+        sim.serve_ann_ivf_pq_tiled(spark, dup, root, tile_rows=2)
+
+
+def test_label_of_conflicting_labels_refused(spark, sf_dir):
+    """A label_of mapping a vec_id to MORE THAN ONE label violates the
+    serve contract (labels are a function of vec_id): previously a
+    documented caller obligation, now a one-aggregate refusal under the
+    serve's amortized probe (ADVICE r15). Duplicate (vec_id, label)
+    ROWS with agreeing labels stay legal — the distinct collapses
+    them."""
+    import pyspark.sql.functions as F
+
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    root = sim._pq_index_artifact(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select("vec_id", "embedding", "label").orderBy("vec_id").limit(5)
+
+    good = emb.select("vec_id", "label")
+    # agreeing duplicates: legal
+    sim.serve_ann_ivf_pq(
+        spark, q, root, k=3, label_of=good.unionByName(good)
+    ).collect()
+
+    conflicted = good.unionByName(
+        good.limit(1).withColumn("label", F.col("label") + F.lit(1))
+    )
+    with pytest.raises(ValueError, match="more than one label"):
+        sim.serve_ann_ivf_pq(
+            spark, q, root, k=3, label_of=conflicted
+        ).collect()
