@@ -107,6 +107,18 @@ HEADLINE = [
     # compares against the r12 all-corpus anchor, so its ratio reads
     # low until re-anchored, which is expected and documented.
     "embed_ann_pq_incremental",
+    # r16 additions (this round becomes their anchor — VERDICT r15
+    # item 3: three rounds of serving-path work were invisible to the
+    # round-over-round gate): the sharded server (codes side
+    # distributed, query batch broadcast), the query-tiled server
+    # (both sides unbounded; >=3 forced tiles at any SF), and the
+    # metadata-filtered serve. Warm-path only per the bench
+    # discipline: the index artifact is content-fingerprint-memoized,
+    # so rows measure validate-stamp + load + score — what a query
+    # service pays per request batch.
+    "embed_ann_ivf_pq_sharded",
+    "embed_ann_ivf_pq_tiled",
+    "embed_ann_filtered_ivf_pq",
 ]
 
 

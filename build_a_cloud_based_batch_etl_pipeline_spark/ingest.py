@@ -318,6 +318,15 @@ def purge_keys(
     turn the swap into a metadata commit — the anti-join shape is the
     same. The key list is the bounded side and is broadcast; the table
     streams through.
+
+    A purge must also reach any PERSISTED INDEX ARTIFACTS built over
+    the table — a purged id that survives in an index keeps getting
+    SERVED (an ANN neighbor, a dedup candidate) even though its row is
+    gone. Compose with the family purges: similarity.purge_pq_index
+    (ANN codes + epochs, bumps the serve validation stamp),
+    dedup.purge_minhash_index, sampling.purge_eval_gram_index,
+    multimodal.purge_phash_index — each rewrites only the affected
+    epoch partitions via sinks.purge_epoch_partitions.
     """
     from .sinks import swap_recover
 

@@ -917,6 +917,29 @@ def build_minhash_index(
     commit_epoch_partition(spark, bands, f"{index_root}/bands", lineage, epoch_id)
 
 
+def purge_minhash_index(
+    spark: SparkSession, index_root: str, keys: DataFrame, key: str = "doc_id"
+) -> int:
+    """Right-to-be-forgotten delete against the persisted MinHash index
+    (VERDICT r15 item 1): remove every signature and band row whose
+    doc_id appears in `keys` from both index tables, rewriting only the
+    affected epoch partitions under their own names
+    (sinks.purge_epoch_partitions — epoch identity, replay detection,
+    and lineage checks are untouched). After the purge,
+    dedup_against_index can never emit a purged id as index_doc: both
+    candidate generation (bands) and verification (sigs) read the
+    purged tables. Returns total rows removed across the two tables;
+    idempotent and crash-convergent per the primitive's contract."""
+    from ..sinks import purge_epoch_partitions
+
+    removed = 0
+    for sub in ("sigs", "bands"):
+        removed += purge_epoch_partitions(
+            spark, f"{index_root}/{sub}", keys, key
+        )
+    return removed
+
+
 def dedup_against_index(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -972,6 +995,13 @@ def dedup_against_index(
         bands_new = minhash_band_rows(sig_new)
     else:
         sig_new, bands_new = minhash_index_rows(new_docs)
+    # converge any crashed purge swap before reading (a parked
+    # partition with its live dir missing would silently shrink the
+    # index for this query)
+    from ..sinks import purge_recover
+
+    purge_recover(spark, f"{index_root}/bands")
+    purge_recover(spark, f"{index_root}/sigs")
     stored_bands = spark.read.parquet(f"{index_root}/bands").select(
         "doc_id", "band", "bh"
     )

@@ -401,6 +401,21 @@ def build_phash_index(
     )
 
 
+def purge_phash_index(
+    spark: SparkSession, index_root: str, keys: DataFrame,
+    key: str = "doc_id",
+) -> int:
+    """Right-to-be-forgotten delete against the persisted phash index
+    (VERDICT r15 item 1): remove every fingerprint row whose doc_id
+    appears in `keys`, rewriting only affected epoch partitions under
+    their own names (sinks.purge_epoch_partitions). A purged image can
+    never again surface as a multimodal_dedup_against_index candidate.
+    Idempotent and crash-convergent per the primitive's contract."""
+    from ..sinks import purge_epoch_partitions
+
+    return purge_epoch_partitions(spark, f"{index_root}/phash", keys, key)
+
+
 def multimodal_dedup_against_index(
     spark: SparkSession,
     new_bin_df: DataFrame,
@@ -414,6 +429,9 @@ def multimodal_dedup_against_index(
     against the stored table (bucketed on (chunk, ch) at warehouse
     scale) and are verified exactly with bit_count(xor) on the stored
     fingerprints — the corpus' bytes are never re-read."""
+    from ..sinks import purge_recover
+
+    purge_recover(spark, f"{index_root}/phash")
     new_rows = phash_chunk_rows(new_bin_df)
     stored = spark.read.parquet(f"{index_root}/phash").select(
         "doc_id", "phash", "chunk", "ch"

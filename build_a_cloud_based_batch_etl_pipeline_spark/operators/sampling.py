@@ -611,6 +611,21 @@ def build_eval_gram_index(
     commit_epoch_partition(spark, rows, f"{index_root}/grams", lineage, epoch_id)
 
 
+def purge_eval_gram_index(
+    spark: SparkSession, index_root: str, keys: DataFrame,
+    key: str = "eval_doc",
+) -> int:
+    """Right-to-be-forgotten delete against the persisted eval-gram
+    index (VERDICT r15 item 1): remove every gram row whose eval_doc
+    appears in `keys`, rewriting only affected epoch partitions under
+    their own names (sinks.purge_epoch_partitions). A purged eval doc
+    can never again flag a training doc as contaminated. Idempotent
+    and crash-convergent per the primitive's contract."""
+    from ..sinks import purge_epoch_partitions
+
+    return purge_epoch_partitions(spark, f"{index_root}/grams", keys, key)
+
+
 def decontaminate_against_index(
     spark: SparkSession,
     train_docs: DataFrame,
@@ -628,6 +643,9 @@ def decontaminate_against_index(
     candidate batch is small by definition. Eval sets are tiny relative
     to training corpora, so the stored gram table broadcasts under AQE
     in the common case."""
+    from ..sinks import purge_recover
+
+    purge_recover(spark, f"{index_root}/grams")
     train = five_gram_rows(train_docs.select("doc_id", "text")).select(
         F.col("doc_id").alias("train_doc"), "gh"
     )

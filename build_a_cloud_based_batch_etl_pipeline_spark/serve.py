@@ -22,6 +22,23 @@ src/load/main.py:58-84):
   when the load itself fails.
 - ``POST /pipeline`` — one full tick (extract then load); engine
   extension with the same envelope contract.
+- ``POST /ann`` — the serving entry point for the persisted IVF-PQ
+  index (VERDICT r15 item 6 — R8 parity for the QUERY side; the
+  reference delegates all querying to BigQuery and has no vector
+  surface, SURVEY.md §2.2). Body::
+
+      {"index_root": ..., "queries": [{"vec_id": N, "embedding":
+       [...]}, ...], "k": 5, "nprobe": null}
+
+  drives operators.similarity.serve_ann_ivf_pq — index validation is
+  memoized per (version, epoch set, purge seq), so steady-state
+  requests pay load+score only. 200 with ``{"success": true,
+  "results": [{"qid": ..., "nid": ..., "adc_score": ...}, ...]}``;
+  400 with the standard envelope on a malformed body (missing/ragged
+  queries, non-numeric k) and on an over-cap batch — that one names
+  serve_ann_ivf_pq_tiled, the documented tiling path; 500 envelope
+  when the serve itself refuses (torn index, drifted epochs,
+  mixed-codebook codes).
 
 No flask / functions_framework: the sandbox ships neither, and a
 scheduled-batch engine needs ~60 lines of stdlib routing, not a web
@@ -58,6 +75,52 @@ def _parse_pubsub_envelope(body: bytes) -> tuple[str, str] | None:
         return None
 
 
+def _parse_ann_request(body: bytes) -> tuple[str, list, int, int | None] | str:
+    """(index_root, query rows, k, nprobe) from a /ann body, or an
+    error STRING describing the 400. Validation is driver-side and
+    O(|Q|): the batch is bounded by the serve cap anyway, and a ragged
+    or non-numeric embedding must be the caller's 400, not a numpy
+    stack trace out of an executor."""
+    from .operators.similarity import _MAX_QUERY_ROWS
+
+    try:
+        req = json.loads(body.decode("utf-8"))
+        root = req["index_root"]
+        queries = req["queries"]
+        k = int(req.get("k", 5))
+        nprobe = req.get("nprobe")
+        nprobe = None if nprobe is None else int(nprobe)
+    except Exception:
+        return "Invalid request format"
+    if not isinstance(root, str) or not isinstance(queries, list):
+        return "Invalid request format"
+    if not queries:
+        return "queries must be a non-empty list"
+    if k <= 0:
+        return "k must be positive"
+    if len(queries) > _MAX_QUERY_ROWS:
+        return (
+            f"query batch of {len(queries)} exceeds the "
+            f"{_MAX_QUERY_ROWS}-row per-request cap — tile the batch "
+            "across requests, or run it offline via "
+            "serve_ann_ivf_pq_tiled"
+        )
+    rows = []
+    dim = None
+    for q in queries:
+        try:
+            vid = int(q["vec_id"])
+            emb = [float(x) for x in q["embedding"]]
+        except Exception:
+            return "Invalid request format"
+        if dim is None:
+            dim = len(emb)
+        if not emb or len(emb) != dim:
+            return "ragged or empty embedding in query batch"
+        rows.append((vid, emb))
+    return root, rows, k, nprobe
+
+
 def make_handler(
     spark: SparkSession,
     cfg: IngestConfig,
@@ -89,6 +152,32 @@ def make_handler(
                 self._run(lambda: job.run_extract(spark, cfg, fetcher=fetcher))
             elif self.path == "/pipeline":
                 self._run(lambda: job.run_pipeline(spark, cfg, fetcher=fetcher))
+            elif self.path == "/ann":
+                parsed = _parse_ann_request(body)
+                if isinstance(parsed, str):
+                    self._reply(400, {"success": False, "error": parsed})
+                    return
+                root, rows, k, nprobe = parsed
+                try:
+                    from .operators.similarity import serve_ann_ivf_pq
+
+                    q_df = spark.createDataFrame(
+                        rows, "vec_id long, embedding array<double>"
+                    )
+                    out = [
+                        {
+                            "qid": r.qid,
+                            "nid": r.nid,
+                            "adc_score": r.adc_score,
+                        }
+                        for r in serve_ann_ivf_pq(
+                            spark, q_df, root, k=k, nprobe=nprobe
+                        ).collect()
+                    ]
+                except Exception as exc:  # serve refusals -> 500 envelope
+                    self._reply(500, {"success": False, "error": str(exc)})
+                    return
+                self._reply(200, {"success": True, "results": out})
             elif self.path == "/load":
                 parsed = _parse_pubsub_envelope(body)
                 if parsed is None:

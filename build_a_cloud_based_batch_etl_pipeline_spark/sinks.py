@@ -11,6 +11,7 @@ to any Hadoop filesystem (file://, gs://, s3a://).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_json(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -378,6 +379,122 @@ def commit_epoch_partition(
     w.parquet(staging)
     _must(fs.rename(spath, ppath), f"commit epoch partition {part}")
     return True
+
+
+# Helper roots for purge_epoch_partitions' per-partition swaps: both
+# dot-prefixed so partition discovery and parquet readers never see
+# them (the zorder_maintain park discipline — ADVICE r11).
+_PURGE_STAGING_ROOT = ".purge_staging"
+_PURGE_PARKED_ROOT = ".purge_old"
+
+
+def purge_recover(spark, table_path: str) -> int:
+    """Crash recovery for purge_epoch_partitions' per-partition swaps,
+    run at the head of every purge pass (and safe to run from readers).
+    Returns #partitions restored. Rules mirror layout._zorder_recover:
+    a `.purge_old/<entry>` whose live partition is MISSING is a
+    mid-swap crash — the parked dir IS the data, restore it; one whose
+    live partition exists is post-swap debris — sweep it;
+    `.purge_staging/` is always discardable (data still lives in the
+    original partition, or was already swapped in)."""
+    from .fsio import Fs, child
+
+    fs = Fs(spark, table_path)
+    if not fs.is_dir(table_path):
+        return 0
+    restored = 0
+    parked_root = child(table_path, _PURGE_PARKED_ROOT)
+    if fs.is_dir(parked_root):
+        for entry in fs.listdir(parked_root):
+            live = child(table_path, entry)
+            parked = child(parked_root, entry)
+            if fs.exists(live):
+                fs.delete(parked)
+            else:
+                fs.rename(parked, live)
+                restored += 1
+    fs.delete(child(table_path, _PURGE_STAGING_ROOT))
+    return restored
+
+
+def purge_epoch_partitions(
+    spark,
+    table_path: str,
+    keys,
+    key: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Right-to-be-forgotten delete against an APPEND-ONLY epoch table
+    (the commit_epoch_partition family: MinHash sigs/bands, eval
+    grams, phash rows, PQ code epochs): remove every row whose `key`
+    appears in the `keys` frame, rewriting ONLY the epoch partitions
+    that contain purged keys. Returns the number of rows removed.
+
+    Append-only means committed partitions are never rewritten — by
+    the MAINTAINERS. A compliance purge is the one legitimate
+    exception, and it must not break the readers' invariants, so each
+    affected partition is rewritten as a filtered copy of itself UNDER
+    THE SAME PARTITION NAME via a staged swap (epoch identity, replay
+    detection, and lineage checks all key on the name set; a purge
+    changes row content, never the epoch set) — except a partition
+    purged EMPTY, which is deleted outright (an empty hive dir with no
+    footers would break schema inference for explicit-path readers).
+    Partitions without purged keys are never touched, so purge cost is
+    O(affected partitions), not O(corpus).
+
+    Crash contract: staging and park dirs are dot-prefixed (invisible
+    to readers); purge_recover at the head converges any crash point
+    (restore-if-live-missing / sweep-debris / discard-staging), each
+    partition swap is atomic, and a replayed purge finds the remaining
+    affected partitions and converges — same discipline as
+    zorder_maintain's per-partition swaps. Callers that serve from a
+    VALIDATION-STAMPED read of this table must bump their stamp after
+    a purge (similarity.purge_pq_index does); the stamp memoizes only
+    invariant checks, but a bumped stamp re-proves them against the
+    purged content.
+
+    `partition_by` names sub-partition columns nested inside each
+    epoch dir (e.g. the PQ tables' list_bucket), so the rewrite
+    preserves the hive layout readers prune on."""
+    from .fsio import Fs, child
+
+    purge_recover(spark, table_path)
+    fs = Fs(spark, table_path)
+    if not fs.is_dir(table_path) or not any(
+        n.startswith("epoch=") for n in fs.listdir(table_path)
+    ):
+        return 0
+    keys_df = F.broadcast(keys.select(key).distinct())
+    tbl = spark.read.parquet(table_path)
+    hit = tbl.join(keys_df, key, "left_semi")
+    n_removed = hit.count()
+    if not n_removed:
+        return 0
+    affected = [r[0] for r in hit.select("epoch").distinct().collect()]
+    staging_root = child(table_path, _PURGE_STAGING_ROOT)
+    parked_root = child(table_path, _PURGE_PARKED_ROOT)
+    for ep in sorted(str(e) for e in affected):
+        part = f"epoch={ep}"
+        live = child(table_path, part)
+        kept = (
+            spark.read.option("basePath", table_path)
+            .parquet(live)
+            .join(keys_df, key, "left_anti")
+            .drop("epoch")
+        )
+        if not kept.head(1):
+            # purged empty: drop the partition dir atomically instead
+            # of swapping in a footerless husk
+            fs.delete(live)
+            continue
+        staging = child(staging_root, part)
+        w = kept.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        swap_dir(spark, staging, live, park=child(parked_root, part))
+    fs.delete(staging_root)
+    return n_removed
 
 
 # ---------------------------------------------------------------------------

@@ -119,3 +119,97 @@ def test_pipeline_route_full_tick(server):
     status, env = _post(f"{base}/pipeline")
     assert status == 200 and env["success"] is True
     assert env["rows_appended"] == 2 and env["file"]
+
+
+@pytest.fixture()
+def ann_index(spark, sf_dir):
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    return sim._pq_index_artifact(spark, sf_dir), spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+
+
+def test_ann_route_serves_topk(server, ann_index, spark):
+    """POST /ann (VERDICT r15 item 6 — the query-side service surface):
+    a bounded query batch returns the same (qid, nid, adc_score) rows
+    serve_ann_ivf_pq computes, through a real socket."""
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    base, _cfg = server
+    root, emb = ann_index
+    qrows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(4).collect()
+    body = json.dumps(
+        {
+            "index_root": root,
+            "k": 3,
+            "queries": [
+                {"vec_id": r.vec_id, "embedding": list(r.embedding)}
+                for r in qrows
+            ],
+        }
+    ).encode()
+    status, env = _post(f"{base}/ann", body)
+    assert status == 200 and env["success"] is True
+    got = sorted((r["qid"], r["nid"], r["adc_score"]) for r in env["results"])
+
+    q_df = spark.createDataFrame(
+        [(r.vec_id, list(r.embedding)) for r in qrows],
+        "vec_id long, embedding array<double>",
+    )
+    want = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(spark, q_df, root, k=3).collect()
+    )
+    assert got == want and got
+
+
+def test_ann_route_malformed_and_overcap_are_400(server, ann_index, monkeypatch):
+    from build_a_cloud_based_batch_etl_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    base, _cfg = server
+    root, emb = ann_index
+    # malformed: not json / missing fields / ragged embeddings
+    assert _post(f"{base}/ann", b"nope")[0] == 400
+    assert _post(f"{base}/ann", json.dumps({"queries": []}).encode())[0] == 400
+    ragged = {
+        "index_root": root,
+        "queries": [
+            {"vec_id": 1, "embedding": [0.1, 0.2]},
+            {"vec_id": 2, "embedding": [0.1]},
+        ],
+    }
+    status, env = _post(f"{base}/ann", json.dumps(ragged).encode())
+    assert status == 400 and "ragged" in env["error"]
+
+    # over-cap: 400 with the tiling hint, BEFORE any Spark work
+    monkeypatch.setattr(sim, "_MAX_QUERY_ROWS", 2)
+    over = {
+        "index_root": root,
+        "queries": [
+            {"vec_id": i, "embedding": [0.1, 0.2]} for i in range(3)
+        ],
+    }
+    status, env = _post(f"{base}/ann", json.dumps(over).encode())
+    assert status == 400 and "tiled" in env["error"]
+
+
+def test_ann_route_refusal_is_500(server, tmp_path):
+    """A serve-side refusal (no index at the root) surfaces as the
+    standard 500 envelope, not a socket error."""
+    base, _cfg = server
+    body = json.dumps(
+        {
+            "index_root": str(tmp_path / "no_index"),
+            "queries": [{"vec_id": 1, "embedding": [0.1, 0.2]}],
+        }
+    ).encode()
+    status, env = _post(f"{base}/ann", body)
+    assert status == 500 and env["success"] is False
+    assert "index" in env["error"]
