@@ -269,3 +269,41 @@ def test_purge_epoch_partitions_only_rewrites_affected(spark, tmp_path):
     assert got == [0, 1, 2, 3, 4, 10, 13, 14, 20, 21, 22, 23, 24]
     # staging/park helpers swept
     assert not os.path.exists(f"{root}/.purge_staging")
+
+
+def test_pq_purge_bit_equals_eligible_complement(spark, sf_dir, pq_root, tmp_path):
+    """Tombstone equivalence: serving the PURGED index is bit-equal to
+    serving the unpurged index with `eligible` = everything minus the
+    purged ids. The purge rewrite may only remove candidates — it can
+    never perturb a surviving row's codes, list assignment, or the
+    (-score, nid) selection order."""
+    import shutil
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select("vec_id", "embedding").orderBy("vec_id").limit(30)
+    victims = [r.vec_id for r in emb.orderBy("vec_id").limit(6).collect()]
+    keys = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+
+    # unpurged twin serves with the complement as the eligible set
+    all_codes = spark.read.parquet(f"{pq_root}/pq_codes").select("vec_id")
+    eps_codes = spark.read.parquet(f"{pq_root}/pq_codes_epochs").select(
+        "vec_id"
+    )
+    eligible = all_codes.unionByName(eps_codes).join(
+        keys, "vec_id", "left_anti"
+    )
+    want = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(
+            spark, q, pq_root, k=5, eligible=eligible
+        ).collect()
+    )
+
+    purged_root = str(tmp_path / "pq_purged")
+    shutil.copytree(pq_root, purged_root)
+    assert sim.purge_pq_index(spark, purged_root, keys) == len(victims)
+    got = sorted(
+        (r.qid, r.nid, r.adc_score)
+        for r in sim.serve_ann_ivf_pq(spark, q, purged_root, k=5).collect()
+    )
+    assert got == want and got
