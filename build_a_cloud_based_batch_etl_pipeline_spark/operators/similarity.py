@@ -46,6 +46,21 @@ _DIM = 64
 _MAX_INDEX_ROWS = 100_000
 
 
+def _decode_hex_codes(hex_codes):
+    """(n, M) uint8 array from a sequence of fixed-width hex code
+    strings via ONE bulk fromhex (the concatenation reshapes exactly
+    because every PQ code is the same _PQ_M bytes) — the per-row
+    bytes.fromhex loop this replaces was pure Python overhead on the
+    index-load path (guide §4.2)."""
+    import numpy as np
+
+    if not len(hex_codes):
+        return np.empty((0, 0), dtype=np.uint8)
+    return np.frombuffer(
+        bytes.fromhex("".join(hex_codes)), dtype=np.uint8
+    ).reshape(len(hex_codes), -1)
+
+
 def _parquet_num_rows(path: str, spark: SparkSession | None = None) -> int | None:
     """Total row count from parquet footer metadata (file or directory
     tree of part files) — driver-side and O(files), no Spark job. None
@@ -1415,6 +1430,9 @@ def _adc_topk_stream(
     import numpy as np
     from pyspark.sql import types as T
 
+    # parallelize a one-split query fixture across cores (real-scale
+    # inputs are already split; per-query scoring is partition-invariant)
+    emb = spread_small_input(emb, "vec_id")
     b_all = spark.sparkContext.broadcast((books, ids, codes))
     out_schema = T.StructType(
         [
@@ -1571,6 +1589,12 @@ def _ivf_adc_topk_stream(
     import numpy as np
     from pyspark.sql import types as T
 
+    # a small fixture arrives as one parquet file = one input split,
+    # which would serialize the whole scoring pass onto a single Python
+    # worker; an already-split query stream at real scale is untouched
+    # (same gate as the text operators — the scorer is CPU-bound and
+    # per-query independent, so partitioning never changes results)
+    emb = spread_small_input(emb, "vec_id")
     if index_mask is None:
         index_mask = np.ones(len(ids), dtype=bool)
     n_probe = min(
@@ -2092,15 +2116,19 @@ def load_pq_index(spark: SparkSession, sf_dir: str, index_root: str):
             "(SCALE.md) instead of a flat load"
         )
 
-    books, coarse = _load_codebook_arrays(spark, index_root)
+    from .util import memo_once
+
+    books, coarse = memo_once(
+        spark,
+        ("pq_codebook_arrays", index_root, stored),
+        lambda: _load_codebook_arrays(spark, index_root),
+    )
     rows = _read_index_rows(
         spark, index_root, "pq_codes", ["vec_id", "codes", "list_id"]
     )
     rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    codes = np.array(
-        [np.frombuffer(bytes.fromhex(r[1]), dtype=np.uint8) for r in rows]
-    )
+    codes = _decode_hex_codes([r[1] for r in rows])
     assign = np.array([r[2] for r in rows], dtype=np.int64)
     return books, ids, codes, coarse, assign
 
@@ -2199,7 +2227,21 @@ def load_pq_codebooks(spark: SparkSession, index_root: str):
             "or mixed versions from a mid-build crash) — run "
             "build_pq_index before appending epochs"
         )
-    books, coarse = _load_codebook_arrays(spark, index_root)
+    # the completeness/staleness probe above runs per call (footer
+    # stats, no job), but the array READ is memoized per
+    # (index_root, version): the base is content-addressed — a rebuild
+    # changes `stored` and misses the memo — so a serving process pays
+    # the two codebook-table collect jobs once per index version, not
+    # per request batch (the same soundness argument as the
+    # validate-once stamp; books+coarse are O(M*K*SUB + NLIST*DIM)
+    # doubles, ~0.6 MB of driver memory per live version).
+    from .util import memo_once
+
+    books, coarse = memo_once(
+        spark,
+        ("pq_codebook_arrays", index_root, stored),
+        lambda: _load_codebook_arrays(spark, index_root),
+    )
     return books, coarse, stored
 
 
@@ -2364,9 +2406,7 @@ def load_pq_index_incremental(
         )
     rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    codes = np.array(
-        [np.frombuffer(bytes.fromhex(r[1]), dtype=np.uint8) for r in rows]
-    )
+    codes = _decode_hex_codes([r[1] for r in rows])
     assign = np.array([r[2] for r in rows], dtype=np.int64)
     return books, ids, codes, coarse, assign
 
@@ -2757,7 +2797,7 @@ def ivf_pq_codes_df(
     return (codes.repartition("list_id") if cluster else codes), books, coarse
 
 
-def _ivf_adc_topk_sharded(
+def _ivf_adc_score_sharded(
     spark: SparkSession,
     codes_df: DataFrame,
     q_df: DataFrame,
@@ -2766,29 +2806,30 @@ def _ivf_adc_topk_sharded(
     k: int = 5,
     nprobe: int | None = None,
     same_label: bool = False,
+    q_rows: list | None = None,
 ) -> DataFrame:
-    """IVF-routed ADC top-k with the CODES side distributed: broadcast
-    the bounded query batch, score shard-locally with the same
-    LUT kernel and (-score, nid) selection as _ivf_adc_topk_stream,
-    then reduce per-shard winners to the global top-k. Raw (unrounded)
-    scores travel through the reduce and are rounded by the identical
-    numpy round at the very end, so the output is bit-equal to the
-    broadcast scorer's for the same artifacts.
+    """The scoring half of _ivf_adc_topk_sharded: broadcast the bounded
+    query batch, score shard-locally with the same LUT kernel and
+    (-score, nid) selection as _ivf_adc_topk_stream, and return the
+    per-shard winners as (qid, nid, score_raw) — UNREDUCED. Split out
+    so the tiled server can union several tiles' shard winners and pay
+    the global window reduce (and its exchange + rounding stage) ONCE
+    instead of once per tile; per-query top-k is independent across
+    queries, so reducing the union is bit-equal to reducing per tile.
 
-    same_label=True adds the PER-QUERY dynamic label filter
-    (_ivf_adc_topk_label_stream's semantics): q_df and codes_df must
-    both carry a `label` column, and a candidate is eligible only for
-    queries sharing its label — one vectorized compare per query, with
-    the label ints riding the codes shards and the query broadcast."""
+    q_rows: pre-collected query rows (vec_id, embedding[, label], ...)
+    — the tiled server collects the whole pinned batch in ONE driver
+    job and slices it per tile instead of paying one collect job per
+    tile; rows beyond index 1 (2 with label) are ignored."""
     import numpy as np
     from pyspark.sql import types as T
-    from pyspark.sql.window import Window
 
     n_probe = min(
         _IVFPQ_NLIST, _IVFPQ_NPROBE if nprobe is None else int(nprobe)
     )
     q_cols = ["vec_id", "embedding"] + (["label"] if same_label else [])
-    q_rows = q_df.select(*q_cols).limit(_MAX_QUERY_ROWS + 1).collect()
+    if q_rows is None:
+        q_rows = q_df.select(*q_cols).limit(_MAX_QUERY_ROWS + 1).collect()
     if len(q_rows) > _MAX_QUERY_ROWS:
         raise ValueError(
             f"query batch exceeds the {_MAX_QUERY_ROWS}-row broadcast "
@@ -2798,10 +2839,10 @@ def _ivf_adc_topk_sharded(
         )
     if not q_rows:
         # a query service passing an empty request batch gets an empty
-        # result with the output schema, matching the flat scorer
+        # result with the scoring schema, matching the flat scorer
         # (ADVICE r14: np.linalg.norm(axis=1) on a 0x0 array raised)
         return spark.createDataFrame(
-            [], "qid long, nid long, adc_score double"
+            [], "qid long, nid long, score_raw double"
         )
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -2853,13 +2894,14 @@ def _ivf_adc_topk_sharded(
             if not len(pdf):
                 continue
             ids_l.append(pdf["vec_id"].to_numpy(np.int64))
+            # ONE bulk hex decode per batch (codes are fixed-width _PQ_M
+            # bytes, so the concatenation reshapes exactly) instead of a
+            # per-row Python loop — guide §4.2: hand whole batches to
+            # native code; the join + fromhex run at C speed.
             codes_l.append(
-                np.array(
-                    [
-                        np.frombuffer(bytes.fromhex(c), dtype=np.uint8)
-                        for c in pdf["codes"]
-                    ]
-                )
+                np.frombuffer(
+                    bytes.fromhex("".join(pdf["codes"])), dtype=np.uint8
+                ).reshape(len(pdf), -1)
             )
             lists_l.append(pdf["list_id"].to_numpy(np.int64))
             if q_labs is not None:
@@ -2919,11 +2961,21 @@ def _ivf_adc_topk_sharded(
                     }
                 )
 
-    part = codes_df.mapInPandas(score_shard, part_schema)
+    return codes_df.mapInPandas(score_shard, part_schema)
 
-    # identical rounding to the broadcast scorer's np.round (F.round
-    # would HALF_UP where numpy rounds half-to-even — the exact
-    # divergence class ADVICE r13 flagged in the drift rule)
+
+def _ivf_adc_reduce_topk(part: DataFrame, k: int = 5) -> DataFrame:
+    """The reduce half of _ivf_adc_topk_sharded: global per-query top-k
+    over shard winners under the engine-wide (-score, nid) total order.
+    Raw (unrounded) scores travel through the reduce and are rounded by
+    the identical numpy round at the very end, so the output is
+    bit-equal to the broadcast scorer's for the same artifacts.
+
+    identical rounding to the broadcast scorer's np.round (F.round
+    would HALF_UP where numpy rounds half-to-even — the exact
+    divergence class ADVICE r13 flagged in the drift rule)."""
+    from pyspark.sql.window import Window
+
     from .udfs import np_round4
 
     w = Window.partitionBy("qid").orderBy(
@@ -2933,6 +2985,29 @@ def _ivf_adc_topk_sharded(
         part.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "nid", np_round4("score_raw").alias("adc_score"))
+    )
+
+
+def _ivf_adc_topk_sharded(
+    spark: SparkSession,
+    codes_df: DataFrame,
+    q_df: DataFrame,
+    books,
+    coarse,
+    k: int = 5,
+    nprobe: int | None = None,
+    same_label: bool = False,
+) -> DataFrame:
+    """IVF-routed ADC top-k with the CODES side distributed: the
+    sharded scoring pass (_ivf_adc_score_sharded) composed with the
+    global window reduce (_ivf_adc_reduce_topk) — see the two halves
+    for the kernel and rounding contracts."""
+    return _ivf_adc_reduce_topk(
+        _ivf_adc_score_sharded(
+            spark, codes_df, q_df, books, coarse,
+            k=k, nprobe=nprobe, same_label=same_label,
+        ),
+        k=k,
     )
 
 
@@ -3129,64 +3204,134 @@ def serve_ann_ivf_pq_tiled(
     # so every downstream scan sees the identical rows; the blocks are
     # freed with the RDD at GC / session end.
     q_df = q_df.localCheckpoint()
-    n = q_df.count()
-    if n <= limit:
-        return _ivf_adc_topk_sharded(
-            spark, codes_df, q_df, books, coarse,
-            k=k, nprobe=nprobe, same_label=same_label,
+    # ONE fused stats job over the pinned rows (was: a recount job + a
+    # duplicate-multiplicity job + one histogram job per doubling —
+    # three-plus driver round trips per call, pure scheduling overhead
+    # at serving granularity; guide §1.2/§5: the driver should do
+    # almost no data work). A single chained-rollup aggregate returns
+    # the exact pinned row count, the max duplicate-vec_id
+    # multiplicity, and the max tile occupancy at nt, 2*nt and 4*nt
+    # simultaneously — valid because pmod(h, nt) ==
+    # pmod(pmod(h, 4*nt), nt) when nt divides 4*nt, so the coarser
+    # histograms aggregate exactly from the finer one. All rollup rows
+    # stay distributed; only the final one-row summary is collected.
+    def _tile_stats(nt0: int):
+        t4 = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(4 * nt0))
+        b4 = (
+            q_df.groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(t4.alias("t4"))
+            .agg(F.sum("c").alias("n4"), F.max("c").alias("d4"))
         )
-    # rows sharing a vec_id hash to the same tile at EVERY tile count,
-    # so a batch whose max duplicate-id multiplicity exceeds the tile
-    # limit can never be split — refuse up front with the real cause
-    # instead of doubling forever (ADVICE r15: the unbounded loop was a
-    # driver hang running a count job per iteration)
-    dup_max = (
-        q_df.groupBy("vec_id").count().agg(F.max("count")).collect()[0][0]
-    )
-    if dup_max > limit:
-        raise ValueError(
-            f"query batch has a vec_id repeated {dup_max} times, more "
-            f"than tile_rows={limit}: duplicate ids always land in the "
-            "same hash tile, so no tile count can satisfy the limit — "
-            "deduplicate the query ids (or raise tile_rows)"
+        b2 = b4.groupBy(F.pmod(F.col("t4"), F.lit(2 * nt0)).alias("t2")).agg(
+            F.sum("n4").alias("n2"),
+            F.max("d4").alias("d2"),
+            F.max("n4").alias("m4"),
         )
-    nt = math.ceil(n / limit)
+        b1 = b2.groupBy(F.pmod(F.col("t2"), F.lit(nt0)).alias("t1")).agg(
+            F.sum("n2").alias("n1"),
+            F.max("d2").alias("d1"),
+            F.max("m4").alias("m4"),
+            F.max("n2").alias("m2"),
+        )
+        return b1.agg(
+            F.sum("n1").alias("n"),
+            F.max("d1").alias("dup_max"),
+            F.max("n1").alias("m1"),
+            F.max("m2").alias("m2"),
+            F.max("m4").alias("m4"),
+        ).collect()[0]
+
+    nt = max(1, math.ceil(n / limit))
     while True:
-        tiled = q_df.withColumn(
-            "_tile", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nt))
-        )
-        biggest = (
-            tiled.groupBy("_tile")
-            .count()
-            .agg(F.max("count"))
-            .collect()[0][0]
-        )
-        if biggest <= limit:
+        st = _tile_stats(nt)
+        n = st["n"] or 0  # exact count of the PINNED rows
+        if n <= limit:
+            return _ivf_adc_topk_sharded(
+                spark, codes_df, q_df, books, coarse,
+                k=k, nprobe=nprobe, same_label=same_label,
+            )
+        # rows sharing a vec_id hash to the same tile at EVERY tile
+        # count, so a batch whose max duplicate-id multiplicity exceeds
+        # the tile limit can never be split — refuse up front with the
+        # real cause instead of doubling forever (ADVICE r15: the
+        # unbounded loop was a driver hang running a count job per
+        # iteration)
+        if st["dup_max"] > limit:
+            raise ValueError(
+                f"query batch has a vec_id repeated {st['dup_max']} "
+                f"times, more than tile_rows={limit}: duplicate ids "
+                "always land in the same hash tile, so no tile count "
+                "can satisfy the limit — deduplicate the query ids "
+                "(or raise tile_rows)"
+            )
+        if st["m1"] <= limit:
             break
-        if nt > max(4 * n, 64):
+        if st["m2"] <= limit:
+            nt *= 2
+            break
+        if st["m4"] <= limit:
+            nt *= 4
+            break
+        if nt * 4 > max(4 * n, 64):
             # backstop: with distinct 64-bit hashes and nt tiles >> n
             # rows, an over-limit tile is astronomically unlikely —
             # reaching here means something violated the assumptions
             # (e.g. a q_df mutated under the checkpoint); refuse loudly
             # rather than loop.
             raise ValueError(
-                f"tile fan-out failed to converge at nt={nt} for "
+                f"tile fan-out failed to converge at nt={nt * 4} for "
                 f"{n} query rows (tile_rows={limit})"
             )
-        nt *= 2
+        nt *= 8
+    tiled = q_df.withColumn(
+        "_tile", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nt))
+    )
     mat_at = (
         _TILE_MATERIALIZE_AT if materialize_at is None else int(materialize_at)
     )
     if nt < mat_at:
+        # union the RAW per-tile shard winners and pay the global
+        # window reduce once: queries partition across tiles (a qid
+        # lives in exactly one tile), so one per-qid top-k over the
+        # union is bit-equal to reducing per tile — and the plan drops
+        # from one exchange + sort + window + Arrow rounding stage PER
+        # TILE to one of each TOTAL (guide §2.4: two operations keyed
+        # the same way share one exchange).
+        q_cols = ["vec_id", "embedding"] + (
+            ["label"] if same_label else []
+        )
+        by_tile: dict[int, list] | None = None
+        if n <= 2 * _MAX_QUERY_ROWS:
+            # collect the pinned batch in ONE driver job and slice it
+            # per tile (was: one filter+collect job per tile). Driver
+            # traffic is O(|Q|) either way; holding it simultaneously
+            # is bounded here to 2x the untiled batch footprint —
+            # larger in-plan batches keep the per-tile collects.
+            by_tile = {}
+            for r in tiled.select(*q_cols, "_tile").collect():
+                by_tile.setdefault(r[-1], []).append(r)
         out = None
         for i in range(nt):
-            tile_q = tiled.filter(F.col("_tile") == i).drop("_tile")
-            part = _ivf_adc_topk_sharded(
+            rows_i = None
+            tile_q = None
+            if by_tile is not None:
+                rows_i = by_tile.get(i)
+                if not rows_i:
+                    continue  # empty tile contributes nothing
+            else:
+                tile_q = tiled.filter(F.col("_tile") == i).drop("_tile")
+            part = _ivf_adc_score_sharded(
                 spark, codes_df, tile_q, books, coarse,
                 k=k, nprobe=nprobe, same_label=same_label,
+                q_rows=rows_i,
             )
             out = part if out is None else out.unionByName(part)
-        return out
+        if out is None:
+            out = spark.createDataFrame(
+                [], "qid long, nid long, score_raw double"
+            )
+        return _ivf_adc_reduce_topk(out, k=k)
     # many-tile path: stage the tiles once, append results per tile.
     # The query table is written exactly once (`_tile`-partitioned);
     # each iteration's read carries a PartitionFilters clause on _tile
@@ -3262,9 +3407,16 @@ def embed_ann_ivf_pq_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     no vector surface (SURVEY.md §2.2)."""
     import math
 
+    from ..sources import table_path
+
     root = _pq_index_artifact(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = emb.count()
+    # footer row count, not a count() job: the tile-size bound only
+    # needs |Q| and the parquet metadata already has it driver-side —
+    # the served top-k union is invariant to the tile count anyway.
+    n = _parquet_num_rows(table_path(sf_dir, "embeddings"), spark)
+    if n is None:
+        n = emb.count()
     return serve_ann_ivf_pq_tiled(
         spark, emb, root, tile_rows=max(1, math.ceil(n / 3))
     )
