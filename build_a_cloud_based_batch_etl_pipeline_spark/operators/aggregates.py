@@ -671,13 +671,24 @@ def tdigest_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition partials so no single task ever sees a whole group),
     then a per-group merge plus a merged-of-merges '__all__' digest.
     Digest columns are (means, weights) arrays — storable, mergeable."""
+    from .util import cache_once
+
     events = t(spark, sf_dir, "events").select(
         "event_type",
         F.col("value").cast("double").alias("v"),
         F.pmod(F.xxhash64("event_id"), F.lit(_TD_SALTS)).alias("salt"),
     )
-    partials = events.groupBy("event_type", "salt").applyInPandas(
-        _td_build, _TD_SCHEMA
+    # cached: BOTH the per-type merge and the '__all__' merge consume
+    # the partial digests — uncached, the raw-event shuffle and the
+    # Arrow grouped-map build ran TWICE (the plan carried two _td_build
+    # python stages over two full event scans for one digest set). The
+    # cache holds <= K centroids per (group, salt) — KBs, not rows.
+    partials = cache_once(
+        spark,
+        ("td_partials", sf_dir),
+        lambda: events.groupBy("event_type", "salt").applyInPandas(
+            _td_build, _TD_SCHEMA
+        ),
     )
     merged = partials.groupBy("event_type").applyInPandas(_td_merge, _TD_SCHEMA)
     alldig = (

@@ -342,17 +342,28 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays instead of re-joining an exploded shingle table (which fans
     # out one row per SHARED shingle — quadratic on near-identical docs).
     sh = cache_once(spark, ("mh_gram_hashes", sf_dir), lambda: gram_hashes(docs))
-    sig = minhash_signatures(sh)
-    bands = minhash_band_rows(sig)
+    # signature + banding expression trees are built INSIDE the cache
+    # lambda: the 32 array_min folds are ~a thousand py4j expression
+    # constructions, and building them on every call just to look up an
+    # already-cached frame was pure driver overhead on the warm path
+    def _bands():
+        return minhash_band_rows(minhash_signatures(sh))
     # Cached: the cap's sizes subtree and the self-join both read bands;
     # without the cache the 32 signature folds would be computed twice.
     # Narrow rows (id + band + hash), so the cache is a few dozen bytes/doc.
-    bands = cap_bucket_occupancy(
-        cache_once(spark, ("mh_bands", sf_dir), lambda: bands),
-        ["band", "bh"],
-        "doc_id",
-        _MH_BAND_CAP,
+    # The over-cap probe (an EAGER one-row job — see over_cap_sizes) is
+    # additionally memoized per cached-bands key: the bands cache is
+    # immutable for the application's lifetime, so re-running the probe
+    # on every call paid one driver job per run for a constant answer.
+    from .util import attach_sub, memo_once, over_cap_sizes
+
+    bands_c = cache_once(spark, ("mh_bands", sf_dir), _bands)
+    sizes = memo_once(
+        spark,
+        ("mh_band_capsizes", sf_dir),
+        lambda: over_cap_sizes(bands_c, ["band", "bh"], _MH_BAND_CAP),
     )
+    bands = attach_sub(bands_c, sizes, ["band", "bh"], "doc_id")
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bh", "sub"])
@@ -1433,8 +1444,22 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    outdeg = sym.join(deg, "src")
+    # cached: deg feeds every iteration's outdeg join AND the final
+    # degree column — uncached, each of the 5 unrolled iterations
+    # re-derived the degree aggregate from the edge scan (the plan
+    # carried the union+agg subtree once per iteration). Both frames
+    # are edge/node sized and static for the application's lifetime
+    # (they derive from the persisted edge artifact).
+    deg = cache_once(
+        spark,
+        ("pr_deg", sf_dir),
+        lambda: sym.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        ),
+    )
+    outdeg = cache_once(
+        spark, ("pr_outdeg", sf_dir), lambda: sym.join(deg, "src")
+    )
     docs = t(spark, sf_dir, "documents").select("doc_id")
     r = docs.select("doc_id", F.lit(_PR_Q).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
