@@ -88,10 +88,30 @@ def extract_to_landing(
     ingest_date = time.strftime("%Y-%m-%d", time.gmtime(run_ts))
     run_id = _run_id(run_ts)
     out_dir = os.path.join(cfg.landing_uri, f"ingest_date={ingest_date}", f"run={run_id}")
-    df = spark.createDataFrame(
-        [tuple(r.get(f.name) for f in POSTS_RAW.fields) for r in rows],
-        schema=POSTS_RAW,
-    )
+    # Arrow path for the driver-side batch: createDataFrame from a
+    # pandas frame crosses to the JVM as Arrow record batches instead
+    # of pickled rows (guide §6 — the row path measured ~2.5x slower at
+    # the reference's batch sizes). Columns are built dtype=object so
+    # missing fields stay None (never coerced to NaN floats); any
+    # payload the Arrow converter rejects falls back to the row path,
+    # which accepts exactly what it always did.
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                f.name: pd.Series(
+                    [r.get(f.name) for r in rows], dtype=object
+                )
+                for f in POSTS_RAW.fields
+            }
+        )
+        df = spark.createDataFrame(pdf, schema=POSTS_RAW)
+    except Exception:
+        df = spark.createDataFrame(
+            [tuple(r.get(f.name) for f in POSTS_RAW.fields) for r in rows],
+            schema=POSTS_RAW,
+        )
     df.write.mode("overwrite").json(out_dir)
     return out_dir
 

@@ -2789,12 +2789,21 @@ def ivf_pq_codes_df(
             floor,
         ),
     )
-    # cluster shards by inverted list so a task holds whole lists (and,
-    # persisted, partition pruning skips unprobed lists entirely);
-    # cluster=False lets a caller that still restricts the candidate
-    # set (serve_ann_ivf_pq's eligible semi-join) defer the clustering
-    # shuffle until after its join instead of shuffling twice
-    return (codes.repartition("list_id") if cluster else codes), books, coarse
+    # cluster shards by inverted list ONLY when the scan arrives
+    # under-split (spread_small_input's gate): the persisted layout is
+    # already hive-partitioned by list_bucket, scoring is correct for
+    # ANY sharding of the code rows (each shard emits its local top-k
+    # under the global (-score, nid) order and the window reduce merges
+    # — a list split across two shards contributes the same winners),
+    # so an unconditional repartition was a full codes-table shuffle
+    # per serve call that bought nothing at scale (guide §2.4). A
+    # small/under-split fixture still spreads across cores so the
+    # Python scorer parallelizes; cluster=False lets a caller that
+    # restricts the candidate set (serve_ann_ivf_pq's eligible
+    # semi-join) defer the spread until after its join.
+    return (
+        spread_small_input(codes, "list_id") if cluster else codes
+    ), books, coarse
 
 
 def _ivf_adc_score_sharded(
@@ -3121,7 +3130,9 @@ def _prepare_serve_codes(
         memo_once(spark, ("label_of_unique", plan_key), _probe_labels)
         codes_df = codes_df.join(labs, "vec_id")
     if eligible is not None or label_of is not None:
-        codes_df = codes_df.repartition("list_id")
+        # same gate as the no-filter path: the join output is correct
+        # under any sharding; spread only an under-split result
+        codes_df = spread_small_input(codes_df, "list_id")
     return codes_df, books, coarse
 
 
@@ -3204,17 +3215,65 @@ def serve_ann_ivf_pq_tiled(
     # so every downstream scan sees the identical rows; the blocks are
     # freed with the RDD at GC / session end.
     q_df = q_df.localCheckpoint()
-    # ONE fused stats job over the pinned rows (was: a recount job + a
-    # duplicate-multiplicity job + one histogram job per doubling —
-    # three-plus driver round trips per call, pure scheduling overhead
-    # at serving granularity; guide §1.2/§5: the driver should do
-    # almost no data work). A single chained-rollup aggregate returns
-    # the exact pinned row count, the max duplicate-vec_id
-    # multiplicity, and the max tile occupancy at nt, 2*nt and 4*nt
-    # simultaneously — valid because pmod(h, nt) ==
-    # pmod(pmod(h, 4*nt), nt) when nt divides 4*nt, so the coarser
-    # histograms aggregate exactly from the finer one. All rollup rows
-    # stay distributed; only the final one-row summary is collected.
+    q_cols = ["vec_id", "embedding"] + (["label"] if same_label else [])
+    rows_all: list | None = None
+    nt = max(1, math.ceil(n / limit))
+    if n <= 2 * _MAX_QUERY_ROWS:
+        # small-batch path: ONE collect of the pinned rows — with the
+        # Spark-computed xxhash64 tile hash appended — replaces the
+        # recount job, the duplicate-multiplicity job, the
+        # per-doubling histogram jobs AND the per-tile collect jobs:
+        # every tiling statistic is driver arithmetic over the
+        # collected hash column (Python `%` on a positive modulus
+        # equals Spark's pmod for int64 inputs), and the per-tile
+        # query slices feed the scorer directly. Driver traffic is
+        # O(|Q|) either way; holding it simultaneously is bounded to
+        # 2x the untiled batch footprint — larger batches take the
+        # distributed-stats branch below (guide §1.2/§5: the driver
+        # should do almost no data work, and at serving granularity
+        # each avoided job round trip is latency).
+        from collections import Counter
+
+        rows_all = q_df.select(
+            *q_cols, F.xxhash64(F.col("vec_id")).alias("_h")
+        ).collect()
+        n = len(rows_all)
+        if n <= limit:
+            return _ivf_adc_topk_sharded(
+                spark, codes_df, q_df, books, coarse,
+                k=k, nprobe=nprobe, same_label=same_label,
+            )
+        dup_max = max(Counter(r[0] for r in rows_all).values())
+        if dup_max > limit:
+            raise ValueError(
+                f"query batch has a vec_id repeated {dup_max} times, "
+                f"more than tile_rows={limit}: duplicate ids always "
+                "land in the same hash tile, so no tile count can "
+                "satisfy the limit — deduplicate the query ids (or "
+                "raise tile_rows)"
+            )
+        nt = max(1, math.ceil(n / limit))
+        while max(Counter(r[-1] % nt for r in rows_all).values()) > limit:
+            if nt > max(4 * n, 64):
+                raise ValueError(
+                    f"tile fan-out failed to converge at nt={nt} for "
+                    f"{n} query rows (tile_rows={limit})"
+                )
+            nt *= 2
+        return _serve_tiles(
+            spark, codes_df, q_df, books, coarse, k, nprobe, same_label,
+            nt, rows_all, materialize_at, work_dir,
+        )
+    # distributed-stats branch (batches too large to hold on the
+    # driver at once): ONE fused stats job per doubling attempt (was: a
+    # recount job + a duplicate-multiplicity job + one histogram job
+    # per doubling). A single chained-rollup aggregate returns the
+    # exact pinned row count, the max duplicate-vec_id multiplicity,
+    # and the max tile occupancy at nt, 2*nt and 4*nt simultaneously —
+    # valid because pmod(h, nt) == pmod(pmod(h, 4*nt), nt) when nt
+    # divides 4*nt, so the coarser histograms aggregate exactly from
+    # the finer one. All rollup rows stay distributed; only the final
+    # one-row summary is collected.
     def _tile_stats(nt0: int):
         t4 = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(4 * nt0))
         b4 = (
@@ -3242,7 +3301,6 @@ def serve_ann_ivf_pq_tiled(
             F.max("m4").alias("m4"),
         ).collect()[0]
 
-    nt = max(1, math.ceil(n / limit))
     while True:
         st = _tile_stats(nt)
         n = st["n"] or 0  # exact count of the PINNED rows
@@ -3284,9 +3342,31 @@ def serve_ann_ivf_pq_tiled(
                 f"{n} query rows (tile_rows={limit})"
             )
         nt *= 8
-    tiled = q_df.withColumn(
-        "_tile", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nt))
+    return _serve_tiles(
+        spark, codes_df, q_df, books, coarse, k, nprobe, same_label,
+        nt, None, materialize_at, work_dir,
     )
+
+
+def _serve_tiles(
+    spark: SparkSession,
+    codes_df: DataFrame,
+    q_df: DataFrame,
+    books,
+    coarse,
+    k: int,
+    nprobe: int | None,
+    same_label: bool,
+    nt: int,
+    rows_all: list | None,
+    materialize_at: int | None,
+    work_dir: str | None,
+) -> DataFrame:
+    """The per-tile execution half of serve_ann_ivf_pq_tiled, after the
+    tile count `nt` is fixed. `rows_all` is the small-batch path's
+    already-collected pinned rows (tile hash appended as the last
+    field); None means slice the checkpointed frame per tile with
+    filter+collect jobs instead."""
     mat_at = (
         _TILE_MATERIALIZE_AT if materialize_at is None else int(materialize_at)
     )
@@ -3298,19 +3378,11 @@ def serve_ann_ivf_pq_tiled(
         # from one exchange + sort + window + Arrow rounding stage PER
         # TILE to one of each TOTAL (guide §2.4: two operations keyed
         # the same way share one exchange).
-        q_cols = ["vec_id", "embedding"] + (
-            ["label"] if same_label else []
-        )
         by_tile: dict[int, list] | None = None
-        if n <= 2 * _MAX_QUERY_ROWS:
-            # collect the pinned batch in ONE driver job and slice it
-            # per tile (was: one filter+collect job per tile). Driver
-            # traffic is O(|Q|) either way; holding it simultaneously
-            # is bounded here to 2x the untiled batch footprint —
-            # larger in-plan batches keep the per-tile collects.
+        if rows_all is not None:
             by_tile = {}
-            for r in tiled.select(*q_cols, "_tile").collect():
-                by_tile.setdefault(r[-1], []).append(r)
+            for r in rows_all:
+                by_tile.setdefault(r[-1] % nt, []).append(r)
         out = None
         for i in range(nt):
             rows_i = None
@@ -3320,7 +3392,9 @@ def serve_ann_ivf_pq_tiled(
                 if not rows_i:
                     continue  # empty tile contributes nothing
             else:
-                tile_q = tiled.filter(F.col("_tile") == i).drop("_tile")
+                tile_q = q_df.filter(
+                    F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nt)) == i
+                )
             part = _ivf_adc_score_sharded(
                 spark, codes_df, tile_q, books, coarse,
                 k=k, nprobe=nprobe, same_label=same_label,
@@ -3342,6 +3416,9 @@ def serve_ann_ivf_pq_tiled(
     # path).
     import tempfile
 
+    tiled = q_df.withColumn(
+        "_tile", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nt))
+    )
     work = work_dir or tempfile.mkdtemp(prefix="ann_tiles_")
     q_path = f"{work}/queries"
     out_path = f"{work}/topk"
