@@ -358,6 +358,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import attach_sub, memo_once, over_cap_sizes
 
     bands_c = cache_once(spark, ("mh_bands", sf_dir), _bands)
+    # Keyed like the bands cache itself (sf_dir, per-application), NOT a
+    # content fingerprint, deliberately (ADVICE r16): the memo pins the
+    # over-cap answer FOR THE CACHED BANDS FRAME — if the documents
+    # table were rewritten mid-application, cache_once would serve the
+    # same stale bands under this key anyway, so a fingerprint here
+    # would only let the sizes diverge from the frame they split. The
+    # whole mh_* family assumes fixtures are immutable for the
+    # application's lifetime (the engine-wide cache_once convention); a
+    # rewritten table needs a new session (or cache_once_clear +
+    # memo_once_clear together, which the perturb gate already does).
     sizes = memo_once(
         spark,
         ("mh_band_capsizes", sf_dir),

@@ -47,18 +47,25 @@ _MAX_INDEX_ROWS = 100_000
 
 
 def _decode_hex_codes(hex_codes):
-    """(n, M) uint8 array from a sequence of fixed-width hex code
-    strings via ONE bulk fromhex (the concatenation reshapes exactly
-    because every PQ code is the same _PQ_M bytes) — the per-row
-    bytes.fromhex loop this replaces was pure Python overhead on the
-    index-load path (guide §4.2)."""
+    """(n, _PQ_M) uint8 array from a sequence of fixed-width hex code
+    strings via ONE bulk fromhex — the per-row bytes.fromhex loop this
+    replaces was pure Python overhead on the index-load path (guide
+    §4.2). The reshape pins the EXPECTED width (ADVICE r16): with
+    mixed-width rows (corrupt or mixed-version artifact) a reshape to
+    (n, -1) could still divide cleanly and silently misalign every
+    subsequent row's codes, where this raises."""
     import numpy as np
 
     if not len(hex_codes):
-        return np.empty((0, 0), dtype=np.uint8)
-    return np.frombuffer(
-        bytes.fromhex("".join(hex_codes)), dtype=np.uint8
-    ).reshape(len(hex_codes), -1)
+        return np.empty((0, _PQ_M), dtype=np.uint8)
+    buf = np.frombuffer(bytes.fromhex("".join(hex_codes)), dtype=np.uint8)
+    if buf.size != len(hex_codes) * _PQ_M:
+        raise ValueError(
+            f"PQ code width drift: {len(hex_codes)} rows decode to "
+            f"{buf.size} bytes, expected {len(hex_codes) * _PQ_M} "
+            f"({_PQ_M} bytes/code) — mixed-width or corrupt codes table"
+        )
+    return buf.reshape(len(hex_codes), _PQ_M)
 
 
 def _parquet_num_rows(path: str, spark: SparkSession | None = None) -> int | None:
@@ -1416,11 +1423,18 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (probe nprobe buckets, same lookup-table math per bucket)."""
     books, ids, codes, _ = _pq_fit(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return _adc_topk_stream(spark, emb, books, ids, codes)
+    # queries ARE the index corpus here, so |Q| = len(ids), already known
+    return _adc_topk_stream(spark, emb, books, ids, codes, n_queries=len(ids))
 
 
 def _adc_topk_stream(
-    spark: SparkSession, emb: DataFrame, books, ids, codes, k: int = 5
+    spark: SparkSession,
+    emb: DataFrame,
+    books,
+    ids,
+    codes,
+    k: int = 5,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Chunked flat-ADC top-k scoring of a query stream against a
     PQ-coded index — the scorer shared by embed_ann_pq (session-trained
@@ -1430,9 +1444,11 @@ def _adc_topk_stream(
     import numpy as np
     from pyspark.sql import types as T
 
-    # parallelize a one-split query fixture across cores (real-scale
-    # inputs are already split; per-query scoring is partition-invariant)
-    emb = spread_small_input(emb, "vec_id")
+    # parallelize a one-split query fixture across cores, capped by the
+    # caller-known query count so a tiny batch is not shredded into
+    # core-count crumbs (real-scale inputs are already split; per-query
+    # scoring is partition-invariant)
+    emb = spread_small_input(emb, "vec_id", n_rows=n_queries)
     b_all = spark.sparkContext.broadcast((books, ids, codes))
     out_schema = T.StructType(
         [
@@ -1553,7 +1569,9 @@ def embed_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side step; scoring streams queries through mapInPandas."""
     books, ids, codes, coarse, assign = _ivfpq_fit(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)
+    return _ivf_adc_topk_stream(
+        spark, emb, books, ids, codes, coarse, assign, n_queries=len(ids)
+    )
 
 
 def _ivf_adc_topk_stream(
@@ -1567,6 +1585,7 @@ def _ivf_adc_topk_stream(
     k: int = 5,
     index_mask=None,
     nprobe: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF-routed ADC top-k scoring — the scorer shared by
     embed_ann_ivf_pq (session-trained artifacts),
@@ -1593,8 +1612,9 @@ def _ivf_adc_topk_stream(
     # which would serialize the whole scoring pass onto a single Python
     # worker; an already-split query stream at real scale is untouched
     # (same gate as the text operators — the scorer is CPU-bound and
-    # per-query independent, so partitioning never changes results)
-    emb = spread_small_input(emb, "vec_id")
+    # per-query independent, so partitioning never changes results).
+    # The caller-known query count caps the spread (VERDICT r16 item 1).
+    emb = spread_small_input(emb, "vec_id", n_rows=n_queries)
     if index_mask is None:
         index_mask = np.ones(len(ids), dtype=bool)
     n_probe = min(
@@ -2168,7 +2188,8 @@ def embed_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _pq_index_artifact(spark, sf_dir)
     books, ids, codes, _coarse, _assign = load_pq_index(spark, sf_dir, root)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return _adc_topk_stream(spark, emb, books, ids, codes)
+    # queries ARE the index corpus here, so |Q| = len(ids), already known
+    return _adc_topk_stream(spark, emb, books, ids, codes, n_queries=len(ids))
 
 
 @query("embed_ann_ivf_pq_indexed")
@@ -2185,7 +2206,9 @@ def embed_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _pq_index_artifact(spark, sf_dir)
     books, ids, codes, coarse, assign = load_pq_index(spark, sf_dir, root)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)
+    return _ivf_adc_topk_stream(
+        spark, emb, books, ids, codes, coarse, assign, n_queries=len(ids)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2732,37 +2755,9 @@ def ivf_pq_codes_df(
     from .util import memo_once
 
     books, coarse, version = load_pq_codebooks(spark, index_root)
-    base = spark.read.parquet(f"{index_root}/pq_codes")
     epochs = (
         _pq_epoch_partitions(spark, index_root) if include_epochs else ()
     )
-    # read the STAMPED partitions explicitly (basePath keeps the epoch
-    # hive column), not the whole directory — ADVICE r15: an epoch
-    # committed between the stamp listing and a directory re-scan would
-    # be served under the older stamp for that call; pinning the read
-    # to the listed partitions makes the stamp, the validation, and the
-    # served union cover the identical epoch set by construction
-    ep_root = f"{index_root}/pq_codes_epochs"
-    eps = (
-        spark.read.option("basePath", ep_root).parquet(
-            *[f"{ep_root}/{e}" for e in epochs]
-        )
-        if epochs
-        else None
-    )
-    # carry the list_bucket PARTITION column through when every table
-    # in play has it (current layout), so the sharded scorer's
-    # probe-set predicate prunes whole hive partitions at the scan; a
-    # pre-bucketing index (or mixed old/new base+epochs) degrades to
-    # the pushed list_id data filter — correct, just less prunable
-    cols = ["vec_id", "codes", "list_id"]
-    if "list_bucket" in base.columns and (
-        eps is None or "list_bucket" in eps.columns
-    ):
-        cols.append("list_bucket")
-    codes = base.select(*cols)
-    if eps is not None:
-        codes = codes.unionByName(eps.select(*cols))
     stamp = (
         "pq_codes_validated",
         index_root,
@@ -2775,19 +2770,56 @@ def ivf_pq_codes_df(
         bool(allow_drift),
         None if allow_drift else float(floor),
     )
-    memo_once(
-        spark,
-        stamp,
-        lambda: _validate_pq_codes(
-            spark,
-            index_root,
-            version,
-            codes,
-            eps,
-            epochs,
-            allow_drift,
-            floor,
-        ),
+
+    def _build_codes():
+        # read the STAMPED partitions explicitly (basePath keeps the
+        # epoch hive column), not the whole directory — ADVICE r15: an
+        # epoch committed between the stamp listing and a directory
+        # re-scan would be served under the older stamp for that call;
+        # pinning the read to the listed partitions makes the stamp,
+        # the validation, and the served union cover the identical
+        # epoch set by construction
+        base = spark.read.parquet(f"{index_root}/pq_codes")
+        ep_root = f"{index_root}/pq_codes_epochs"
+        eps = (
+            spark.read.option("basePath", ep_root).parquet(
+                *[f"{ep_root}/{e}" for e in epochs]
+            )
+            if epochs
+            else None
+        )
+        # carry the list_bucket PARTITION column through when every
+        # table in play has it (current layout), so the sharded
+        # scorer's probe-set predicate prunes whole hive partitions at
+        # the scan; a pre-bucketing index (or mixed old/new
+        # base+epochs) degrades to the pushed list_id data filter —
+        # correct, just less prunable
+        cols = ["vec_id", "codes", "list_id"]
+        if "list_bucket" in base.columns and (
+            eps is None or "list_bucket" in eps.columns
+        ):
+            cols.append("list_bucket")
+        c = base.select(*cols)
+        if eps is not None:
+            c = c.unionByName(eps.select(*cols))
+        _validate_pq_codes(
+            spark, index_root, version, c, eps, epochs, allow_drift, floor
+        )
+        return c, _pq_codes_row_count(spark, index_root, epochs)
+
+    # PLAN memoized per stamp (r17, guide §1.2 driver overhead): a
+    # query service re-enters this loader per request batch, and
+    # rebuilding the identical read (directory listing + schema
+    # resolution + union + validation, all py4j round trips) per call
+    # was measurable serve latency. The stamp addresses the underlying
+    # bytes exactly as for validation (content-addressed base,
+    # append-only epoch name set, purge sequence), so reusing the plan
+    # handle can never serve rows the stamp does not cover; the
+    # validation itself now runs inside the same memo — one entry, one
+    # lifecycle (it previously had its own memo under the same key
+    # components).
+    codes, n_codes = memo_once(
+        spark, ("ivf_pq_codes_plan",) + stamp, _build_codes
     )
     # cluster shards by inverted list ONLY when the scan arrives
     # under-split (spread_small_input's gate): the persisted layout is
@@ -2798,12 +2830,34 @@ def ivf_pq_codes_df(
     # so an unconditional repartition was a full codes-table shuffle
     # per serve call that bought nothing at scale (guide §2.4). A
     # small/under-split fixture still spreads across cores so the
-    # Python scorer parallelizes; cluster=False lets a caller that
+    # Python scorer parallelizes, capped by the footer row count so a
+    # fixture-sized table is not shredded into core-count crumbs
+    # (VERDICT r16 items 1/3); cluster=False lets a caller that
     # restricts the candidate set (serve_ann_ivf_pq's eligible
     # semi-join) defer the spread until after its join.
     return (
-        spread_small_input(codes, "list_id") if cluster else codes
+        spread_small_input(codes, "list_id", n_rows=n_codes)
+        if cluster
+        else codes
     ), books, coarse
+
+
+def _pq_codes_row_count(
+    spark: SparkSession, index_root: str, epochs=()
+) -> int | None:
+    """Total persisted code rows (base + the given epoch partitions)
+    from parquet footer metadata — driver-side, O(files), no job; None
+    when any piece is unreadable (callers fall back to the uncapped
+    spread gate)."""
+    n = _parquet_num_rows(f"{index_root}/pq_codes", spark)
+    if n is None:
+        return None
+    for e in epochs:
+        ne = _parquet_num_rows(f"{index_root}/pq_codes_epochs/{e}", spark)
+        if ne is None:
+            return None
+        n += ne
+    return n
 
 
 def _ivf_adc_score_sharded(
@@ -2904,14 +2958,11 @@ def _ivf_adc_score_sharded(
                 continue
             ids_l.append(pdf["vec_id"].to_numpy(np.int64))
             # ONE bulk hex decode per batch (codes are fixed-width _PQ_M
-            # bytes, so the concatenation reshapes exactly) instead of a
-            # per-row Python loop — guide §4.2: hand whole batches to
-            # native code; the join + fromhex run at C speed.
-            codes_l.append(
-                np.frombuffer(
-                    bytes.fromhex("".join(pdf["codes"])), dtype=np.uint8
-                ).reshape(len(pdf), -1)
-            )
+            # bytes; the shared helper pins that width so drift raises
+            # instead of mis-scoring) instead of a per-row Python loop —
+            # guide §4.2: hand whole batches to native code; the join +
+            # fromhex run at C speed.
+            codes_l.append(_decode_hex_codes(pdf["codes"]))
             lists_l.append(pdf["list_id"].to_numpy(np.int64))
             if q_labs is not None:
                 labs_l.append(pdf["label"].to_numpy(np.int64))
@@ -3131,8 +3182,20 @@ def _prepare_serve_codes(
         codes_df = codes_df.join(labs, "vec_id")
     if eligible is not None or label_of is not None:
         # same gate as the no-filter path: the join output is correct
-        # under any sharding; spread only an under-split result
-        codes_df = spread_small_input(codes_df, "list_id")
+        # under any sharding; spread only an under-split result. The
+        # footer count of the unfiltered codes caps the spread (an
+        # upper bound on the join output — the filters only shrink it)
+        codes_df = spread_small_input(
+            codes_df,
+            "list_id",
+            n_rows=_pq_codes_row_count(
+                spark,
+                index_root,
+                _pq_epoch_partitions(spark, index_root)
+                if include_epochs
+                else (),
+            ),
+        )
     return codes_df, books, coarse
 
 
@@ -3194,6 +3257,23 @@ def serve_ann_ivf_pq_tiled(
     if limit <= 0:
         raise ValueError("tile_rows must be positive")
     limit = min(limit, _MAX_QUERY_ROWS)
+    # pin the query rows to ONE evaluation BEFORE anything derives from
+    # them — including the batch-size count and the small-vs-distributed
+    # branch gate below (ADVICE r15/r16): the tiled frame is read once
+    # for the skew count and once per tile filter, so a
+    # non-deterministic q_df (limit without orderBy, sample(),
+    # rand()-derived ids) could otherwise assign rows to different tiles
+    # across evaluations — silently dropping or duplicating queries —
+    # and a pre-pin count could under-estimate what the collect later
+    # pulls. localCheckpoint materializes the batch on the executors
+    # (O(|Q|) rows — the same quantity the untiled path would broadcast)
+    # and truncates lineage, so every downstream scan (and the count)
+    # sees the identical rows; the blocks are freed with the RDD at GC /
+    # session end. eager=False fuses the pin into the count's job (the
+    # count touches every partition, so every partition is computed
+    # exactly once and stored then) — one job round trip instead of two
+    # on the per-request-batch latency path.
+    q_df = q_df.localCheckpoint(eager=False)
     n = q_df.count()
     codes_df, books, coarse = _prepare_serve_codes(
         spark, index_root, include_epochs, allow_drift, eligible, label_of
@@ -3204,21 +3284,18 @@ def serve_ann_ivf_pq_tiled(
             spark, codes_df, q_df, books, coarse,
             k=k, nprobe=nprobe, same_label=same_label,
         )
-    # pin the query rows to ONE evaluation before anything derives from
-    # them (ADVICE r15): the tiled frame is read once for the skew
-    # count and once per tile filter, so a non-deterministic q_df
-    # (limit without orderBy, sample(), rand()-derived ids) could
-    # otherwise assign rows to different tiles across evaluations —
-    # silently dropping or duplicating queries. localCheckpoint
-    # materializes the batch on the executors (O(|Q|) rows — the same
-    # quantity the untiled path would broadcast) and truncates lineage,
-    # so every downstream scan sees the identical rows; the blocks are
-    # freed with the RDD at GC / session end.
-    q_df = q_df.localCheckpoint()
     q_cols = ["vec_id", "embedding"] + (["label"] if same_label else [])
     rows_all: list | None = None
     nt = max(1, math.ceil(n / limit))
-    if n <= 2 * _MAX_QUERY_ROWS:
+    mat_at = (
+        _TILE_MATERIALIZE_AT if materialize_at is None else int(materialize_at)
+    )
+    # the small-batch collect only pays off when the per-tile loop will
+    # actually consume the collected slices: at nt >= mat_at the
+    # materialized path rebuilds tiles from the pinned frame, so the
+    # O(|Q|) driver collect (and its hash column) would be pure waste
+    # (ADVICE r16)
+    if n <= 2 * _MAX_QUERY_ROWS and nt < mat_at:
         # small-batch path: ONE collect of the pinned rows — with the
         # Spark-computed xxhash64 tile hash appended — replaces the
         # recount job, the duplicate-multiplicity job, the
@@ -3494,8 +3571,16 @@ def embed_ann_ivf_pq_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _parquet_num_rows(table_path(sf_dir, "embeddings"), spark)
     if n is None:
         n = emb.count()
+    # tile_rows = 0.4|Q|: ceil(n/0.4n) = 3 still FORCES >=3 tiles at
+    # any SF, and the ~20% headroom over n/3 lets the hash-occupancy
+    # convergence loop accept nt=3 — at exactly ceil(n/3) the maximum
+    # tile occupancy (n/3 + O(sqrt n) hash variance) always overflowed
+    # the limit and the loop doubled to SIX tiles, twice the scans /
+    # broadcasts / Python stages the row is meant to measure (r17; the
+    # served union is bit-equal at any nt, pinned in
+    # tests/test_similarity.py).
     return serve_ann_ivf_pq_tiled(
-        spark, emb, root, tile_rows=max(1, math.ceil(n / 3))
+        spark, emb, root, tile_rows=max(1, math.ceil(n * 2 / 5))
     )
 
 
@@ -3569,6 +3654,8 @@ def embed_ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's ingest is 0.1% of it. Reference: no vector/index surface
     (SURVEY.md §2.2); FAISS-style add-then-periodic-retrain (Johnson
     et al. 2017)."""
+    import hashlib
+
     from .sampling import _TEST_LT, _split_bucket
 
     root = _pq_inc_fixture_root(spark, sf_dir)
@@ -3582,7 +3669,18 @@ def embed_ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .filter((bucket < _TEST_LT) & ~(bucket < "0d"))
     )
-    return _ivf_adc_topk_stream(spark, emb, books, ids, codes, coarse, assign)
+    # exact |Q| driver-side from the already-loaded id array (the flat
+    # loader bounds it): Spark's md5(cast(vec_id as string)) equals
+    # hashlib md5 of the decimal string, so this counts exactly the rows
+    # the filter above keeps — sizes the scorer spread without a job
+    n_q = sum(
+        1
+        for i in ids
+        if "0d" <= hashlib.md5(str(int(i)).encode()).hexdigest()[:2] < _TEST_LT
+    )
+    return _ivf_adc_topk_stream(
+        spark, emb, books, ids, codes, coarse, assign, n_queries=n_q
+    )
 
 
 # Filtered vector search: the metadata-predicate restriction every
@@ -3743,6 +3841,7 @@ def embed_ann_filtered_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes,
         coarse,
         assign,
+        n_queries=len(ids),
         k=3,
         index_mask=mask,
         nprobe=nprobe,
@@ -4293,6 +4392,8 @@ def embed_ann_join_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign,
         k=3,
         index_mask=~in_query_corpus,
+        # |Q| = the query-corpus bucket count, already on the driver
+        n_queries=int(in_query_corpus.sum()),
     )
 
 
@@ -4692,7 +4793,10 @@ def embed_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 res_c.extend(sims[i][hit].tolist())
             yield pd.DataFrame({"qid": res_q, "nid": res_n, "cosine": res_c})
 
-    return spread_small_input(emb, "vec_id").mapInPandas(score, out_schema)
+    # |Q| = |index| here (self range-search); cap the spread by it
+    return spread_small_input(emb, "vec_id", n_rows=len(ids)).mapInPandas(
+        score, out_schema
+    )
 
 
 _KMEANS_K = 8

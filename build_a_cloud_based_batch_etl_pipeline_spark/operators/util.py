@@ -210,7 +210,23 @@ def hint_label_map(linked: DataFrame) -> DataFrame:
     return linked.hint("shuffle_hash")
 
 
-def spread_small_input(df: DataFrame, *key: str) -> DataFrame:
+# Target rows per Arrow task for row-counted spreads: below this, the
+# per-task scheduler + Python-worker + Arrow-batch overhead exceeds the
+# work (measured r16: the 2000-row embeddings fixture split into 32
+# tasks of ~60 rows made the flat/IVF ANN scorers 26-75% SLOWER than a
+# single task, and the whole suite ran faster at 8 cores than 32).
+# A/B-tuned on the ADC scorers (guide §2.5: partition count should
+# follow data size, not core count); env override for re-tuning.
+import os as _os
+
+_SPREAD_ROWS_PER_TASK = int(
+    _os.environ.get("SPARK_GRAFT_SPREAD_ROWS_PER_TASK", "256")
+)
+
+
+def spread_small_input(
+    df: DataFrame, *key: str, n_rows: int | None = None
+) -> DataFrame:
     """Repartition ONLY when the plan has fewer input splits than cores.
 
     The text-heavy operators (shingling, gram hashing, simhash) are
@@ -221,9 +237,31 @@ def spread_small_input(df: DataFrame, *key: str) -> DataFrame:
     repartition is a pure-cost full-corpus shuffle (VERDICT r3). The gate
     reads the planned partition count driver-side (no job runs) and
     leaves an adequately-split input untouched.
+
+    n_rows: when the caller already knows the input's row count (parquet
+    footer metadata / an already-collected id array — never a job), the
+    spread is additionally capped at ceil(n_rows / _SPREAD_ROWS_PER_TASK)
+    partitions so a tiny input is not shredded into core-count crumbs
+    (VERDICT r16 item 1: 32 Arrow tasks of ~60 rows each cost 26-75%
+    more than the parallelism bought back on the ANN scorers), and an
+    input that arrives OVER-split for its size (a hive-partitioned
+    fixture whose 16 bucket files each become a scan split of ~100
+    rows) is merged DOWN to that cap with a narrow coalesce — no
+    shuffle (VERDICT r16 item 3). The coalesce branch only fires when
+    the row-derived target is provably tiny (< defaultParallelism), so
+    a well-split production scan, where ceil(n/256) >> cores, is never
+    touched in either direction.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    cur = df.rdd.getNumPartitions()
+    if n_rows is not None:
+        target = max(1, min(par, -(-int(n_rows) // _SPREAD_ROWS_PER_TASK)))
+        if target < par and cur > target:
+            return df.coalesce(target)
+        if cur < target:
+            return df.repartition(target, *key)
+        return df
+    if cur >= par:
         return df
     return df.repartition(par, *key)
 
@@ -274,7 +312,13 @@ def cache_once_clear(spark: SparkSession | None = None) -> None:
 
 
 _MEMO_ONCE: dict[tuple, object] = {}
-_MEMO_ONCE_MAX = 8
+# r17: 8 -> 16. The serve paths now hold ~3 entries per live index
+# (codebook arrays, validated codes plan, artifact dir) and the bench
+# alternates several index-backed rows; at 8 the FIFO evicted a live
+# row's entries mid-rotation and re-paid the validation aggregates.
+# Entries are small (plan handles, ~0.6 MB codebook arrays), so 16 is
+# still a few MB of driver memory at worst.
+_MEMO_ONCE_MAX = 16
 
 
 def memo_once(spark: SparkSession, key: tuple, build):
