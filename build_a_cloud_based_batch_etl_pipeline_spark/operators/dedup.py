@@ -1013,20 +1013,47 @@ def dedup_against_index(
                 gram_hashes(new_docs.select("doc_id", "text"))
             ),
         )
-        bands_new = minhash_band_rows(sig_new)
+        # banding the cached signatures is deterministic, so the banded
+        # frame shares the signature cache's key and lifecycle — the
+        # per-call 16-struct banding expression build (dozens of py4j
+        # round trips) runs once per batch, not per query call (r17,
+        # same driver-overhead class as the r16 minhash build fix)
+        bands_new = cache_once(
+            spark,
+            ("mh_batch_bands", batch_fingerprint),
+            lambda: minhash_band_rows(sig_new),
+        )
     else:
         sig_new, bands_new = minhash_index_rows(new_docs)
     # converge any crashed purge swap before reading (a parked
     # partition with its live dir missing would silently shrink the
     # index for this query)
     from ..sinks import purge_recover
+    from .similarity import _table_fingerprint
+    from .util import memo_once
 
     purge_recover(spark, f"{index_root}/bands")
     purge_recover(spark, f"{index_root}/sigs")
-    stored_bands = spark.read.parquet(f"{index_root}/bands").select(
-        "doc_id", "band", "bh"
+    # the stored-table READS (directory listing + schema resolution,
+    # ~150-300 ms of driver py4j work per call) are memoized on the
+    # tables' content fingerprints — names+sizes+mtimes, the same walk
+    # the artifact layer does — so a warm serve call reuses the plan
+    # handles while an in-session purge rewrite (which changes the
+    # partition files) fingerprints differently and re-reads (r17,
+    # guide §1.2 driver overhead; purge staleness pinned in
+    # tests/test_purge_index.py)
+    fp_b = _table_fingerprint(f"{index_root}/bands", spark)
+    fp_s = _table_fingerprint(f"{index_root}/sigs", spark)
+    stored_bands, stored_sigs = memo_once(
+        spark,
+        ("mh_index_table_plans", index_root, fp_b, fp_s),
+        lambda: (
+            spark.read.parquet(f"{index_root}/bands").select(
+                "doc_id", "band", "bh"
+            ),
+            spark.read.parquet(f"{index_root}/sigs").drop("epoch"),
+        ),
     )
-    stored_sigs = spark.read.parquet(f"{index_root}/sigs").drop("epoch")
     cand = (
         bands_new.alias("n")
         .join(stored_bands.alias("s"), ["band", "bh"])

@@ -354,17 +354,39 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three grouped aggregates chained by equi-joins — each stage's input
     shrinks to the survivors of the previous one, and every join is on
     user_id, so AQE reuses/broadcasts the small survivor sets. At 100 TB
-    the first aggregate is the only big shuffle."""
+    the first aggregate is the only big shuffle.
+
+    The fv/fc survivor frames feed BOTH the next stage and their own
+    stage count, and Catalyst expands the DAG into a tree — uncached,
+    fv's full event scan+aggregate evaluated 3x and fc's 2x (the
+    t-digest double-evaluation class, VERDICT r16 item 6). cache_once
+    pins each to one evaluation: the cached rows are one (user_id,
+    timestamp) pair per SURVIVING user — strictly cheaper at any scale
+    than re-scanning raw events per reference (guide §5: cache when
+    recomputation costs more than the memory, with disk spill as the
+    backstop)."""
+    from .util import cache_once
+
     ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    fv = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    fv = cache_once(
+        spark,
+        ("events_funnel_fv", sf_dir),
+        lambda: ev.groupBy("user_id").agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("first_view")
+        ),
     )
-    fc = (
-        ev.filter(F.col("event_type") == "click")
-        .join(fv.filter(F.col("first_view").isNotNull()), "user_id")
-        .filter(F.col("ts") > F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click"))
+    fc = cache_once(
+        spark,
+        ("events_funnel_fc", sf_dir),
+        lambda: (
+            ev.filter(F.col("event_type") == "click")
+            .join(fv.filter(F.col("first_view").isNotNull()), "user_id")
+            .filter(F.col("ts") > F.col("first_view"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_click"))
+        ),
     )
     fp = (
         ev.filter(F.col("event_type") == "purchase")

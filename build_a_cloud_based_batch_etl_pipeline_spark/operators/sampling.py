@@ -443,16 +443,34 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-source repeat/subsample rate a loader applies. Two 1-row
     global aggregates (corpus total, normalizer) both join back via
     broadcast crossJoin — nothing touches the driver, shuffles carry only
-    per-source rows."""
+    per-source rows.
+
+    Both per-source frames are multiply-referenced (per feeds the
+    corpus total AND the shares; shares feeds the normalizer AND the
+    output), and Catalyst expands the DAG into a tree — uncached, the
+    full documents scan ran four times per call (the t-digest
+    double-evaluation class, VERDICT r16 item 6). cache_once pins each
+    to one evaluation; the cached rows are |sources|-bounded (a handful
+    of rows at any corpus size)."""
+    from .util import cache_once
+
     docs = t(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_tokens"),
+    per = cache_once(
+        spark,
+        ("tempmix_per_source", sf_dir),
+        lambda: docs.groupBy("source").agg(
+            F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_tokens"),
+        ),
     )
     tot = per.agg(F.sum("est_tokens").alias("corpus_tokens"))
-    shares = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "est_tokens",
-        (F.col("est_tokens") * 1.0 / F.col("corpus_tokens")).alias("p"),
+    shares = cache_once(
+        spark,
+        ("tempmix_shares", sf_dir),
+        lambda: per.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "est_tokens",
+            (F.col("est_tokens") * 1.0 / F.col("corpus_tokens")).alias("p"),
+        ),
     )
     z = shares.agg(F.sum(F.pow("p", _MIX_ALPHA)).alias("norm"))
     w = F.pow("p", _MIX_ALPHA) / F.col("norm")
