@@ -806,40 +806,50 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         ).select("r.rel", "r.n_child", "r.n_orphans")
 
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer")
-    return (
-        fk_report(
-            li,
-            "l",
-            [
-                ("lineitem->orders",
-                 "SELECT 1 FROM {o} o WHERE o.o_orderkey = l.l_orderkey",
-                 "o", orders),
-                ("lineitem->part",
-                 "SELECT 1 FROM {p} p WHERE p.p_partkey = l.l_partkey",
-                 "p", t(spark, sf_dir, "part")),
-                ("lineitem->supplier",
-                 "SELECT 1 FROM {s} s WHERE s.s_suppkey = l.l_suppkey",
-                 "s", t(spark, sf_dir, "supplier")),
-            ],
+    def build() -> DataFrame:
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        cust = t(spark, sf_dir, "customer")
+        return (
+            fk_report(
+                li,
+                "l",
+                [
+                    ("lineitem->orders",
+                     "SELECT 1 FROM {o} o WHERE o.o_orderkey = l.l_orderkey",
+                     "o", orders),
+                    ("lineitem->part",
+                     "SELECT 1 FROM {p} p WHERE p.p_partkey = l.l_partkey",
+                     "p", t(spark, sf_dir, "part")),
+                    ("lineitem->supplier",
+                     "SELECT 1 FROM {s} s WHERE s.s_suppkey = l.l_suppkey",
+                     "s", t(spark, sf_dir, "supplier")),
+                ],
+            )
+            .unionByName(fk_report(
+                orders,
+                "o2",
+                [("orders->customer",
+                  "SELECT 1 FROM {c} c WHERE c.c_custkey = o2.o_custkey",
+                  "c", cust)],
+            ))
+            .unionByName(fk_report(
+                cust,
+                "c2",
+                [("customer->nation",
+                  "SELECT 1 FROM {n} n WHERE n.n_nationkey = c2.c_nationkey",
+                  "n", t(spark, sf_dir, "nation"))],
+            ))
         )
-        .unionByName(fk_report(
-            orders,
-            "o2",
-            [("orders->customer",
-              "SELECT 1 FROM {c} c WHERE c.c_custkey = o2.o_custkey",
-              "c", cust)],
-        ))
-        .unionByName(fk_report(
-            cust,
-            "c2",
-            [("customer->nation",
-              "SELECT 1 FROM {n} n WHERE n.n_nationkey = c2.c_nationkey",
-              "n", t(spark, sf_dir, "nation"))],
-        ))
-    )
+
+    # the analyzer pass over the three correlated-EXISTS templates is
+    # ~0.7 s of per-call driver work (measured r17) for a byte-identical
+    # plan every time — memoize the built DataFrame per fixture dir,
+    # the same warm-session plan reuse as the minhash builder (r16) and
+    # the serve-codes loader; execution still runs in full per call
+    from .util import memo_once
+
+    return memo_once(spark, ("dq_ref_integrity_plan", sf_dir), build)
 
 
 # ---------------------------------------------------------------------------
