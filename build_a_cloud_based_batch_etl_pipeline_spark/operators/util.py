@@ -481,9 +481,20 @@ def persisted_artifact(
 
 
 def artifact_clear(spark: SparkSession, sf_dir: str | None = None) -> None:
-    """Delete persisted artifact dirs AND the in-session memo — the
-    'rebuild everything from source' hook the perturb sweep uses so the
-    heavy artifact-build subtrees re-run under each partitioning.
+    """Delete persisted artifact dirs AND the in-session memo AND the
+    cache_once plan handles — the 'rebuild everything from source' hook
+    the perturb sweep uses so the heavy artifact-build subtrees re-run
+    under each partitioning.
+
+    cache_once entries are cleared too (r17): a cached frame DERIVED
+    FROM an artifact (dedup_pagerank's deg/outdeg over the mh_edges
+    parquet) holds the old build's file listing in its plan — after the
+    wipe, the content-addressed rebuild lands at the SAME dir with NEW
+    part-file names, and the stale handle fails with
+    FAILED_READ_FILE.FILE_NOT_EXIST (caught by the first post-r16-HEAD
+    perturb run; the r16 gates predated the commit that introduced the
+    caching). Wiping artifacts while keeping plans built on them was
+    never a consistent state.
 
     sf_dir scopes the wipe to that fixture's `<kind>-<tag>` dirs
     (ADVICE r10: the unscoped rmtree crossed the per-SF prune boundary
@@ -516,6 +527,7 @@ def artifact_clear(spark: SparkSession, sf_dir: str | None = None) -> None:
             if "-" in entry and entry.split("-", 1)[1] == tag:
                 fs.delete(child(base, entry))
     memo_once_clear(spark)
+    cache_once_clear(spark)
 
 
 def seq1(stop: Column) -> Column:
